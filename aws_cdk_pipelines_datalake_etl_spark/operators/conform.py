@@ -1,0 +1,79 @@
+"""Job 1: raw CSV -> conformed partitioned Parquet (SURVEY §3.2).
+
+Reimplements ``lib/glue_scripts/etl_raw_to_conformed.py`` Spark-first:
+
+- the per-record ``Map.apply`` partition stamp
+  (etl_raw_to_conformed.py:163-173,195-198) becomes three
+  ``withColumn(lit(...))`` literals — columnar, no Python-row
+  round-trip, stays inside whole-stage codegen;
+- NullType columns are cast to string data-side
+  (etl_raw_to_conformed.py:200-213);
+- the write is partitioned Parquet with dynamic partition overwrite
+  (etl_raw_to_conformed.py:191-193,216) — narrow plan end-to-end
+  (partition values are literals, so no shuffle: each input split
+  maps straight to output files under one partition directory).
+
+At 100 TB the scan parallelizes over input splits
+(``spark.sql.files.maxPartitionBytes``); since every row of a run
+lands in one ingest-date partition, output file count == task count —
+bounded by cluster cores, no small-file explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import NullType, StructType
+
+from aws_cdk_pipelines_datalake_etl_spark import catalog
+from aws_cdk_pipelines_datalake_etl_spark.params import JobParams
+from aws_cdk_pipelines_datalake_etl_spark.sources.csv_source import read_raw_csv
+
+
+def stamp_partitions(df: DataFrame, year: str, month: str, day: str) -> DataFrame:
+    """R1 as idiomatic Spark: literal year/month/day columns
+    (replaces the DynamicFrame Map at etl_raw_to_conformed.py:163-173)."""
+    return (
+        df.withColumn("year", F.lit(year))
+        .withColumn("month", F.lit(month))
+        .withColumn("day", F.lit(day))
+    )
+
+
+def repair_null_columns(df: DataFrame) -> DataFrame:
+    """R3: cast every all-null (NullType) column to string
+    (etl_raw_to_conformed.py:200-213)."""
+    null_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, NullType)]
+    if not null_cols:
+        return df
+    return df.withColumns({c: F.col(c).cast("string") for c in null_cols})
+
+
+def conform(
+    spark: SparkSession,
+    params: JobParams,
+    conformed_root: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Run the conformance job for one raw file; returns the conformed
+    DataFrame (parity: etl_raw_to_conformed.py:176-221 ``main``)."""
+    df = read_raw_csv(spark, params.source_path, schema=schema)
+    df = stamp_partitions(df, *params.partition_values)
+    df = repair_null_columns(df)
+
+    location = f"{conformed_root.rstrip('/')}/{params.table_name}"
+    catalog.upsert_table(
+        spark,
+        df,
+        database=params.target_database_name,
+        table=params.table_name,
+        location=location,
+    )
+    (
+        df.write.partitionBy("year", "month", "day")
+        .format("parquet")
+        .mode("overwrite")  # dynamic overwrite: only touched partitions replaced
+        .save(location)
+    )
+    catalog.recover_partitions(spark, params.target_database_name, params.table_name)
+    return df

@@ -1,0 +1,170 @@
+"""Pipeline runner: the reference's control plane as one Python class.
+
+Collapses Lambda trigger -> Step Functions 2-job DAG -> Glue jobs ->
+DynamoDB audit -> SNS notify (SURVEY §2.5 O1-O6, §3.1) into direct
+function calls:
+
+    runner.on_file("tlc_taxi_data/yellow_taxi_trip_record/x.csv")
+
+runs conform (Job 1) then transform (Job 2) synchronously
+(parity: RUN_JOB integration, step_functions_stack.py:154-198),
+single-flight with no retries (glue_stack.py:128-132), audits
+STARTED/SUCCEEDED/FAILED transitions, and notifies with the CORRECT
+subject per outcome — the reference swaps its success/failure SNS
+subjects (step_functions_stack.py:129,148; SURVEY §1.5-2), an
+acknowledged bug this engine fixes.
+"""
+
+from __future__ import annotations
+
+import json
+import traceback
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from pathlib import Path
+from typing import Callable
+
+from pyspark.sql import SparkSession
+
+from aws_cdk_pipelines_datalake_etl_spark.audit import AuditLog
+from aws_cdk_pipelines_datalake_etl_spark.operators.conform import conform
+from aws_cdk_pipelines_datalake_etl_spark.operators.transform import transform
+from aws_cdk_pipelines_datalake_etl_spark.params import JobParams, make_job_params
+from aws_cdk_pipelines_datalake_etl_spark.sources.sql_text import TransformNotFoundError
+
+Notifier = Callable[[str, str], None]  # (subject, message)
+
+
+@dataclass
+class LakeLayout:
+    """Three-zone layout (README.md:46; one local root instead of
+    three buckets)."""
+
+    root: str
+
+    @property
+    def raw(self) -> str:
+        return f"{self.root}/raw"
+
+    @property
+    def conformed(self) -> str:
+        return f"{self.root}/conformed"
+
+    @property
+    def purposebuilt(self) -> str:
+        return f"{self.root}/purposebuilt"
+
+    @property
+    def audit(self) -> str:
+        return f"{self.root}/_audit"
+
+
+@dataclass
+class RunResult:
+    params: JobParams
+    status: str  # SUCCEEDED | FAILED
+    error_message: str | None = None
+    conformed_rows: int | None = None
+    purposebuilt_rows: int | None = None
+
+
+@dataclass
+class PipelineRunner:
+    spark: SparkSession
+    layout: LakeLayout
+    transforms_dir: str | None = None
+    purposebuilt_database: str | None = None  # default: <source_system>_purposebuilt
+    notifier: Notifier | None = None
+    clock: Callable[[], datetime] = field(
+        default_factory=lambda: (lambda: datetime.now(timezone.utc))
+    )
+
+    def __post_init__(self) -> None:
+        self.audit = AuditLog(self.spark, self.layout.audit, clock=self.clock)
+
+    def _notify(self, subject: str, message: str) -> None:
+        if self.notifier:
+            self.notifier(subject, message)
+
+    def on_file(self, key: str, execution_id: str | None = None) -> RunResult:
+        """O1/O2: a file arrived in the raw zone at ``<raw>/<key>``.
+
+        Parity with the trigger lambda (lambda_handler.py:62-143):
+        parse key, stamp ingest-date partitions, audit STARTED, then
+        run the 2-job DAG with failure edges (§3.1).
+        """
+        now = self.clock()
+        params = make_job_params(
+            self.layout.raw, key, now=now, execution_id=execution_id
+        )
+        execution_name = (
+            f"{params.base_file_name}-{now.strftime('%Y%m%d%H%M%S%f')}"
+        )
+        self.audit.insert_started(
+            execution_id=params.execution_id,
+            execution_name=execution_name,
+            pipeline_id="datalake-etl-spark",
+            job_input=json.dumps(
+                {
+                    "target_databasename": params.target_database_name,
+                    "table_name": params.table_name,
+                    "base_file_name": params.base_file_name,
+                    "source_path": params.source_path,
+                    "p_year": params.p_year,
+                    "p_month": params.p_month,
+                    "p_day": params.p_day,
+                }
+            ),
+        )
+        return self._run_dag(params)
+
+    def _run_dag(self, params: JobParams) -> RunResult:
+        """O5: conform -> transform with catch edges to FAILED+notify
+        (step_functions_stack.py:154-205)."""
+        try:
+            conformed = conform(self.spark, params, self.layout.conformed)
+            conformed_rows = conformed.count()
+            purpose_db = (
+                self.purposebuilt_database
+                or f"{params.source_system_name}_purposebuilt"
+            )
+            try:
+                built = transform(
+                    self.spark,
+                    params,
+                    self.layout.purposebuilt,
+                    transforms_dir=self.transforms_dir,
+                    target_database=purpose_db,
+                )
+                purposebuilt_rows = built.count()
+            except TransformNotFoundError:
+                # No transform registered for this table: conformance
+                # alone is a valid pipeline outcome.
+                purposebuilt_rows = None
+            self.audit.update_status(params.execution_id, "SUCCEEDED")
+            self._notify("Job Completed", f"execution {params.execution_id} succeeded")
+            return RunResult(
+                params,
+                "SUCCEEDED",
+                conformed_rows=conformed_rows,
+                purposebuilt_rows=purposebuilt_rows,
+            )
+        except Exception as exc:  # noqa: BLE001 — failure edge mirrors add_catch
+            msg = "".join(
+                traceback.format_exception_only(type(exc), exc)
+            ).strip()
+            self.audit.update_status(params.execution_id, "FAILED", error_message=msg)
+            self._notify("Job Failed", f"execution {params.execution_id} failed: {msg}")
+            return RunResult(params, "FAILED", error_message=msg)
+
+    def scan_raw_zone(self) -> list[RunResult]:
+        """Directory-poll variant of the S3 OBJECT_CREATED trigger
+        (O1): process every file currently in the raw zone."""
+        results = []
+        root = Path(self.layout.raw)
+        if not root.is_dir():
+            return results
+        for p in sorted(root.rglob("*")):
+            if p.is_file():
+                results.append(self.on_file(str(p.relative_to(root))))
+        return results

@@ -62,6 +62,14 @@ def conform(
     df = repair_null_columns(df)
 
     location = f"{conformed_root.rstrip('/')}/{params.table_name}"
+    (
+        df.write.partitionBy("year", "month", "day")
+        .format("parquet")
+        .mode("overwrite")  # dynamic overwrite: only touched partitions replaced
+        .save(location)
+    )
+    # catalog upsert after the write so the external location exists
+    # (same net state as the reference's upsert-then-write order)
     catalog.upsert_table(
         spark,
         df,
@@ -69,11 +77,9 @@ def conform(
         table=params.table_name,
         location=location,
     )
-    (
-        df.write.partitionBy("year", "month", "day")
-        .format("parquet")
-        .mode("overwrite")  # dynamic overwrite: only touched partitions replaced
-        .save(location)
-    )
     catalog.recover_partitions(spark, params.target_database_name, params.table_name)
-    return df
+    # Return the conformed table, not the pre-write plan: with
+    # DROPMALFORMED, CSV malformed-row detection depends on which
+    # columns a given action parses (column pruning), so the written
+    # table is the single source of truth for row counts.
+    return spark.table(f"`{params.target_database_name}`.`{params.table_name}`")

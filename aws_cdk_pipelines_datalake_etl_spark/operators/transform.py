@@ -45,6 +45,12 @@ def transform(
 
     database = target_database or params.target_database_name
     location = f"{purposebuilt_root.rstrip('/')}/{params.table_name}"
+    (
+        df.write.partitionBy("year", "month", "day")
+        .format("parquet")
+        .mode("overwrite")
+        .save(location)
+    )
     catalog.upsert_table(
         spark,
         df,
@@ -52,11 +58,5 @@ def transform(
         table=params.table_name,
         location=location,
     )
-    (
-        df.write.partitionBy("year", "month", "day")
-        .format("parquet")
-        .mode("overwrite")
-        .save(location)
-    )
     catalog.recover_partitions(spark, database, params.table_name)
-    return df
+    return spark.table(f"`{database}`.`{params.table_name}`")

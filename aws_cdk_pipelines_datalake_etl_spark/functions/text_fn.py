@@ -1,0 +1,80 @@
+"""Text column expressions: tokens, shingles, portable hashing.
+
+Everything here is a Catalyst expression (split / transform /
+filter / md5 / conv ...) so the hot path stays inside whole-stage
+codegen — no Python round-trips.  The 48-bit md5-prefix hash is
+*portable*: DuckDB computes the identical value via
+``('0x' || substr(md5(s), 1, 12))::BIGINT``, which lets external
+oracles replay MinHash/SimHash pipelines exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A curated stopword sample per language for the lang-id heuristic.
+# Tiny on purpose: broadcast-free (inlined into the plan as literals).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es": ("el", "la", "de", "y", "que", "los", "en", "un"),
+    "de": ("der", "die", "das", "und", "zu", "den", "nicht", "ist"),
+    "fr": ("le", "la", "de", "et", "que", "les", "des", "une"),
+    "zh": ("de5", "shi4", "le5", "bu4", "wo3", "you3", "zai4", "ta1"),
+}
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokens of the lowercased text."""
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def normalize_text(col: str = "text") -> Column:
+    """Canonical form for fingerprinting: lowercase, strip everything
+    but [a-z0-9 ], collapse runs of spaces, trim."""
+    c = F.lower(F.col(col))
+    c = F.regexp_replace(c, "[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def word_shingles(tokens_col: str, k: int = 3) -> Column:
+    """Contiguous word k-grams as strings; empty array if < k tokens.
+
+    The CASE guard matters: Spark's ``sequence(1, 0)`` counts *down*,
+    so short docs would otherwise produce phantom shingles.
+    """
+    t = tokens_col
+    joined = " || ' ' || ".join(f"{t}[i + {j} - 1]" for j in range(k))
+    return F.expr(
+        f"CASE WHEN size({t}) < {k} THEN array() "
+        f"ELSE transform(sequence(1, size({t}) - {k - 1}), i -> {joined}) END"
+    )
+
+
+def hash48(col: Column) -> Column:
+    """Portable 48-bit hash: first 12 hex chars of md5 as a bigint.
+
+    DuckDB equivalent: ``('0x' || substr(md5(s), 1, 12))::BIGINT`` —
+    verified to produce identical values.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
+def hash48_sql_duckdb(expr: str) -> str:
+    """The DuckDB-side twin of :func:`hash48` for oracle SQL."""
+    return f"(('0x' || substr(md5({expr}), 1, 12))::BIGINT)"
+
+
+def stopword_count(tokens_col: str, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang`` (JVM-side
+    higher-order filter; no UDF)."""
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return F.expr(
+        f"size(filter({tokens_col}, x -> array_contains(array({words}), x)))"
+    )
+
+
+def stopword_count_sql_duckdb(tokens_expr: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({tokens_expr}, x -> x IN ({words})))"

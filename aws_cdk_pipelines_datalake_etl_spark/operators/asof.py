@@ -1,0 +1,68 @@
+"""Distributed as-of join (Spark has no native one).
+
+Union-and-window strategy: tag the right ("reference") stream 0 and
+the left ("probe") stream 1, union, then a single window pass
+per key ordered by (time, tag) carries the latest reference row
+forward with ``last_value(..., ignoreNulls)``.  Cost: ONE shuffle on
+the key — same as an equi-join — instead of a range join's
+quadratic-per-key blowup.  Skewed keys are handled by AQE; for
+pathological keys, pre-salt the union.
+
+Equal timestamps: the reference row sorts before the probe row
+(tag 0 < tag 1), so matches are inclusive (ref.ts <= probe.ts) —
+the same tie rule as DuckDB's ``ASOF JOIN ... ON probe.ts >= ref.ts``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the latest right row of the same
+    ``on`` key with ``right_ts <= left_ts`` (NULLs when none).
+
+    ``right_cols`` are the right-side columns to carry (renamed with
+    ``suffix``).
+    """
+    lt = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.struct(*left.columns).alias("_l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+    )
+    rt = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_tag"),
+        F.lit(None).cast(lt.schema["_l"].dataType).alias("_l"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lt.unionByName(rt).select(
+        "_tag",
+        "_l",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.filter(F.col("_tag") == 1).select(
+        F.col("_l.*"),
+        *[F.col(f"_r_{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+    return out

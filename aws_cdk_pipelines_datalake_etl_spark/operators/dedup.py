@@ -1,0 +1,222 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Four families, all expressed as DataFrame plans (shuffle-conscious,
+no driver-side loops, no Python UDFs):
+
+- **exact** — hash-groupBy on the dedup key; one shuffle.
+- **fingerprint** — md5 over normalized text, then exact dedup; one
+  narrow map + one shuffle.
+- **n-gram Jaccard (exact)** — shingle-explode + equi-join on the
+  shingle.  This is the *verification-grade* path: correct for every
+  pair but worst-case quadratic in docs sharing a shingle; use it to
+  validate the approximate paths at small scale.
+- **MinHash + banded LSH (approximate, the 100 TB path)** — portable
+  48-bit shingle hashes, ``num_perm`` linear-congruential min-hashes
+  computed in ONE aggregation pass, band signatures exploded and
+  equi-joined so candidate generation is a hash-shuffle on
+  (band, signature) — never an all-pairs product — then candidates
+  are verified with exact Jaccard.  With the default 32 bands x 4
+  rows, a pair at the 0.8 threshold is missed with probability
+  ~(1 - 0.8^4)^32 ≈ 5e-8, so at test scale the output equals the
+  exact operator's (that equality is the oracle check).
+
+The hashes are md5-derived (:mod:`..functions.text_fn.hash48`), so an
+external SQL engine can replay every step bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_cdk_pipelines_datalake_etl_spark.functions.rounding import pround
+from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+    hash48,
+    normalize_text,
+    tokens,
+    word_shingles,
+)
+
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; keeps a*h + b inside int64
+
+
+def minhash_coefficients(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod P."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_perm)
+    ]
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: one representative (min id) per key group plus the
+    group size.  Deterministic — unlike ``dropDuplicates``, which
+    keeps an arbitrary row.  One hash shuffle on the key; partial
+    (map-side) aggregation keeps it scale-safe."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add a content fingerprint: md5 of the normalized text."""
+    return df.withColumn("fp", F.md5(normalize_text(text_col)))
+
+
+def fingerprint_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-exact dedup on the normalized-text fingerprint."""
+    return exact_dedup(fingerprint(df, text_col).select(id_col, "fp"), ["fp"], id_col)
+
+
+def shingle_set(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle, h48) rows — the set representation every
+    Jaccard-family operator shares."""
+    return (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+        .select("id", F.explode(word_shingles("toks", k)).alias("sh"))
+        .distinct()
+        .withColumn("h", hash48(F.col("sh")))
+    )
+
+
+def _verified_jaccard(pairs: DataFrame, shingles: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate (id1, id2) pairs; filter >= threshold."""
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = shingles.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
+    s2 = shingles.select(F.col("id").alias("rid2"), F.col("sh").alias("sh2"))
+    inter = (
+        pairs.join(s1, "id1")
+        .join(s2, (F.col("id2") == F.col("rid2")) & (F.col("sh1") == F.col("sh2")))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    n1 = sizes.select(F.col("id").alias("id1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col("id").alias("id2"), F.col("n").alias("n2"))
+    return (
+        inter.join(n1, "id1")
+        .join(n2, "id2")
+        .withColumn(
+            "jaccard",
+            pround(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact near-duplicate pairs by word-k-gram Jaccard >= threshold.
+
+    Pair generation joins on the shingle itself (docs sharing no
+    shingle never meet), so cost scales with shingle co-occurrence,
+    not docs^2 — but hot shingles still fan out; at corpus scale use
+    :func:`minhash_lsh_pairs` and keep this as the oracle."""
+    sh = shingle_set(df, id_col, text_col, k)
+    a = sh.select(F.col("id").alias("id1"), "sh")
+    b = sh.select(F.col("id").alias("id2"), "sh")
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    return _verified_jaccard(pairs, sh, threshold)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs: MinHash signatures -> banded LSH
+    candidate join -> exact-Jaccard verification.
+
+    The whole signature is computed in one aggregation pass (``num_perm``
+    min() aggregates over the shingle hashes), then ``bands`` signature
+    strings per doc are exploded and equi-joined — a shuffle keyed on
+    (band, signature), which is how this stays linear-ish at 100 TB.
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
+    coeffs = minhash_coefficients(num_perm, seed)
+
+    sh = shingle_set(df, id_col, text_col, k)
+    hmod = (F.col("h") % MINHASH_PRIME).cast("long")
+    mins = [
+        F.min((hmod * F.lit(a) + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bsig', concat_ws(',', {vals}))".format(
+            b=b,
+            vals=", ".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    banded = sig.select(
+        "id", F.explode(F.expr(f"array({band_structs})")).alias("bs")
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+
+    a = banded.select(F.col("id").alias("id1"), "band", "bsig")
+    b = banded.select(F.col("id").alias("id2"), "band", "bsig")
+    candidates = (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    return _verified_jaccard(candidates, sh, threshold)
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 48
+) -> DataFrame:
+    """48-bit SimHash per document over its distinct tokens.
+
+    One explode to (doc, token) rows, then ``bits`` sum() aggregates
+    of +-1 per bit position in a single pass, reassembled into one
+    bigint.  md5-derived token hashes keep it replayable externally.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+        .distinct()
+        .withColumn("h", hash48(F.col("tok")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    sig = F.expr(
+        " + ".join(
+            f"CASE WHEN b{i} >= 0 THEN cast({1 << i} as bigint) ELSE 0 END"
+            for i in range(bits)
+        )
+    )
+    return agg.select("id", sig.alias("simhash"))

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, mirroring what a 100 TB vector corpus needs:
+
+- **Brute-force top-k** — exact cosine against a (small) query set.
+  The query set is broadcast, so the big side streams through a
+  narrow map + per-query top-k window; no all-pairs shuffle.  This is
+  the correctness baseline.
+- **IVF-style bucketed ANN** — vectors are assigned to their nearest
+  centroid (a fixed, deterministic codebook) at write time; a query
+  probes only the ``nprobe`` nearest buckets, cutting the scanned
+  fraction to ~nprobe/n_centroids.  Approximate (recall < 1 when the
+  true neighbor lives in an unprobed bucket) — the scale path.
+
+Cosines are computed with sequential-fold array expressions
+(:mod:`..functions.vector`) entirely JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from aws_cdk_pipelines_datalake_etl_spark.functions.rounding import pround
+
+from aws_cdk_pipelines_datalake_etl_spark.functions.vector import as_double_array, cosine
+
+
+def _with_double_vec(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    return df.withColumn(out, as_double_array(vec_col))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    ``queries`` is expected to be small (it is broadcast); neighbors
+    exclude the query vector itself.  Output is deterministic: ties
+    broken by neighbor id on the 6-dp-rounded cosine.
+    """
+    v = _with_double_vec(vectors, vec_col, "v").select(
+        F.col(id_col).alias("neighbor_id"), "v"
+    )
+    q = _with_double_vec(queries, vec_col, "q").select(
+        F.col(id_col).alias("query_id"), "q"
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", pround(cosine("q", "v"), 6))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def assign_ivf_buckets(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF assignment: each vector to its nearest centroid (by cosine).
+
+    ``centroids`` is a small broadcast codebook DataFrame
+    (centroid_id, embedding).  At scale this runs once at ingest and
+    the output is written bucketed/partitioned by centroid_id so a
+    probe only reads its buckets' files (partition pruning).
+    """
+    v = _with_double_vec(vectors, vec_col, "v").select(id_col, "v")
+    c = _with_double_vec(centroids, vec_col, "c").select(
+        F.col("centroid_id"), "c"
+    )
+    scored = v.join(F.broadcast(c)).withColumn("sim", pround(cosine("v", "c"), 6))
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "centroid_id", "v")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` closest buckets.
+
+    Candidate set = vectors whose bucket is among the query's nprobe
+    nearest centroids; exact cosine + top-k inside the candidates.
+    """
+    bucketed = assign_ivf_buckets(vectors, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("centroid_id").alias("v_bucket"),
+        "v",
+    )
+    q = _with_double_vec(queries, vec_col, "q").select(
+        F.col(id_col).alias("query_id"), "q"
+    )
+    c = _with_double_vec(centroids, vec_col, "c").select("centroid_id", "c")
+    qprobe = (
+        q.join(F.broadcast(c))
+        .withColumn("sim", pround(cosine("q", "c"), 6))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("sim").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q", F.col("centroid_id").alias("v_bucket"))
+    )
+    scored = (
+        bucketed.join(F.broadcast(qprobe), "v_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", pround(cosine("q", "v"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (exact; all-pairs join —
+    verification-grade.  At scale, run :func:`assign_ivf_buckets`
+    first and only compare within buckets)."""
+    v1 = _with_double_vec(vectors, vec_col, "v1").select(
+        F.col(id_col).alias("id1"), "v1"
+    )
+    v2 = _with_double_vec(vectors, vec_col, "v2").select(
+        F.col(id_col).alias("id2"), "v2"
+    )
+    return (
+        v1.join(v2, F.col("id1") < F.col("id2"))
+        .withColumn("cosine", pround(cosine("v1", "v2"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )

@@ -1,0 +1,107 @@
+"""Text-analysis operators: quality metrics, language ID, token stats.
+
+All pure Catalyst expressions (split / filter / regexp over columns)
+— the per-document work is a narrow map, embarrassingly parallel at
+any scale, with no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aws_cdk_pipelines_datalake_etl_spark.functions.rounding import pround
+from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+    STOPWORDS,
+    stopword_count,
+    tokens,
+)
+
+
+def text_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality/statistics row.
+
+    Columns: token count, distinct-token count, char count, mean token
+    length, type-token ratio, English-stopword ratio, digit ratio —
+    the usual cheap quality-filter features of a corpus pipeline.
+    """
+    d = df.select(
+        F.col(id_col), F.col(text_col), tokens(text_col).alias("toks")
+    )
+    n_tokens = F.size("toks")
+    n_chars = F.length(text_col)
+    n_digits = n_chars - F.length(F.regexp_replace(F.col(text_col), "[0-9]", ""))
+    return d.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_uniq_tokens"),
+        n_chars.cast("bigint").alias("n_chars"),
+        pround(
+            F.expr(
+                "aggregate(toks, cast(0.0 as double), (acc, t) -> acc + length(t))"
+            )
+            / n_tokens,
+            6,
+        ).alias("avg_token_len"),
+        pround(F.size(F.array_distinct("toks")) / n_tokens.cast("double"), 6).alias(
+            "type_token_ratio"
+        ),
+        pround(
+            stopword_count("toks", "en") / n_tokens.cast("double"), 6
+        ).alias("stopword_ratio"),
+        pround(n_digits / n_chars.cast("double"), 6).alias("digit_ratio"),
+    )
+
+
+def _lang_scores(toks_col: str) -> dict[str, Column]:
+    return {lang: stopword_count(toks_col, lang) for lang in STOPWORDS}
+
+
+def predict_language(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """N-gram/stopword-heuristic language ID.
+
+    Scores each language by stopword hits and takes the argmax with a
+    fixed precedence order (en > es > de > fr > zh); zero hits
+    everywhere -> 'und'.  Deterministic, expressible in plain SQL, and
+    a realistic shape for the cheap first-stage lang filter of a
+    training-data pipeline (a real system would swap in fastText via
+    a pandas UDF — the plumbing is identical).
+    """
+    d = df.select(F.col(id_col), tokens(text_col).alias("toks"))
+    scores = _lang_scores("toks")
+    order = ["en", "es", "de", "fr", "zh"]
+    best = F.greatest(*[scores[lang] for lang in order])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in order:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return d.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in order],
+        pred.alias("pred_lang"),
+    )
+
+
+def token_count_bpe_ish(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace token count plus a BPE-ish subword estimate.
+
+    The subword estimate splits on whitespace AND digit/letter
+    boundaries, then charges ceil(len/4) units per word — a cheap,
+    deterministic proxy for a BPE vocabulary's ~4-chars-per-token
+    behavior, good enough for corpus budgeting at scale.
+    """
+    d = df.select(
+        F.col(id_col),
+        tokens(text_col).alias("toks"),
+    )
+    return d.select(
+        F.col(id_col),
+        F.size("toks").alias("n_whitespace_tokens"),
+        F.expr(
+            "aggregate(toks, cast(0 as bigint),"
+            " (acc, t) -> acc + cast(ceil(length(t) / 4.0) as bigint))"
+        ).alias("n_bpe_ish_tokens"),
+    )

@@ -1,0 +1,895 @@
+"""The engine's query registry: every operator from SURVEY §2 plus the
+Tier-E large-scale-pipeline ops, each as
+
+    name -> (spark_fn(spark, sf_dir) -> DataFrame,  oracle_sql | None)
+
+The oracle SQL is ANSI/DuckDB-dialect over the same parquet tables and
+must produce the *identical* relation (same column names, same values)
+— the driver hash-compares them.  Approximate/scale-path operators
+whose exact output is not SQL-expressible (IVF ANN) omit the oracle.
+
+Conventions keeping the comparison exact:
+- every computed column is aliased identically on both sides;
+- double aggregates are rounded (2 dp money, 6 dp ratios) on BOTH
+  sides so last-ulp accumulation-order noise cannot flip the hash;
+- LIMIT queries carry a total order (explicit tiebreaker column);
+- hashes are md5-based (portable), timestamps are UTC on both sides.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_cdk_pipelines_datalake_etl_spark.functions.rounding import (
+    portable_round_sql,
+    pround,
+)
+from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+    STOPWORDS,
+    hash48_sql_duckdb,
+    stopword_count_sql_duckdb,
+)
+from aws_cdk_pipelines_datalake_etl_spark.operators import dedup as dd
+from aws_cdk_pipelines_datalake_etl_spark.operators import similarity as sim
+from aws_cdk_pipelines_datalake_etl_spark.operators import text as tx
+from aws_cdk_pipelines_datalake_etl_spark.operators.asof import asof_join
+from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import attach_binary_column
+from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import load_table
+from aws_cdk_pipelines_datalake_etl_spark.streaming.windowed import tumbling_window_agg
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None
+    description: str = ""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Parity tier: the reference's exercised surface (SURVEY §2.3-2.4)
+# --------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's aggregation shape (A1-A4: multi-key
+    hash agg, count + sums; transformation-sql/*.sql:1-18) as a TPC-H
+    Q1-style pricing summary."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-12-01")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            pround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            pround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            pround(F.avg("l_quantity"), 6).alias("avg_qty"),
+            pround(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            pround(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 6)                                        AS avg_qty,
+       round(avg(l_extendedprice), 6)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_taxi_shape_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference transform's literal shape — count(*) + sums
+    grouped by a dimension and string year/month/day partitions
+    (yellow_taxi_trip_record.sql:1-18) — over the events table."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("year", F.date_format("ts", "yyyy"))
+        .withColumn("month", F.date_format("ts", "MM"))
+        .withColumn("day", F.date_format("ts", "dd"))
+        .groupBy("event_type", "year", "month", "day")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            pround(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+Q02_ORACLE = """
+SELECT event_type,
+       strftime(ts, '%Y') AS year,
+       strftime(ts, '%m') AS month,
+       strftime(ts, '%d') AS day,
+       count(*)           AS count,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def q03_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4-R6: predicate pushdown + projection with aliases + coalesce
+    null-default (yellow_taxi_trip_record.sql:3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") <= "1996-12-31")
+            & (F.col("l_quantity") > 45)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            pround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("X")).alias(
+                "flag"
+            ),
+        )
+    )
+
+
+Q03_ORACLE = """
+SELECT l_orderkey,
+       l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 2) AS revenue,
+       coalesce(nullif(l_returnflag, 'N'), 'X')     AS flag
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <= TIMESTAMP '1996-12-31 00:00:00'
+  AND l_quantity > 45
+"""
+
+
+def q04_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort + LIMIT (R7 generalized): global top-100 with a total
+    order (tiebreaker) so the row set is deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", pround("o_totalprice", 2).alias("total"))
+        .orderBy(F.col("total").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q04_ORACLE = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders
+ORDER BY total DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q05_limit_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 verbatim: SELECT * ... LIMIT 10 (README.md:263-265) — on the
+    5-row region table the LIMIT is not reached, so it's
+    deterministic."""
+    return _t(spark, sf_dir, "region").limit(10)
+
+
+Q05_ORACLE = "SELECT * FROM region LIMIT 10"
+
+
+# --------------------------------------------------------------------------
+# Declared-surface tier: everything `spark.sql` accepts (SURVEY §2.6)
+# --------------------------------------------------------------------------
+
+
+def q06_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicitly broadcast dimensions: customer ⋈
+    nation ⋈ region, aggregated per region."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            pround(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            pround(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+Q06_ORACLE = """
+SELECT r_name,
+       count(*)                 AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_acctbal,
+       round(avg(c_acctbal), 6) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q07_revenue_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way fact join + agg + top-k (TPC-H Q3 shape): revenue of
+    BUILDING/AUTOMOBILE-segment orders."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+    )
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q07_ORACLE = """
+SELECT o_orderkey,
+       c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+GROUP BY o_orderkey, c_mktsegment
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q08_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: orders having any high-quantity line item."""
+    o = _t(spark, sf_dir, "orders")
+    hot = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return (
+        o.join(hot, o.o_orderkey == hot.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+Q08_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+GROUP BY o_orderpriority
+"""
+
+
+def q09_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no 1995-H1 order, per segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-07-01")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+Q09_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+
+def q10_outer_join_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + two-level aggregation: distribution of
+    orders-per-customer including zero-order customers."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+Q10_ORACLE = """
+WITH per AS (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT n_orders, count(*) AS n_customers FROM per GROUP BY n_orders
+"""
+
+
+def q11_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price — the canonical top-k-per-
+    group window pattern."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", pround("o_totalprice", 2).alias("total"), "rnk")
+    )
+
+
+Q11_ORACLE = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rnk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+      FROM orders) t
+WHERE rnk <= 3
+"""
+
+
+def q12_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user sum over an ordered event stream."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        pround(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+Q12_ORACLE = """
+SELECT event_id,
+       user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4) AS running_value
+FROM events
+"""
+
+
+def q13_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap cumsum (30-min inactivity gap):
+    sessions and events per user.  Gap test uses exact microseconds
+    on both sides (unix_micros / epoch_us)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+Q13_ORACLE = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*)                         AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+def q14_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (distinct semantics) as one lazy
+    plan of counted branches."""
+    hot = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 49)
+        .select(F.col("l_orderkey").alias("k"))
+    )
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_orderkey").alias("k"))
+    )
+
+    def counted(df: DataFrame, op: str) -> DataFrame:
+        return df.distinct().agg(
+            F.lit(op).alias("op"), F.count(F.lit(1)).alias("n")
+        )
+
+    return (
+        counted(hot.union(big), "union")
+        .unionByName(counted(hot.intersect(big), "intersect"))
+        .unionByName(counted(hot.subtract(big), "except"))
+    )
+
+
+Q14_ORACLE = """
+WITH hot AS (SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_quantity >= 49),
+     big AS (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_totalprice > 400000)
+SELECT 'union' AS op, count(*) AS n FROM (SELECT k FROM hot UNION SELECT k FROM big) u
+UNION ALL
+SELECT 'intersect', count(*) FROM (SELECT k FROM hot INTERSECT SELECT k FROM big) i
+UNION ALL
+SELECT 'except', count(*) FROM (SELECT k FROM hot EXCEPT SELECT k FROM big) e
+"""
+
+
+def q15_having_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING + exact count(DISTINCT) + median (exact percentile)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+            pround(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        )
+        .filter(F.col("n_orders") > 100)
+    )
+
+
+Q15_ORACLE = """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey)               AS n_custs,
+       count(*)                                AS n_orders,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price
+FROM orders
+GROUP BY o_orderstatus
+HAVING count(*) > 100
+"""
+
+
+def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority) with count + sum."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+Q16_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q17_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/math function surface (R6 generalized)."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.upper("n_name").alias("uname"),
+        F.substring("n_name", 1, 3).alias("prefix"),
+        F.length("n_name").alias("name_len"),
+        F.concat_ws("-", F.col("n_name"), F.col("n_regionkey").cast("string")).alias(
+            "tag"
+        ),
+        F.abs(F.col("n_regionkey") - 2).alias("regdist"),
+        pround(F.sqrt("n_nationkey"), 6).alias("sqrt_key"),
+        (F.col("n_nationkey") % 3).alias("key_mod3"),
+    )
+
+
+Q17_ORACLE = """
+SELECT n_nationkey,
+       upper(n_name)                                  AS uname,
+       substr(n_name, 1, 3)                           AS prefix,
+       CAST(length(n_name) AS INTEGER)                AS name_len,
+       n_name || '-' || CAST(n_regionkey AS VARCHAR)  AS tag,
+       abs(n_regionkey - 2)                           AS regdist,
+       round(sqrt(n_nationkey), 6)                    AS sqrt_key,
+       n_nationkey % 3                                AS key_mod3
+FROM nation
+"""
+
+
+def q18_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface: extract + trunc + formatting."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+Q18_ORACLE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER)      AS order_year,
+       CAST(month(o_orderdate) AS INTEGER)     AS order_month,
+       CAST(day(o_orderdate) AS INTEGER)       AS order_day,
+       CAST(quarter(o_orderdate) AS INTEGER)   AS order_quarter,
+       date_trunc('month', o_orderdate)        AS month_start,
+       strftime(o_orderdate, '%Y-%m')          AS ym
+FROM orders
+"""
+
+
+def q19_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event types into daily count columns."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.withColumn("d", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("d")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+Q19_ORACLE = """
+SELECT strftime(ts, '%Y-%m-%d') AS d,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Tier E: dedup / text / similarity / as-of / streaming
+# --------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").withColumn("fp", F.md5("text"))
+    return dd.exact_dedup(d.select("doc_id", "fp"), ["fp"], "doc_id")
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.fingerprint_dedup(_t(spark, sf_dir, "documents"))
+
+
+DEDUP_FINGERPRINT_ORACLE = """
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g'))) AS fp,
+       min(doc_id) AS doc_id,
+       count(*)    AS n_copies
+FROM documents GROUP BY 1
+"""
+
+# Exact jaccard pairs — shared oracle for the exact and LSH paths (the
+# LSH miss probability at these parameters is ~5e-8 per true pair).
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) g
+  WHERE i <= len(w) - 2
+), sizes AS (
+  SELECT id, count(*) AS n FROM sh GROUP BY id
+), pair AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id1, id2,
+       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pair
+JOIN sizes sa ON sa.id = id1
+JOIN sizes sb ON sb.id = id2
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle(bits: int = 48) -> str:
+    h = hash48_sql_duckdb("tok")
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    reassemble = " + ".join(
+        f"CASE WHEN b{i} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT id, tok FROM (
+    SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents) t
+), hashed AS (
+  SELECT id, {h} AS h FROM toks
+), bitsums AS (
+  SELECT id,
+         {sums}
+  FROM hashed GROUP BY id
+)
+SELECT id, {reassemble} AS simhash FROM bitsums
+"""
+
+
+def text_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.text_metrics(_t(spark, sf_dir, "documents"))
+
+
+TEXT_METRICS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER)                     AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER)      AS n_uniq_tokens,
+       CAST(length(text) AS BIGINT)                   AS n_chars,
+       round(list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks), 6)
+                                                      AS avg_token_len,
+       round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio,
+       round({stopword_count_sql_duckdb('toks', 'en')} * 1.0 / len(toks), 6)
+                                                      AS stopword_ratio,
+       round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+             / length(text), 6)                       AS digit_ratio
+FROM d
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.predict_language(_t(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    order = ["en", "es", "de", "fr", "zh"]
+    scores = ",\n         ".join(
+        f"CAST({stopword_count_sql_duckdb('toks', lang)} AS INTEGER) AS score_{lang}"
+        for lang in order
+    )
+    greatest = ", ".join(f"score_{lang}" for lang in order)
+    whens = "\n            ".join(
+        f"WHEN score_{lang} = best THEN '{lang}'" for lang in order
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), scored AS (
+  SELECT doc_id,
+         {scores}
+  FROM d
+), best AS (
+  SELECT *, greatest({greatest}) AS best FROM scored
+)
+SELECT doc_id, {greatest},
+       CASE WHEN best = 0 THEN 'und'
+            {whens}
+       END AS pred_lang
+FROM best
+"""
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_count_bpe_ish(_t(spark, sf_dir, "documents"))
+
+
+TEXT_TOKEN_COUNT_ORACLE = """
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_whitespace_tokens,
+       CAST(list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
+            AS BIGINT)            AS n_bpe_ish_tokens
+FROM d
+"""
+
+
+def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+SIM_BRUTE_TOPK_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+s AS (
+  SELECT query_id, v.vec_id AS neighbor_id,
+         round(list_cosine_similarity(qe, e), 6) AS cosine
+  FROM q, v WHERE v.vec_id != query_id
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+SIM_NEAR_DUP_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+"""
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate ANN (scale path) — no SQL oracle;
+    recall measured against the brute-force path in tests."""
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return sim.ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), centroids, k=5, nprobe=2
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+def asof_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase event, the latest prior (or
+    simultaneous) view event of the same user."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"), "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id"],
+    )
+    return joined.select(
+        "purchase_event_id", "user_id",
+        F.col("event_id_asof").alias("view_event_id"),
+    )
+
+
+ASOF_ORACLE = """
+SELECT p.event_id AS purchase_event_id,
+       p.user_id,
+       v.event_id AS view_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    return tumbling_window_agg(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+STREAM_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL 1 hour, ts) AS window_start,
+       event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column convention: wrap document text bytes as a blob +
+    typed metadata (media_type, byte_len, sha256)."""
+    d = attach_binary_column(
+        _t(spark, sf_dir, "documents"), "text", "text/plain"
+    )
+    return d.select(
+        "doc_id",
+        F.col("blob_meta.media_type").alias("media_type"),
+        F.col("blob_meta.byte_len").alias("byte_len"),
+        F.col("blob_meta.sha").alias("sha"),
+    )
+
+
+MULTIMODAL_META_ORACLE = """
+SELECT doc_id,
+       'text/plain'                          AS media_type,
+       CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,
+       sha256(text)                          AS sha
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+
+def build_registry() -> dict[str, QuerySpec]:
+    reg = {
+        "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_ORACLE),
+        "q02_taxi_shape_agg": QuerySpec(q02_taxi_shape_agg, Q02_ORACLE),
+        "q03_filter_project": QuerySpec(q03_filter_project, Q03_ORACLE),
+        "q04_topk_orders": QuerySpec(q04_topk_orders, Q04_ORACLE),
+        "q05_limit_star": QuerySpec(q05_limit_star, Q05_ORACLE),
+        "q06_broadcast_dim_join": QuerySpec(q06_broadcast_dim_join, Q06_ORACLE),
+        "q07_revenue_top_orders": QuerySpec(q07_revenue_top_orders, Q07_ORACLE),
+        "q08_semi_join": QuerySpec(q08_semi_join, Q08_ORACLE),
+        "q09_anti_join": QuerySpec(q09_anti_join, Q09_ORACLE),
+        "q10_outer_join_histogram": QuerySpec(q10_outer_join_histogram, Q10_ORACLE),
+        "q11_window_topk_per_group": QuerySpec(q11_window_topk_per_group, Q11_ORACLE),
+        "q12_window_running_sum": QuerySpec(q12_window_running_sum, Q12_ORACLE),
+        "q13_sessionize": QuerySpec(q13_sessionize, Q13_ORACLE),
+        "q14_set_ops": QuerySpec(q14_set_ops, Q14_ORACLE),
+        "q15_having_distinct": QuerySpec(q15_having_distinct, Q15_ORACLE),
+        "q16_rollup": QuerySpec(q16_rollup, Q16_ORACLE),
+        "q17_scalar_functions": QuerySpec(q17_scalar_functions, Q17_ORACLE),
+        "q18_date_functions": QuerySpec(q18_date_functions, Q18_ORACLE),
+        "q19_pivot": QuerySpec(q19_pivot, Q19_ORACLE),
+        "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
+        "dedup_fingerprint": QuerySpec(dedup_fingerprint, DEDUP_FINGERPRINT_ORACLE),
+        "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, _JACCARD_ORACLE),
+        "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _JACCARD_ORACLE),
+        "dedup_simhash": QuerySpec(dedup_simhash, _simhash_oracle()),
+        "text_metrics": QuerySpec(text_metrics_q, TEXT_METRICS_ORACLE),
+        "text_langid": QuerySpec(text_langid, _langid_oracle()),
+        "text_token_count": QuerySpec(text_token_count, TEXT_TOKEN_COUNT_ORACLE),
+        "sim_brute_topk": QuerySpec(sim_brute_topk, SIM_BRUTE_TOPK_ORACLE),
+        "sim_near_dup_pairs": QuerySpec(sim_near_dup_pairs, SIM_NEAR_DUP_ORACLE),
+        "sim_ivf_topk": QuerySpec(sim_ivf_topk, None),
+        "asof_view_to_purchase": QuerySpec(asof_view_to_purchase, ASOF_ORACLE),
+        "stream_tumbling": QuerySpec(stream_tumbling, STREAM_TUMBLING_ORACLE),
+        "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_ORACLE),
+    }
+    return {
+        name: QuerySpec(
+            s.fn,
+            portable_round_sql(s.oracle) if s.oracle else None,
+            s.description,
+        )
+        for name, s in reg.items()
+    }

@@ -74,6 +74,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.createHiveTableByDefault", "false")
+        # read TIMESTAMP(NANOS) parquet columns as long (ns since epoch)
+        # instead of failing; sources.testdata converts ns -> timestamp
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if master is not None:
         builder = builder.master(master)

@@ -1,0 +1,87 @@
+"""Physical-plan assertions: the properties that keep queries fast at
+100 TB — predicate pushdown, column pruning, broadcast joins,
+whole-stage codegen — must hold, not just correctness."""
+
+from __future__ import annotations
+
+from aws_cdk_pipelines_datalake_etl_spark.plans import registry as R
+from aws_cdk_pipelines_datalake_etl_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_pushed_filter,
+    assert_read_schema_only,
+    formatted_plan,
+)
+
+from tests.conftest import SF_DIR_SMOKE
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = R.q03_filter_project(spark, SF_DIR_SMOKE)
+    assert_pushed_filter(df, "l_quantity")
+    assert_pushed_filter(df, "l_shipdate")
+
+
+def test_column_pruning(spark):
+    df = R.q03_filter_project(spark, SF_DIR_SMOKE)
+    assert_read_schema_only(
+        df,
+        "lineitem",
+        {
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "l_discount",
+            "l_returnflag",
+            # filter-only columns still read (pushed + re-checked)
+            "l_shipdate",
+            "l_quantity",
+        },
+    )
+
+
+def test_dim_join_broadcasts(spark):
+    assert_broadcast_join(R.q06_broadcast_dim_join(spark, SF_DIR_SMOKE))
+
+
+def test_small_dim_auto_broadcasts_in_sql(spark):
+    """Even without an explicit hint, Catalyst should broadcast the
+    5-row region table under the session's broadcast threshold."""
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import (
+        register_testdata_views,
+    )
+
+    register_testdata_views(spark, SF_DIR_SMOKE)
+    df = spark.sql(
+        "SELECT r_name, count(*) AS n FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    )
+    assert_broadcast_join(df)
+
+
+def test_flagship_has_partial_agg_before_exchange(spark):
+    """Map-side (partial) aggregation must run before the shuffle —
+    at 100 TB that's the difference between shuffling 6 rows per task
+    and shuffling the whole table.  (WholeStageCodegen nodes are not
+    printed in AQE's pre-execution formatted plan, so we assert the
+    aggregation structure instead.)"""
+    plan = formatted_plan(R.q01_pricing_summary(spark, SF_DIR_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+    assert "Exchange" in plan
+
+
+def test_brute_topk_has_no_cartesian_shuffle(spark):
+    """The query side must be broadcast — a cartesian/shuffle product
+    over the vector table would not survive scale."""
+    from pyspark.sql import functions as F
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    df = brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=3)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

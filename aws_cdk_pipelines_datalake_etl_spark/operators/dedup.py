@@ -125,6 +125,11 @@ def ngram_jaccard_pairs(
     shingle never meet), so cost scales with shingle co-occurrence,
     not docs^2 — but hot shingles still fan out; at corpus scale use
     :func:`minhash_lsh_pairs` and keep this as the oracle."""
+    # the shingle set feeds pair-gen, intersection and sizes; it is
+    # deliberately NOT cached — recomputing the narrow explode lets
+    # Catalyst prune per use (sizes reads only `id`, pair-gen only
+    # (id, sh)), which measures ~3x faster than materializing the
+    # full set (A/B at sf0.1: 3.7s vs 9-24s)
     sh = shingle_set(df, id_col, text_col, k)
     a = sh.select(F.col("id").alias("id1"), "sh")
     b = sh.select(F.col("id").alias("id2"), "sh")
@@ -160,6 +165,9 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     coeffs = minhash_coefficients(num_perm, seed)
 
+    # reused by the signature pass and twice by verification, but NOT
+    # cached: per-use column pruning of the recomputed explode beats
+    # materializing the full set (see ngram_jaccard_pairs note)
     sh = shingle_set(df, id_col, text_col, k)
     hmod = (F.col("h") % MINHASH_PRIME).cast("long")
     mins = [

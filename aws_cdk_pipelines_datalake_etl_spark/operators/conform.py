@@ -49,6 +49,24 @@ def repair_null_columns(df: DataFrame) -> DataFrame:
     return df.withColumns({c: F.col(c).cast("string") for c in null_cols})
 
 
+def read_raw(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """Pick the raw reader by file extension (reference is CSV-only,
+    etl_raw_to_conformed.py:180-185; JSON/parquet are the §2.6 source
+    extensions)."""
+    lower = path.lower()
+    if lower.endswith(".json") or lower.endswith(".jsonl"):
+        from aws_cdk_pipelines_datalake_etl_spark.sources.json_source import (
+            read_raw_json,
+        )
+
+        return read_raw_json(spark, path, schema=schema)
+    if lower.endswith(".parquet"):
+        return spark.read.parquet(path)
+    return read_raw_csv(spark, path, schema=schema)
+
+
 def conform(
     spark: SparkSession,
     params: JobParams,
@@ -57,7 +75,7 @@ def conform(
 ) -> DataFrame:
     """Run the conformance job for one raw file; returns the conformed
     DataFrame (parity: etl_raw_to_conformed.py:176-221 ``main``)."""
-    df = read_raw_csv(spark, params.source_path, schema=schema)
+    df = read_raw(spark, params.source_path, schema=schema)
     df = stamp_partitions(df, *params.partition_values)
     df = repair_null_columns(df)
 

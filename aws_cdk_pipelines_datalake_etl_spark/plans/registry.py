@@ -567,6 +567,110 @@ GROUP BY 1
 """
 
 
+def q20_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: extract a JSON field from the events
+    ``props`` column, then aggregate by it."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k_val", F.get_json_object("props", "$.k").cast("int")
+        )
+        .groupBy("k_val")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+Q20_ORACLE = """
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+       count(*)             AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+def q21_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: customers spending more than 2x the average
+    total customer spend (executed through the engine's SQL entry
+    point, SURVEY §3.3)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.transform import run_sql
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import (
+        register_testdata_views,
+    )
+
+    register_testdata_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        portable_round_sql(
+            """
+            WITH spend AS (
+              SELECT o_custkey, sum(o_totalprice) AS s FROM orders GROUP BY o_custkey
+            )
+            SELECT o_custkey, round(s, 2) AS total_spend
+            FROM spend
+            WHERE s > (SELECT 2 * avg(s) FROM spend)
+            """
+        ),
+    )
+
+
+Q21_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, sum(o_totalprice) AS s FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, round(s, 2) AS total_spend
+FROM spend
+WHERE s > (SELECT 2 * avg(s) FROM spend)
+"""
+
+
+def q22_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, order-year)."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    return o.cube("o_orderstatus", "order_year").agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+Q22_ORACLE = """
+SELECT o_orderstatus, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, CAST(year(o_orderdate) AS INTEGER))
+"""
+
+# One SQL text executed by BOTH engines — the purest form of the
+# reference's design (job 2 executes an arbitrary SQL string,
+# etl_conformed_to_purposebuilt.py:199): written once in the portable
+# dialect subset, run via run_sql() on Spark and verbatim by the oracle.
+Q23_PORTABLE_SQL = """
+SELECT n_name,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       count(*)                           AS n_orders,
+       round(sum(o_totalprice), 2)        AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name, CAST(year(o_orderdate) AS INTEGER)
+"""
+
+
+def q23_sql_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_cdk_pipelines_datalake_etl_spark.operators.transform import run_sql
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import (
+        register_testdata_views,
+    )
+
+    register_testdata_views(spark, sf_dir)
+    return run_sql(spark, portable_round_sql(Q23_PORTABLE_SQL))
+
+
 # --------------------------------------------------------------------------
 # Tier E: dedup / text / similarity / as-of / streaming
 # --------------------------------------------------------------------------
@@ -870,6 +974,10 @@ def build_registry() -> dict[str, QuerySpec]:
         "q17_scalar_functions": QuerySpec(q17_scalar_functions, Q17_ORACLE),
         "q18_date_functions": QuerySpec(q18_date_functions, Q18_ORACLE),
         "q19_pivot": QuerySpec(q19_pivot, Q19_ORACLE),
+        "q20_json_extract": QuerySpec(q20_json_extract, Q20_ORACLE),
+        "q21_correlated_subquery": QuerySpec(q21_correlated_subquery, Q21_ORACLE),
+        "q22_cube": QuerySpec(q22_cube, Q22_ORACLE),
+        "q23_sql_transform": QuerySpec(q23_sql_transform, Q23_PORTABLE_SQL),
         "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
         "dedup_fingerprint": QuerySpec(dedup_fingerprint, DEDUP_FINGERPRINT_ORACLE),
         "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, _JACCARD_ORACLE),

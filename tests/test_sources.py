@@ -1,0 +1,48 @@
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from aws_cdk_pipelines_datalake_etl_spark.runner import LakeLayout, PipelineRunner
+
+
+def test_json_raw_file_through_pipeline(spark, lake_root):
+    key = "app_logs/requests/batch1.jsonl"
+    path = os.path.join(lake_root, "raw", key)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write('{"route": "/a", "ms": 12}\n')
+        f.write('{"route": "/b", "ms": 30}\n')
+    runner = PipelineRunner(
+        spark=spark,
+        layout=LakeLayout(lake_root),
+        clock=lambda: datetime(2024, 2, 1, tzinfo=timezone.utc),
+    )
+    res = runner.on_file(key)
+    assert res.status == "SUCCEEDED", res.error_message
+    t = spark.table("app_logs.requests")
+    assert t.count() == 2
+    assert {r.route for r in t.collect()} == {"/a", "/b"}
+    assert dict(t.dtypes)["year"] == "string"
+
+
+def test_parquet_raw_file_through_pipeline(spark, lake_root, tmp_path):
+    src = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
+    staging = str(tmp_path / "staging.parquet")
+    src.coalesce(1).write.parquet(staging)
+    part = next(
+        p for p in os.listdir(staging) if p.endswith(".parquet")
+    )
+    key = "warehouse/items/items.parquet"
+    dst = os.path.join(lake_root, "raw", key)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.rename(os.path.join(staging, part), dst)
+
+    runner = PipelineRunner(
+        spark=spark,
+        layout=LakeLayout(lake_root),
+        clock=lambda: datetime(2024, 2, 1, tzinfo=timezone.utc),
+    )
+    res = runner.on_file(key)
+    assert res.status == "SUCCEEDED", res.error_message
+    assert spark.table("warehouse.items").count() == 2

@@ -925,6 +925,136 @@ GROUP BY 1, 2
 """
 
 
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` gap sessions (30-min gap) driven as
+    a stream; window end is ``last event + gap`` by Spark's
+    definition."""
+    import os
+
+    from aws_cdk_pipelines_datalake_etl_spark.streaming.windowed import (
+        session_window_agg,
+    )
+
+    return session_window_agg(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# Spark merges an event into a session while event_time < session_end
+# (strict), so a gap of exactly 30 min starts a NEW session: >= in the
+# oracle's boundary test.
+STREAM_SESSION_WINDOW_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT min(ts)                          AS session_start,
+       max(ts) + INTERVAL 30 MINUTE    AS session_end,
+       user_id,
+       count(*)                         AS n_events,
+       round(sum(value), 2)             AS total_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: ``applyInPandasWithState``
+    gap-sessionization.  With a finite one-batch source the emitted
+    set is every CLOSED session — all but each user's last."""
+    import os
+
+    from aws_cdk_pipelines_datalake_etl_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    out = sessionize_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return out.withColumn("total_value", pround("total_value", 2))
+
+
+STREAM_SESSIONIZE_STATEFUL_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+aggd AS (
+  SELECT user_id, sid,
+         min(ts)              AS session_start,
+         max(ts)              AS session_end,
+         count(*)             AS n_events,
+         round(sum(value), 2) AS total_value
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events, total_value
+FROM aggd
+QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
+"""
+
+
+def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics end-to-end: 3-batch replay with late-row
+    drops + append-mode emission (streaming/late_data.py)."""
+    import os
+
+    from aws_cdk_pipelines_datalake_etl_spark.streaming.late_data import (
+        tumbling_window_late_drop,
+    )
+
+    return tumbling_window_late_drop(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# Replays the 3-batch watermark arithmetic: batch1 = on-time rows
+# before t1 (minus the delayed slice), watermark wm1 = max(batch1.ts)
+# - 2 days; delayed rows whose window end <= wm1 are dropped; append
+# emission stops at wm_final = max(ts) - 2 days.
+STREAM_LATE_DROP_ORACLE = """
+WITH b1 AS (
+  SELECT * FROM events
+  WHERE ts < TIMESTAMP '2024-01-15' AND event_id % 11 <> 0
+),
+b12 AS (
+  SELECT * FROM events
+  WHERE ts < TIMESTAMP '2024-01-25' AND event_id % 11 <> 0
+),
+b3 AS (
+  SELECT * FROM events
+  WHERE event_id % 11 = 0 OR ts >= TIMESTAMP '2024-01-25'
+),
+wm1 AS (SELECT max(ts) - INTERVAL 2 DAY AS w FROM b1),
+wmf AS (SELECT max(ts) - INTERVAL 2 DAY AS w FROM events),
+kept AS (
+  SELECT * FROM b12
+  UNION ALL
+  SELECT b3.* FROM b3
+  WHERE NOT (time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR
+             <= (SELECT w FROM wm1))
+)
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS total_value
+FROM kept
+GROUP BY 1, 2
+HAVING window_start + INTERVAL 1 HOUR <= (SELECT w FROM wmf)
+"""
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column convention: wrap document text bytes as a blob +
     typed metadata (media_type, byte_len, sha256)."""
@@ -991,6 +1121,13 @@ def build_registry() -> dict[str, QuerySpec]:
         "sim_ivf_topk": QuerySpec(sim_ivf_topk, None),
         "asof_view_to_purchase": QuerySpec(asof_view_to_purchase, ASOF_ORACLE),
         "stream_tumbling": QuerySpec(stream_tumbling, STREAM_TUMBLING_ORACLE),
+        "stream_session_window": QuerySpec(
+            stream_session_window, STREAM_SESSION_WINDOW_ORACLE
+        ),
+        "stream_sessionize_stateful": QuerySpec(
+            stream_sessionize_stateful, STREAM_SESSIONIZE_STATEFUL_ORACLE
+        ),
+        "stream_late_drop": QuerySpec(stream_late_drop, STREAM_LATE_DROP_ORACLE),
         "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_ORACLE),
     }
     return {

@@ -77,3 +77,62 @@ def tumbling_window_agg(
         "n_events",
         "total_value",
     )
+
+
+def session_window_agg(
+    spark: SparkSession,
+    path: str,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "90 days",
+) -> DataFrame:
+    """Spark's native gap-based session windows
+    (``F.session_window``), driven as a stream over a finite file
+    source.  A session spans events whose gaps are < ``gap``; the
+    window end is ``last event + gap`` (Spark's definition, which the
+    oracle replicates as ``max(ts) + gap``).  State is bounded by the
+    watermark in a live deployment; with a finite source the result
+    equals the batch session aggregation.
+    """
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import (
+        fix_nanos_timestamps,
+    )
+
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        stream_path = os.path.dirname(path)
+    else:
+        stream_path = path
+    stream = fix_nanos_timestamps(reader.parquet(stream_path), (ts_col,))
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum(value_col), 2).alias("total_value"),
+        )
+    )
+    name = f"sessionw_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        F.col(key_col),
+        "n_events",
+        "total_value",
+    )

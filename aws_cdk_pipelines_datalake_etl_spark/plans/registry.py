@@ -671,6 +671,180 @@ def q23_sql_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, portable_round_sql(Q23_PORTABLE_SQL))
 
 
+def q24_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (status), (year), () — executed through the SQL
+    entry point; A1's hash aggregate generalized to multi-grain."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.transform import run_sql
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import (
+        register_testdata_views,
+    )
+
+    register_testdata_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        portable_round_sql(
+            """
+            SELECT o_orderstatus,
+                   CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                   count(*)                    AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus),
+                                    (CAST(year(o_orderdate) AS INTEGER)),
+                                    ())
+            """
+        ),
+    )
+
+
+Q24_ORACLE = """
+SELECT o_orderstatus,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       count(*)                    AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus),
+                        (CAST(year(o_orderdate) AS INTEGER)),
+                        ())
+"""
+
+
+def q25_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries (planned by Catalyst
+    as semi/anti joins — the decorrelation is the point)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.transform import run_sql
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import (
+        register_testdata_views,
+    )
+
+    register_testdata_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F'
+                            AND o.o_totalprice < 50000)
+        """,
+    )
+
+
+Q25_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 300000)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F'
+                    AND o.o_totalprice < 50000)
+"""
+
+
+def q26_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral/UNNEST surface: explode document tokens, count by
+    token.  (The same Generate operator every shingle/dedup op builds
+    on, here as a declared query.)"""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+Q26_ORACLE = """
+SELECT t.token AS token, count(*) AS n
+FROM documents, unnest(string_split(lower(text), ' ')) AS t(token)
+GROUP BY 1
+"""
+
+
+def q27_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        pround(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        pround(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        pround(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q27_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q28_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-order sorted line-number list (emitted
+    as a joined string so the cross-engine value hash is stable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("l_linenumber").cast("string"))),
+                ",",
+            ).alias("linenumbers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q28_ORACLE = """
+SELECT l_orderkey,
+       array_to_string(list_sort(list(CAST(l_linenumber AS VARCHAR))), ',')
+         AS linenumbers,
+       count(*) AS n_lines
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+
+def q29_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDF surface done the fast way: an Arrow-batched
+    ``@pandas_udf`` (vectorized numpy, no per-row Python) computing a
+    sigmoid order score.  Semantics stay SQL-expressible so the
+    oracle can replay it; rounding absorbs libm last-ulp skew."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf cannot resolve — series-to-series is
+    # inferred from the single argument
+    @pandas_udf("double")
+    def sigmoid_score(x):
+        import numpy as np
+
+        return 1.0 / (1.0 + np.exp(-x / 100000.0))
+
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        pround(sigmoid_score(F.col("o_totalprice")), 4).alias("score"),
+    )
+
+
+Q29_ORACLE = """
+SELECT o_orderkey,
+       round(1.0 / (1.0 + exp(-o_totalprice / 100000.0)), 4) AS score
+FROM orders
+"""
+
+
 # --------------------------------------------------------------------------
 # Tier E: dedup / text / similarity / as-of / streaming
 # --------------------------------------------------------------------------
@@ -1108,6 +1282,12 @@ def build_registry() -> dict[str, QuerySpec]:
         "q21_correlated_subquery": QuerySpec(q21_correlated_subquery, Q21_ORACLE),
         "q22_cube": QuerySpec(q22_cube, Q22_ORACLE),
         "q23_sql_transform": QuerySpec(q23_sql_transform, Q23_PORTABLE_SQL),
+        "q24_grouping_sets": QuerySpec(q24_grouping_sets, Q24_ORACLE),
+        "q25_exists_correlated": QuerySpec(q25_exists_correlated, Q25_ORACLE),
+        "q26_lateral_explode": QuerySpec(q26_lateral_explode, Q26_ORACLE),
+        "q27_percentiles": QuerySpec(q27_percentiles, Q27_ORACLE),
+        "q28_array_agg": QuerySpec(q28_array_agg, Q28_ORACLE),
+        "q29_pandas_udf_score": QuerySpec(q29_pandas_udf_score, Q29_ORACLE),
         "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
         "dedup_fingerprint": QuerySpec(dedup_fingerprint, DEDUP_FINGERPRINT_ORACLE),
         "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, _JACCARD_ORACLE),

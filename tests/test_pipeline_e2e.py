@@ -82,6 +82,41 @@ def test_failure_edge_audits_and_notifies(spark, runner, lake_root):
     assert runner.notifications[-1][0] == "Job Failed"
 
 
+def test_schema_drift_last_writer_wins(spark, lake_root):
+    """Two files of one table inferring different schemas: the catalog
+    entry is overwritten per run (reference TableVersion '0' upsert,
+    etl_raw_to_conformed.py:147-154) — last writer wins, no merge; the
+    earlier partition stays on disk and reads through the new schema."""
+    def write_raw(key: str, header: str, rows: list[str]) -> None:
+        path = os.path.join(lake_root, "raw", key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(header + "\n" + "\n".join(rows) + "\n")
+
+    now = {"t": datetime(2020, 8, 1, tzinfo=timezone.utc)}
+    r = PipelineRunner(
+        spark=spark,
+        layout=LakeLayout(lake_root),
+        transforms_dir=os.path.join(os.path.dirname(__file__), "..", "transforms"),
+        notifier=lambda s, m: None,
+        clock=lambda: now["t"],
+    )
+    write_raw("shop/items/day1.csv", "id,qty", ["1,10", "2,20"])
+    assert r.on_file("shop/items/day1.csv").status == "SUCCEEDED"
+    assert dict(spark.table("shop.items").dtypes)["qty"] in ("int", "bigint")
+
+    # day 2: qty now carries units -> inferred string; a new column appears
+    now["t"] = datetime(2020, 8, 2, tzinfo=timezone.utc)
+    write_raw("shop/items/day2.csv", "id,qty,color", ['3,"7 kg",red'])
+    assert r.on_file("shop/items/day2.csv").status == "SUCCEEDED"
+    t = spark.table("shop.items")
+    dt = dict(t.dtypes)
+    assert dt["qty"] == "string" and "color" in dt  # last writer won
+    # both ingest-date partitions remain readable through the new schema
+    assert t.count() == 3
+    assert {row.day for row in t.select("day").distinct().collect()} == {"01", "02"}
+
+
 def test_nulltype_column_repaired_to_string(spark, runner, yellow_csv):
     runner.on_file(yellow_csv)
     conformed = spark.table("tlc_taxi_data.yellow_taxi_trip_record")

@@ -1053,6 +1053,21 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+def sim_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF plumbing made SQL-checkable: probing EVERY bucket makes
+    the candidate set the whole corpus, so the result must equal the
+    exact brute-force top-k — same oracle.  (Correctness gate for the
+    bucketing/probe machinery; ``sim_ivf_topk`` is the nprobe<C
+    approximate path.)"""
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return sim.ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), centroids, k=5, nprobe=8
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 def asof_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for every purchase event, the latest prior (or
     simultaneous) view event of the same user."""
@@ -1299,6 +1314,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "sim_brute_topk": QuerySpec(sim_brute_topk, SIM_BRUTE_TOPK_ORACLE),
         "sim_near_dup_pairs": QuerySpec(sim_near_dup_pairs, SIM_NEAR_DUP_ORACLE),
         "sim_ivf_topk": QuerySpec(sim_ivf_topk, None),
+        "sim_ivf_full_probe": QuerySpec(sim_ivf_full_probe, SIM_BRUTE_TOPK_ORACLE),
         "asof_view_to_purchase": QuerySpec(asof_view_to_purchase, ASOF_ORACLE),
         "stream_tumbling": QuerySpec(stream_tumbling, STREAM_TUMBLING_ORACLE),
         "stream_session_window": QuerySpec(

@@ -70,6 +70,56 @@ def test_flagship_has_partial_agg_before_exchange(spark):
     assert "Exchange" in plan
 
 
+def test_exists_decorrelates_to_hash_joins(spark):
+    """Correlated EXISTS/NOT EXISTS must plan as (broadcast) hash
+    semi/anti joins — per-row subquery re-execution would be O(n*m)."""
+    plan = formatted_plan(R.q25_exists_correlated(spark, SF_DIR_SMOKE))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_percentile_aggregates_partially(spark):
+    """Exact percentiles still do a partial (map-side) pass before the
+    exchange — ObjectHashAggregate with partial buffers."""
+    plan = formatted_plan(R.q27_percentiles(spark, SF_DIR_SMOKE))
+    assert plan.count("ObjectHashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_pandas_udf_runs_via_arrow(spark):
+    """The UDF surface must be the Arrow-vectorized path, not
+    row-at-a-time BatchEvalPython."""
+    plan = formatted_plan(R.q29_pandas_udf_score(spark, SF_DIR_SMOKE))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_grouping_sets_uses_expand_single_shuffle(spark):
+    """GROUPING SETS should plan as Expand + one hash-agg pair — one
+    shuffle for all grains, not one scan per grain."""
+    import re
+
+    plan = formatted_plan(R.q24_grouping_sets(spark, SF_DIR_SMOKE))
+    assert "Expand" in plan
+    # formatted plans list each node in the tree AND a detail header
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_minhash_signature_partial_aggregates(spark):
+    """The 128-permutation signature pass must partial-aggregate
+    map-side: the shuffle carries 128 mins per doc, not the shingle
+    set."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    plan = formatted_plan(minhash_lsh_pairs(docs))
+    assert "partial_min" in plan
+
+
 def test_brute_topk_has_no_cartesian_shuffle(spark):
     """The query side must be broadcast — a cartesian/shuffle product
     over the vector table would not survive scale."""

@@ -111,3 +111,108 @@ def decode_image_batch(
             yield out
 
     return df.select(id_col, blob_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("blob", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def resize_image_batch(
+    df: DataFrame,
+    width: int,
+    height: int,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+    batch_size: int = 64,
+) -> DataFrame:
+    """Resize image blobs via ``mapInPandas`` — binary in, binary out
+    through Arrow.  ``resizer(payload, w, h) -> bytes``; the default
+    raises (codec libs absent), tests inject a deterministic fake.
+    The output schema carries the new dimensions so downstream ops
+    never re-decode just to learn them."""
+
+    def _stub(payload: bytes, w: int, h: int) -> bytes:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; pass a "
+            "resizer or run where pillow is installed"
+        )
+
+    rs = resizer or _stub
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "blob": [rs(p, width, height) for p in pdf[blob_col]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_nth: int = 10,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    sampler: Callable[[bytes, int], list[bytes]] | None = None,
+    batch_size: int = 16,
+) -> DataFrame:
+    """Frame-sample video blobs via ``mapInPandas`` — the 1→N fan-out
+    batch shape (one input row yields a row per sampled frame).
+    ``sampler(payload, every_nth) -> [frame_bytes, ...]``; default
+    raises (no ffmpeg here).  At scale the fan-out happens inside each
+    Arrow batch, so executor memory is bounded by
+    ``batch_size * frames_per_video``, and the output inherits the
+    input partitioning (no shuffle)."""
+
+    def _stub(payload: bytes, n: int) -> list[bytes]:
+        raise NotImplementedError(
+            "video codecs are not available in this environment; pass a "
+            "sampler or run where ffmpeg is installed"
+        )
+
+    sp = sampler or _stub
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[blob_col]):
+                for i, fr in enumerate(sp(payload, every_nth)):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, FRAME_SCHEMA)

@@ -671,6 +671,52 @@ def q23_sql_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, portable_round_sql(Q23_PORTABLE_SQL))
 
 
+def q30_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: events x 3-day maintenance windows
+    derived from the orders table.  The window side is tiny and
+    explicitly broadcast, so the non-equi condition runs as a
+    broadcast nested-loop — the only shape that doesn't degenerate at
+    scale (a shuffle range join would need interval bucketing; that
+    variant is the as-of operator, operators/asof.py)."""
+    ev = _t(spark, sf_dir, "events")
+    windows = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 1000 == 0)
+        .select(
+            F.col("o_orderkey").alias("window_id"),
+            F.to_timestamp(
+                F.date_add(F.lit("2024-01-01").cast("date"),
+                           (F.col("o_orderkey") % 28).cast("int"))
+            ).alias("w_start"),
+        )
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 3 DAYS"))
+    )
+    joined = ev.join(
+        F.broadcast(windows),
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")),
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        pround(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+Q30_ORACLE = """
+WITH windows AS (
+  SELECT o_orderkey AS window_id,
+         CAST(DATE '2024-01-01' + INTERVAL (o_orderkey % 28) DAY AS TIMESTAMP)
+           AS w_start
+  FROM orders WHERE o_orderkey % 1000 = 0
+)
+SELECT window_id,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events JOIN windows
+  ON ts >= w_start AND ts < w_start + INTERVAL 3 DAY
+GROUP BY window_id
+"""
+
+
 def q24_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS (status), (year), () — executed through the SQL
     entry point; A1's hash aggregate generalized to multi-grain."""
@@ -1303,6 +1349,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "q27_percentiles": QuerySpec(q27_percentiles, Q27_ORACLE),
         "q28_array_agg": QuerySpec(q28_array_agg, Q28_ORACLE),
         "q29_pandas_udf_score": QuerySpec(q29_pandas_udf_score, Q29_ORACLE),
+        "q30_range_join": QuerySpec(q30_range_join, Q30_ORACLE),
         "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
         "dedup_fingerprint": QuerySpec(dedup_fingerprint, DEDUP_FINGERPRINT_ORACLE),
         "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, _JACCARD_ORACLE),

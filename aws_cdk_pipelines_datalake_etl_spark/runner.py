@@ -168,3 +168,38 @@ class PipelineRunner:
             if p.is_file():
                 results.append(self.on_file(str(p.relative_to(root))))
         return results
+
+    def watch(
+        self,
+        polls: int,
+        poll_seconds: float = 1.0,
+        sleep: Callable[[float], None] | None = None,
+    ) -> list[RunResult]:
+        """Continuous O1 trigger: poll the raw zone ``polls`` times,
+        firing the 2-job DAG once per NEWLY seen file (arrival order).
+
+        The long-running sibling of :meth:`scan_raw_zone` — what the
+        reference's S3-event → Lambda wiring does, minus AWS.  Files
+        are keyed by relative path; re-delivering the same key is safe
+        anyway (dynamic-partition-overwrite idempotency, K1), so a
+        restart that loses the seen-set only rewrites partitions.
+        ``sleep`` is injectable so tests drive arrivals
+        deterministically.
+        """
+        import time as _time
+
+        do_sleep = sleep or _time.sleep
+        seen: set[str] = set()
+        results: list[RunResult] = []
+        for i in range(polls):
+            root = Path(self.layout.raw)
+            if root.is_dir():
+                for p in sorted(root.rglob("*")):
+                    if p.is_file():
+                        key = str(p.relative_to(root))
+                        if key not in seen:
+                            seen.add(key)
+                            results.append(self.on_file(key))
+            if i < polls - 1:
+                do_sleep(poll_seconds)
+        return results

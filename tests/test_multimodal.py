@@ -43,6 +43,63 @@ def test_decode_with_fake_decoder(spark, docs):
     assert feats[1].n_channels == 3
 
 
+def test_resize_binary_roundtrip(spark, docs):
+    """Binary in → binary out through Arrow, with the target dims
+    stamped alongside."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        resize_image_batch,
+    )
+
+    def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+        return payload[: w * h]  # deterministic truncation stand-in
+
+    wrapped = attach_binary_column(docs, "payload", "image/png")
+    out = {
+        r.doc_id: r
+        for r in resize_image_batch(wrapped, 2, 2, resizer=fake_resize).collect()
+    }
+    assert bytes(out[1].blob) == b"abc"[:4]
+    assert bytes(out[2].blob) == b"defgh"[:4]
+    assert out[1].width == 2 and out[1].height == 2
+
+
+def test_frame_sample_fans_out(spark, docs):
+    """One input row yields a row per sampled frame (1→N inside the
+    Arrow batch, no shuffle)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    def fake_sampler(payload: bytes, every_nth: int) -> list[bytes]:
+        return [payload[i : i + 1] for i in range(0, len(payload), every_nth)]
+
+    wrapped = attach_binary_column(docs, "payload", "video/mp4")
+    rows = sample_video_frames(wrapped, every_nth=2, sampler=fake_sampler).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.frame_idx, bytes(r.frame)))
+    assert sorted(by_doc[1]) == [(0, b"a"), (1, b"c")]
+    assert sorted(by_doc[2]) == [(0, b"d"), (1, b"f"), (2, b"h")]
+
+
+def test_resize_and_sampler_stubs_raise(spark, docs):
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        resize_image_batch,
+        sample_video_frames,
+    )
+
+    wrapped = attach_binary_column(docs, "payload", "image/png")
+    for op in (
+        lambda: resize_image_batch(wrapped, 2, 2).collect(),
+        lambda: sample_video_frames(wrapped).collect(),
+    ):
+        with pytest.raises(Exception) as ei:
+            op()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError
+        )
+
+
 def test_default_decoder_is_stubbed(spark, docs):
     wrapped = attach_binary_column(docs, "payload", "image/png")
     with pytest.raises(Exception) as ei:

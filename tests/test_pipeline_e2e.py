@@ -82,6 +82,34 @@ def test_failure_edge_audits_and_notifies(spark, runner, lake_root):
     assert runner.notifications[-1][0] == "Job Failed"
 
 
+def test_watch_processes_files_as_they_arrive(spark, lake_root):
+    """The continuous O1 trigger: each poll picks up only newly
+    arrived files, each processed exactly once."""
+    def write_raw(key: str, header: str, rows: list[str]) -> None:
+        path = os.path.join(lake_root, "raw", key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(header + "\n" + "\n".join(rows) + "\n")
+
+    r = PipelineRunner(
+        spark=spark,
+        layout=LakeLayout(lake_root),
+        transforms_dir=os.path.join(os.path.dirname(__file__), "..", "transforms"),
+        notifier=lambda s, m: None,
+        clock=lambda: FIXED_NOW,
+    )
+    write_raw("shop/first/a.csv", "id,v", ["1,10"])
+
+    def arrive_second(_seconds: float) -> None:
+        write_raw("shop/second/b.csv", "id,v", ["2,20", "3,30"])
+
+    results = r.watch(polls=2, sleep=arrive_second)
+    assert [res.params.table_name for res in results] == ["first", "second"]
+    assert all(res.status == "SUCCEEDED" for res in results)
+    assert spark.table("shop.first").count() == 1
+    assert spark.table("shop.second").count() == 2
+
+
 def test_schema_drift_last_writer_wins(spark, lake_root):
     """Two files of one table inferring different schemas: the catalog
     entry is overwritten per run (reference TableVersion '0' upsert,

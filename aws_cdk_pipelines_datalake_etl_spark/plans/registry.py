@@ -1314,6 +1314,302 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# Deep multi-join analytics (TPC-H Q3/Q5/Q8 shapes) — the join-order /
+# broadcast / shuffle-minimization surface the 100 TB posture lives on
+# --------------------------------------------------------------------------
+
+
+def q31_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (full shape): 3-way fact join with per-table filters
+    pushed to each scan, agg on (orderkey, orderdate, priority),
+    top-20.  No manual broadcast: the segment-filtered customer side
+    scales with SF, so join strategy is left to Catalyst/AQE (which
+    broadcasts it while it fits and sort-merges beyond)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(20)
+    )
+
+
+Q31_ORACLE = """
+SELECT l_orderkey,
+       o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 20
+"""
+
+
+def q32_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join (lineitem-orders-customer-
+    supplier-nation-region) with the customer-and-supplier-same-nation
+    constraint.  nation/region are fixed-cardinality (25/5 rows at ANY
+    scale factor) so they are explicitly broadcast; the SF-scaled
+    sides go through Catalyst's reordering + AQE."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "AMERICA"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+Q32_ORACLE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'AMERICA')
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q33_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: per-order-year market share of one supplier
+    nation within one customer region — conditional aggregation (the
+    sum(CASE)/sum ratio) over a 6-table join with two roles for
+    nation (customer side filters region, supplier side labels)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n_cust = _t(spark, sf_dir, "nation").alias("n1")
+    n_supp = _t(spark, sf_dir, "nation").alias("n2")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_supp), s.s_nationkey == F.col("n2.n_nationkey"))
+    )
+    return (
+        joined.select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            pround(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q33_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA'
+GROUP BY 1
+"""
+
+
+def q34_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-navigation surface: lag / lead / ntile / first_value
+    over each customer's order history (one shuffle by o_custkey
+    shared by all four functions — single Window exchange in the
+    plan)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        pround("o_totalprice", 2).alias("total"),
+        pround(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias(
+            "delta_prev"
+        ),
+        pround(F.lead("o_totalprice").over(w), 2).alias("next_total"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        pround(F.first("o_totalprice").over(w), 2).alias("first_total"),
+    )
+
+
+Q34_ORACLE = """
+SELECT o_custkey,
+       o_orderkey,
+       round(o_totalprice, 2) AS total,
+       round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_prev,
+       round(lead(o_totalprice) OVER w, 2) AS next_total,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       round(first_value(o_totalprice) OVER w, 2) AS first_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# Scale-posture operators: deterministic sampling, skew-safe agg,
+# approximate aggregates (Tier E)
+# --------------------------------------------------------------------------
+
+
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 4/16 corpus sample by md5-bucket of doc_id
+    (operators/sampling.py) — row-local, shuffle-free, identical row
+    set on any partitioning/engine — then per-language stats."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import hash_sample
+
+    d = hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 4)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+def _sample_hash_oracle() -> str:
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        hash_sample_predicate_sql,
+    )
+
+    return f"""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE {hash_sample_predicate_sql("doc_id", 4)}
+GROUP BY lang
+"""
+
+
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation on a low-cardinality (hot) key
+    (operators/skew.py): bit-identical result to the plain GROUP BY —
+    the oracle IS the plain GROUP BY — with the hot key's rows spread
+    over 16 reducers in stage 1."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.skew import salted_sum_count
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_sum_count(ev, ["event_type"], "value", "event_id", n_salts=16)
+
+
+AGG_SALTED_SKEW_ORACLE = """
+SELECT event_type,
+       round(sum(value), 2) AS total,
+       count(*) AS n_rows,
+       round(sum(value) / count(*), 6) AS avg_value
+FROM events
+GROUP BY event_type
+"""
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count (``approx_count_distinct``,
+    rsd=1%) next to the exact count.  At 100 TB the exact
+    count-distinct shuffles every (key, user) pair; the HLL sketch is
+    fixed-size per key and merges map-side.  No oracle: sketch
+    estimates are implementation-specific (DuckDB's differs); the
+    unit test bounds relative error against the exact column."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles
+    (``percentile_approx``, accuracy 10000) next to the exact
+    percentile.  The sketch is mergeable (map-side partials; no full
+    sort / no per-key value shuffle like the exact path).  No oracle
+    (sketch-specific); unit test bounds the error."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        pround(
+            F.percentile_approx("o_totalprice", 0.5, 10000), 2
+        ).alias("approx_median"),
+        pround(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("exact_median"),
+    )
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (streaming/joins.py):
+    purchases attributed to a view by the same user within 1 hour.
+    Finite source -> equals the batch interval join (the oracle)."""
+    import os
+
+    from aws_cdk_pipelines_datalake_etl_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    out = stream_interval_join(spark, os.path.join(sf_dir, "events.parquet"))
+    return out.withColumn("right_value", pround("right_value", 2))
+
+
+STREAM_STREAM_JOIN_ORACLE = """
+SELECT v.user_id        AS user_id,
+       v.event_id       AS left_id,
+       p.event_id       AS right_id,
+       v.ts             AS left_ts,
+       p.ts             AS right_ts,
+       round(p.value, 2) AS right_value
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1350,6 +1646,19 @@ def build_registry() -> dict[str, QuerySpec]:
         "q28_array_agg": QuerySpec(q28_array_agg, Q28_ORACLE),
         "q29_pandas_udf_score": QuerySpec(q29_pandas_udf_score, Q29_ORACLE),
         "q30_range_join": QuerySpec(q30_range_join, Q30_ORACLE),
+        "q31_shipping_priority": QuerySpec(q31_shipping_priority, Q31_ORACLE),
+        "q32_regional_supplier_volume": QuerySpec(
+            q32_regional_supplier_volume, Q32_ORACLE
+        ),
+        "q33_market_share": QuerySpec(q33_market_share, Q33_ORACLE),
+        "q34_window_navigation": QuerySpec(q34_window_navigation, Q34_ORACLE),
+        "sample_hash_deterministic": QuerySpec(
+            sample_hash_deterministic, _sample_hash_oracle()
+        ),
+        "agg_salted_skew": QuerySpec(agg_salted_skew, AGG_SALTED_SKEW_ORACLE),
+        "approx_distinct_users": QuerySpec(approx_distinct_users, None),
+        "approx_quantiles": QuerySpec(approx_quantiles, None),
+        "stream_stream_join": QuerySpec(stream_stream_join, STREAM_STREAM_JOIN_ORACLE),
         "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
         "dedup_fingerprint": QuerySpec(dedup_fingerprint, DEDUP_FINGERPRINT_ORACLE),
         "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, _JACCARD_ORACLE),

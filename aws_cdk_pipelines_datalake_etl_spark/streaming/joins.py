@@ -1,0 +1,96 @@
+"""Stream-stream interval join (Tier E streaming surface).
+
+Two watermarked streams joined on an equality key plus an event-time
+interval — the attribution shape ("purchase within an hour of a
+view").  Both sides carry watermarks and the join condition bounds
+how long either side's rows stay in state, so state is finite on an
+unbounded stream; with a finite file source nothing is evicted and
+the result equals the batch interval join, which the DuckDB oracle
+asserts exactly.
+
+Generalizes the reference's event-triggered batch correlation model
+(SURVEY §2.5 O1) the same way ``windowed.py`` generalizes its
+aggregation job.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _read_stream(spark: SparkSession, path: str, ts_col: str) -> DataFrame:
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import (
+        fix_nanos_timestamps,
+    )
+
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return fix_nanos_timestamps(reader.parquet(path), (ts_col,))
+
+
+def stream_interval_join(
+    spark: SparkSession,
+    path: str,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Join ``left_type`` events to ``right_type`` events of the same
+    user occurring within ``[left.ts, left.ts + horizon]``, as a
+    stream-stream join, returning the drained result as a batch
+    DataFrame of attribution pairs."""
+    src = _read_stream(spark, path, ts_col)
+    left = (
+        src.filter(F.col("event_type") == left_type)
+        .select(
+            F.col(key_col).alias("l_user"),
+            F.col("event_id").alias("left_id"),
+            F.col(ts_col).alias("left_ts"),
+        )
+        .withWatermark("left_ts", watermark)
+    )
+    right = (
+        src.filter(F.col("event_type") == right_type)
+        .select(
+            F.col(key_col).alias("r_user"),
+            F.col("event_id").alias("right_id"),
+            F.col(ts_col).alias("right_ts"),
+            F.col("value").alias("right_value"),
+        )
+        .withWatermark("right_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {horizon}")),
+    )
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("l_user").alias("user_id"),
+        "left_id",
+        "right_id",
+        "left_ts",
+        "right_ts",
+        "right_value",
+    )

@@ -135,3 +135,40 @@ def test_brute_topk_has_no_cartesian_shuffle(spark):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q31_filters_push_to_all_three_scans(spark):
+    df = R.q31_shipping_priority(spark, SF_DIR_SMOKE)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_pushed_filter(df, "o_orderdate")
+    assert_pushed_filter(df, "c_mktsegment")
+    plan = formatted_plan(df)
+    assert "partial_sum" in plan  # map-side agg before the key shuffle
+
+
+def test_q32_fixed_dims_broadcast(spark):
+    """nation/region are constant-cardinality at any SF — they must
+    ride in as broadcasts, never a shuffled join side."""
+    plan = formatted_plan(R.q32_regional_supplier_volume(spark, SF_DIR_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "r_name" in plan and "IN (ASIA,AMERICA)" in plan
+
+
+def test_q34_one_shared_window_exchange(spark):
+    """lag/lead/ntile/first over the same window spec must share ONE
+    hash exchange on o_custkey — four separate shuffles would
+    quadruple the dominant cost."""
+    plan = formatted_plan(R.q34_window_navigation(spark, SF_DIR_SMOKE))
+    # formatted mode: each physical node appears once as "(N) Exchange"
+    assert plan.count(") Exchange") == 1
+    assert "hashpartitioning(o_custkey" in plan
+
+
+def test_salted_agg_two_stage_partials(spark):
+    """The salted plan must partial-aggregate map-side at BOTH stages
+    (salted shuffle, then key shuffle) — the whole point is never
+    moving raw rows of the hot key to one reducer."""
+    plan = formatted_plan(R.agg_salted_skew(spark, SF_DIR_SMOKE))
+    assert plan.count(") Exchange") == 2
+    assert "_salt" in plan
+    assert "partial_sum" in plan

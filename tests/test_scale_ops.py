@@ -1,0 +1,130 @@
+"""Scale-posture operators: salted aggregation, deterministic hash
+sampling, approximate aggregates, stream-stream join.
+
+Correctness here means "identical to the naive/exact formulation" —
+the whole point of each operator is that it changes the *physical*
+strategy (spread the hot key, skip the shuffle, bound the state)
+without changing the answer.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_cdk_pipelines_datalake_etl_spark.functions.rounding import pround
+from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import hash_sample
+from aws_cdk_pipelines_datalake_etl_spark.operators.skew import salted_sum_count
+from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import load_table
+
+from .conftest import SF_DIR_SMOKE
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    ev = load_table(spark, SF_DIR_SMOKE, "events")
+    salted = salted_sum_count(ev, ["event_type"], "value", "event_id", n_salts=16)
+    plain = ev.groupBy("event_type").agg(
+        pround(F.sum("value"), 2).alias("total"),
+        F.count(F.lit(1)).alias("n_rows"),
+        pround(F.sum("value") / F.count(F.lit(1)), 6).alias("avg_value"),
+    )
+    assert sorted(salted.collect()) == sorted(plain.collect())
+
+
+def test_salted_agg_spreads_hot_key(spark):
+    """Stage-1 output must hold >1 partial row per key — i.e. the hot
+    key's rows really were split across salts."""
+    ev = load_table(spark, SF_DIR_SMOKE, "events")
+    salt = (F.crc32(F.col("event_id").cast("string")) % 16).alias("_salt")
+    partials = (
+        ev.select("event_type", salt)
+        .groupBy("event_type", "_salt")
+        .count()
+        .groupBy("event_type")
+        .count()
+    )
+    assert all(r["count"] > 1 for r in partials.collect())
+
+
+def test_hash_sample_stable_across_partitioning(spark):
+    d = load_table(spark, SF_DIR_SMOKE, "documents")
+    ids_1 = {r.doc_id for r in hash_sample(d, "doc_id", 4).select("doc_id").collect()}
+    ids_2 = {
+        r.doc_id
+        for r in hash_sample(d.repartition(17), "doc_id", 4).select("doc_id").collect()
+    }
+    assert ids_1 == ids_2
+    n = d.count()
+    # md5 is uniform: 4/16 sample within generous tolerance
+    assert 0.15 * n <= len(ids_1) <= 0.35 * n
+
+
+def test_hash_sample_composes(spark):
+    """An 8/16 sample restricted to 4/16 is exactly the 4/16 sample
+    (nested prefix ranges) — the property that makes staged
+    downsampling reproducible."""
+    d = load_table(spark, SF_DIR_SMOKE, "documents")
+    nested = hash_sample(hash_sample(d, "doc_id", 8), "doc_id", 4)
+    direct = hash_sample(d, "doc_id", 4)
+    assert sorted(r.doc_id for r in nested.select("doc_id").collect()) == sorted(
+        r.doc_id for r in direct.select("doc_id").collect()
+    )
+
+
+def test_approx_distinct_within_rsd(spark):
+    ev = load_table(spark, SF_DIR_SMOKE, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(1, 0.05 * r["exact"])
+
+
+def test_approx_quantile_within_accuracy(spark):
+    o = load_table(spark, SF_DIR_SMOKE, "orders")
+    rows = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r["approx"] == pytest.approx(r["exact"], rel=0.02)
+
+
+def test_stream_stream_join_equals_batch(spark):
+    import os
+
+    from aws_cdk_pipelines_datalake_etl_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    path = os.path.join(SF_DIR_SMOKE, "events.parquet")
+    streamed = stream_interval_join(spark, path)
+    ev = load_table(spark, SF_DIR_SMOKE, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("left_id"),
+        F.col("ts").alias("left_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("right_id"),
+        F.col("ts").alias("right_ts"),
+        F.col("value").alias("right_value"),
+    )
+    batch = v.join(
+        p,
+        (v.user_id == p.p_user)
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "left_id", "right_id", "left_ts", "right_ts", "right_value")
+    key = lambda r: (r.user_id, r.left_id, r.right_id)  # noqa: E731
+    assert sorted(streamed.collect(), key=key) == sorted(batch.collect(), key=key)

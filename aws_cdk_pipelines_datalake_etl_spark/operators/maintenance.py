@@ -1,0 +1,54 @@
+"""Table maintenance: small-file compaction.
+
+The reference's trigger model writes one job output per arriving file
+(``state_machine_trigger/lambda_handler.py:64-92``), so a busy raw
+prefix accretes thousands of small parquet files per partition — at
+100 TB the scan's task-scheduling and footer-read overhead comes to
+dominate.  Compaction rewrites a directory to ~target-sized files.
+
+Rewrite goes to a sibling temp dir first and swaps in atomically-ish
+(rename) so a failed compaction never corrupts the live directory.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> int:
+    """Rewrite a parquet directory into ``ceil(bytes/target)`` files.
+    Returns the new file count.  Row content is unchanged (asserted
+    by tests); only layout changes."""
+    n_files = max(1, math.ceil(_dir_bytes(path) / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    # coalesce, not repartition: narrowing file count needs no shuffle
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    bak = path.rstrip("/") + "__precompact"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return sum(
+        1
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )

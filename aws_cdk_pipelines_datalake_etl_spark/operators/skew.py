@@ -61,3 +61,32 @@ def salted_sum_count(
         "n_rows",
         pround(F.col("_total_raw") / F.col("n_rows"), 6).alias("avg_value"),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    id_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side deterministically and
+    replicate the small side ``n_salts``× so a hot join key spreads
+    over ``n_salts`` reducers instead of one straggler.
+
+    The join key stays an equality on ``(key, _salt)`` — still a
+    hash-partitionable join, just with the hot key's hash space
+    widened.  Row multiset is identical to the plain join (each big
+    row matches exactly one replica).  AQE's skew-join split handles
+    the same problem reactively at runtime; this operator is the
+    deterministic, planner-independent form for keys KNOWN to be hot
+    (the "one customer is half the table" case), and the pattern
+    composes with joins AQE can't split (e.g. bucketed SMJ).
+    """
+    salted_big = big.withColumn(
+        "_salt", F.crc32(F.col(id_col).cast("string")) % n_salts
+    )
+    replicated_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salts)]))
+    )
+    return salted_big.join(replicated_small, on=[key, "_salt"]).drop("_salt")

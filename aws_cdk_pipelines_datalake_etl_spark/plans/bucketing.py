@@ -1,0 +1,53 @@
+"""Bucketed (pre-shuffled) tables for co-located joins.
+
+The reference's conformed zone is plain partitioned parquet
+(``etl_raw_to_conformed.py:216``) — every join over it pays a shuffle
+of both sides.  At 100 TB the standing fix for a join that runs every
+day on the same key is bucketing: write both tables hash-clustered
+(and sorted) by the join key into the same number of buckets, and
+Spark's scan planner lines buckets up one-to-one — a sort-merge join
+with ZERO exchange on either side, and a following aggregation on the
+same key needs no exchange either.
+
+This is the storage-layout half of shuffle elimination; the query
+half (broadcast, AQE) is in the registry queries.  Bucketing is a
+metastore feature, so these helpers go through ``saveAsTable`` /
+``spark.table`` rather than path reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (+ optionally per-bucket sorted)
+    managed parquet table.  Sorting by the join key lets the
+    sort-merge join skip its sort as well."""
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def colocated_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key.  With equal
+    bucket counts Spark plans a shuffle-free sort-merge join; the
+    plan-quality test asserts the absence of Exchange nodes."""
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)

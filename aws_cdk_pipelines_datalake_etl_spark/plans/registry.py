@@ -1609,6 +1609,101 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact-to-dim join (operators/skew.py salted_join):
+    lineitem salted 16 ways, supplier replicated 16x — identical row
+    multiset to the plain join (the oracle), hot supplier keys spread
+    across reducers."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+    joined = salted_join(li, s, key="l_suppkey", id_col="l_orderkey", n_salts=16)
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+JOIN_SALTED_SKEW_ORACLE = """
+SELECT s_name,
+       count(*) AS n_lines,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level last-writer-wins (operators/cdc.py): each user's
+    latest event = their current state — the MERGE/upsert collapse,
+    one shuffle."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.cdc import latest_snapshot
+
+    ev = _t(spark, sf_dir, "events")
+    return latest_snapshot(
+        ev, ["user_id"], version_col="ts", tiebreak_col="event_id"
+    ).select("user_id", "ts", "event_type", "value")
+
+
+CDC_LATEST_STATE_ORACLE = """
+SELECT user_id, ts, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over bucketed tables (plans/bucketing.py):
+    customer and orders both hash-clustered into 8 buckets on custkey
+    -> the join and the following per-custkey aggregation run with no
+    exchange on either side.  Result equals the plain join (the
+    oracle); the layout only changes the physical plan."""
+    import re
+
+    from aws_cdk_pipelines_datalake_etl_spark.plans.bucketing import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    tag = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    c_tbl, o_tbl = f"bkt_customer_{tag}", f"bkt_orders_{tag}"
+    write_bucketed(
+        _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey"),
+        c_tbl,
+        ["custkey"],
+        8,
+        sort_cols=["custkey"],
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey"),
+        o_tbl,
+        ["custkey"],
+        8,
+        sort_cols=["custkey"],
+    )
+    return (
+        colocated_join(spark, c_tbl, o_tbl, on=["custkey"])
+        .groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            pround(F.sum("o_totalprice"), 2).alias("sum_spend"),
+        )
+    )
+
+
+BUCKETED_JOIN_ORACLE = """
+SELECT c_custkey AS custkey,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_spend
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1659,6 +1754,9 @@ def build_registry() -> dict[str, QuerySpec]:
         "approx_distinct_users": QuerySpec(approx_distinct_users, None),
         "approx_quantiles": QuerySpec(approx_quantiles, None),
         "stream_stream_join": QuerySpec(stream_stream_join, STREAM_STREAM_JOIN_ORACLE),
+        "join_salted_skew": QuerySpec(join_salted_skew, JOIN_SALTED_SKEW_ORACLE),
+        "cdc_latest_state": QuerySpec(cdc_latest_state, CDC_LATEST_STATE_ORACLE),
+        "bucketed_join": QuerySpec(bucketed_join, BUCKETED_JOIN_ORACLE),
         "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
         "dedup_fingerprint": QuerySpec(dedup_fingerprint, DEDUP_FINGERPRINT_ORACLE),
         "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, _JACCARD_ORACLE),

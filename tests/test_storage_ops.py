@@ -1,0 +1,122 @@
+"""Storage-layout operators: bucketed co-located joins, small-file
+compaction, CDC upsert, salted join."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from aws_cdk_pipelines_datalake_etl_spark.operators.cdc import apply_changes
+from aws_cdk_pipelines_datalake_etl_spark.operators.maintenance import (
+    compact_parquet_dir,
+)
+from aws_cdk_pipelines_datalake_etl_spark.operators.skew import salted_join
+from aws_cdk_pipelines_datalake_etl_spark.plans.bucketing import (
+    colocated_join,
+    write_bucketed,
+)
+from aws_cdk_pipelines_datalake_etl_spark.plans.explain import formatted_plan
+from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import load_table
+
+from .conftest import SF_DIR_SMOKE
+
+
+def test_bucketed_join_has_zero_exchanges(spark):
+    """Same-bucketed tables must sort-merge join AND aggregate on the
+    bucket key with NO exchange anywhere — the layout pre-paid the
+    shuffle once at write time."""
+    write_bucketed(
+        load_table(spark, SF_DIR_SMOKE, "customer").withColumnRenamed(
+            "c_custkey", "custkey"
+        ),
+        "t_bkt_c",
+        ["custkey"],
+        4,
+        sort_cols=["custkey"],
+    )
+    write_bucketed(
+        load_table(spark, SF_DIR_SMOKE, "orders").withColumnRenamed(
+            "o_custkey", "custkey"
+        ),
+        "t_bkt_o",
+        ["custkey"],
+        4,
+        sort_cols=["custkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = (
+            colocated_join(spark, "t_bkt_c", "t_bkt_o", on=["custkey"])
+            .groupBy("custkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = formatted_plan(df)
+        assert "SortMergeJoin" in plan
+        assert ") Exchange" not in plan
+        # and it's not just a plan: result matches the plain join
+        plain = (
+            load_table(spark, SF_DIR_SMOKE, "customer")
+            .join(
+                load_table(spark, SF_DIR_SMOKE, "orders"),
+                F.col("c_custkey") == F.col("o_custkey"),
+            )
+            .groupBy(F.col("c_custkey").alias("custkey"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(df.collect()) == sorted(plain.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_c")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_o")
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
+    path = str(tmp_path / "smallfiles")
+    ev = load_table(spark, SF_DIR_SMOKE, "events")
+    ev.repartition(40).write.parquet(path)
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before >= 40
+    before = ev.count()
+    n_after = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert n_after == 1
+    after_df = spark.read.parquet(path)
+    assert after_df.count() == before
+    assert sorted(r.event_id for r in after_df.select("event_id").collect()) == sorted(
+        r.event_id for r in ev.select("event_id").collect()
+    )
+
+
+def test_apply_changes_upsert(spark):
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "k int, v int, payload string"
+    )
+    changes = spark.createDataFrame(
+        [(2, 20, "b2"), (3, 5, "c")], "k int, v int, payload string"
+    )
+    out = apply_changes(base, changes, ["k"], version_col="v", tiebreak_col="payload")
+    got = {r.k: (r.v, r.payload) for r in out.collect()}
+    assert got == {1: (10, "a"), 2: (20, "b2"), 3: (5, "c")}
+
+
+def test_apply_changes_tiebreak_is_deterministic(spark):
+    base = spark.createDataFrame([(1, 10, "x")], "k int, v int, payload string")
+    changes = spark.createDataFrame([(1, 10, "y")], "k int, v int, payload string")
+    out = apply_changes(base, changes, ["k"], version_col="v", tiebreak_col="payload")
+    assert [(r.k, r.payload) for r in out.collect()] == [(1, "y")]
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF_DIR_SMOKE, "lineitem")
+    s = load_table(spark, SF_DIR_SMOKE, "supplier").withColumnRenamed(
+        "s_suppkey", "l_suppkey"
+    )
+    salted = salted_join(li, s, key="l_suppkey", id_col="l_orderkey", n_salts=8)
+    plain = li.join(s, on="l_suppkey")
+    cols = ["l_orderkey", "l_linenumber", "s_name"]
+    assert sorted(map(tuple, salted.select(*cols).collect())) == sorted(
+        map(tuple, plain.select(*cols).collect())
+    )
+    # the physical join key must carry the salt
+    assert "_salt" in formatted_plan(salted)

@@ -105,3 +105,28 @@ def token_count_bpe_ish(
             " (acc, t) -> acc + cast(ceil(length(t) / 4.0) as bigint))"
         ).alias("n_bpe_ish_tokens"),
     )
+
+
+def quality_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 30,
+    min_ttr: float = 0.35,
+    max_ttr: float = 0.95,
+) -> DataFrame:
+    """Corpus quality filter: keep documents whose cheap metrics pass
+    thresholds (enough tokens; type-token ratio inside the band that
+    excludes both boilerplate repetition and hash-like noise).
+
+    Thresholds compare against the *rounded* metric columns so the
+    keep/drop decision is identical on any engine computing the same
+    metrics (no float-boundary drift).  Returns the metric row of
+    surviving docs — one narrow scan, fully codegen'd, no UDFs.
+    """
+    m = text_metrics(df, id_col=id_col, text_col=text_col)
+    return m.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("type_token_ratio") >= min_ttr)
+        & (F.col("type_token_ratio") <= max_ttr)
+    )

@@ -1704,6 +1704,86 @@ GROUP BY c_custkey
 """
 
 
+def q35_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user trailing-7-day value sum at
+    every event.  The frame is defined on event-time microseconds
+    (``rangeBetween`` over ``unix_micros``), not row counts — ties and
+    irregular spacing handled identically on any engine."""
+    ev = _t(spark, sf_dir, "events")
+    seven_days_us = 7 * 86400 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-seven_days_us, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        pround(F.sum("value").over(w), 4).alias("trailing_7d_value"),
+    )
+
+
+Q35_ORACLE = """
+SELECT event_id,
+       user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                              RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW),
+             4) AS trailing_7d_value
+FROM events
+"""
+
+
+def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality filter (operators/text.py quality_gate): docs
+    passing token-count and type-token-ratio thresholds; decisions
+    made on rounded metrics so the kept set is engine-exact."""
+    return tx.quality_gate(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "type_token_ratio"
+    )
+
+
+TEXT_QUALITY_GATE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio
+  FROM d
+)
+SELECT doc_id, n_tokens, type_token_ratio
+FROM m
+WHERE n_tokens >= 30
+  AND type_token_ratio >= 0.35
+  AND type_token_ratio <= 0.95
+"""
+
+
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows as a stream: 1-hour
+    windows every 15 minutes — each event contributes to 4 overlapping
+    windows.  The oracle replays the window expansion with UNNEST."""
+    import os
+
+    return tumbling_window_agg(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        window_size="1 hour",
+        slide="15 minutes",
+    )
+
+
+STREAM_SLIDING_ORACLE = """
+SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS window_start,
+       event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1757,6 +1837,9 @@ def build_registry() -> dict[str, QuerySpec]:
         "join_salted_skew": QuerySpec(join_salted_skew, JOIN_SALTED_SKEW_ORACLE),
         "cdc_latest_state": QuerySpec(cdc_latest_state, CDC_LATEST_STATE_ORACLE),
         "bucketed_join": QuerySpec(bucketed_join, BUCKETED_JOIN_ORACLE),
+        "q35_trailing_window": QuerySpec(q35_trailing_window, Q35_ORACLE),
+        "text_quality_gate": QuerySpec(text_quality_gate, TEXT_QUALITY_GATE_ORACLE),
+        "stream_sliding": QuerySpec(stream_sliding, STREAM_SLIDING_ORACLE),
         "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
         "dedup_fingerprint": QuerySpec(dedup_fingerprint, DEDUP_FINGERPRINT_ORACLE),
         "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, _JACCARD_ORACLE),

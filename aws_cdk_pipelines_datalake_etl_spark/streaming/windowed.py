@@ -28,9 +28,12 @@ def tumbling_window_agg(
     value_col: str = "value",
     window_size: str = "1 hour",
     watermark: str = "1 day",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Run a tumbling-window count+sum over a parquet directory AS A
-    STREAM and return the final result as a batch DataFrame.
+    """Run a tumbling-window (or, with ``slide``, hopping-window)
+    count+sum over a parquet directory AS A STREAM and return the
+    final result as a batch DataFrame.  With ``slide`` each event
+    lands in ``window_size / slide`` overlapping windows.
 
     The watermark bounds state at production scale (late rows beyond
     it are dropped); with a finite file source it never discards, so
@@ -51,9 +54,14 @@ def tumbling_window_agg(
     else:
         stream_path = path
     stream = fix_nanos_timestamps(reader.parquet(stream_path), (ts_col,))
+    win = (
+        F.window(ts_col, window_size, slide)
+        if slide
+        else F.window(ts_col, window_size)
+    )
     agg = (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window_size).alias("win"), F.col(key_col))
+        .groupBy(win.alias("win"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             pround(F.sum(value_col), 2).alias("total_value"),

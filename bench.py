@@ -26,6 +26,8 @@ HEADLINE = [
     "q04_topk_orders",
     "q06_broadcast_dim_join",
     "q07_revenue_top_orders",
+    "q31_shipping_priority",
+    "q32_regional_supplier_volume",
     "q11_window_topk_per_group",
     "q13_sessionize",
     "dedup_minhash_lsh",

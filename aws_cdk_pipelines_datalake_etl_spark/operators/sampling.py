@@ -41,3 +41,42 @@ def hash_sample_predicate_sql(id_col: str, sixteenths: int) -> str:
     """The identical predicate in portable SQL (DuckDB oracle)."""
     accepted = ", ".join(f"'{d}'" for d in HEX_DIGITS[:sixteenths])
     return f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 1) IN ({accepted})"
+
+
+def stratified_hash_sample(
+    df: DataFrame, id_col: str, stratum_col: str, sixteenths_by_stratum: dict[str, int]
+) -> DataFrame:
+    """Deterministic per-stratum sampling: each stratum keeps its own
+    ~n/16 hash fraction (rare classes can keep 16/16 = everything,
+    dominant classes 1/16) — the standard class-rebalancing pass for
+    training-corpus curation.  Strata not listed are dropped.
+
+    Same scale posture as :func:`hash_sample`: the keep decision is
+    row-local (md5 of the id), so no shuffle, stable under
+    repartitioning, and identical across engines.  Unlike
+    ``df.sampleBy()``, which is seeded per-partition-layout, the
+    selected row *set* is reproducible bit-for-bit.
+    """
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    pred = F.lit(False)
+    for stratum, n in sixteenths_by_stratum.items():
+        if not 0 < n <= 16:
+            raise ValueError("sixteenths must be in 1..16")
+        pred = pred | (
+            (F.col(stratum_col) == stratum) & bucket.isin(list(HEX_DIGITS[:n]))
+        )
+    return df.filter(pred)
+
+
+def stratified_predicate_sql(
+    id_col: str, stratum_col: str, sixteenths_by_stratum: dict[str, int]
+) -> str:
+    """The identical stratified predicate in portable SQL."""
+    clauses = []
+    for stratum, n in sixteenths_by_stratum.items():
+        accepted = ", ".join(f"'{d}'" for d in HEX_DIGITS[:n])
+        clauses.append(
+            f"({stratum_col} = '{stratum}' AND "
+            f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 1) IN ({accepted}))"
+        )
+    return " OR ".join(clauses)

@@ -1784,6 +1784,447 @@ GROUP BY 1, 2
 """
 
 
+def q36_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
+    year — a 5-way join where the same dimension (nation) joins twice
+    under different roles.  Both nation sides are filtered to the two
+    nations of interest *before* the join (pushdown) and broadcast;
+    the residual pair predicate runs post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+Q36_ORACLE = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q37_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer in one
+    quarter — fact-fact-dim join, agg on customer grain, top-20 with
+    a total order (tiebreak on c_custkey)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q37_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q38_priority_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional CASE-sum aggregation — high- vs
+    low-priority line counts per ship year.  The CASE folds into the
+    hash aggregate's partial step (map-side combine), so the shuffle
+    carries one row per year, not per line."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q38_ORACLE = """
+SELECT year(l_shipdate) AS ship_year,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def q39_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: single-row CASE-ratio — share of one month's
+    revenue from PROMO parts.  Both sums fold into one aggregate pass
+    over the month-filtered join (the shipdate range is pushed to the
+    lineitem scan)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            pround(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), disc).otherwise(0.0))
+                / F.sum(disc),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+Q39_ORACLE = """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+def q40_avg_qty_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar-aggregate subquery — revenue
+    from small-quantity lines of one brand, where "small" is relative
+    to that part's own average.  Decorrelated the classic way: compute
+    the per-part threshold as an aggregate, join it back (the
+    brand-filtered part list is broadcast on both passes)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    brand_lines = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    thresh = brand_lines.groupBy("p_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thresh")
+    )
+    return (
+        brand_lines.join(F.broadcast(thresh), "p_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(pround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+Q40_ORACLE = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#12'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = part.p_partkey)
+"""
+
+
+def q41_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a HAVING aggregate — orders
+    whose total quantity exceeds a threshold, joined back to customer
+    detail.  The IN becomes a semi join against the aggregated order
+    list; agg again on the detail grain; top-100 totally ordered."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("oq"))
+        .filter(F.col("oq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(pround(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q41_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(sum(l_quantity), 2) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q42_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    bands evaluated across a join.  The OR-of-ANDs cannot be pushed to
+    either scan whole, but each side's derivable bounds (p_size <= 50,
+    l_quantity <= 40) can — Catalyst extracts them; the residual runs
+    post-join in codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.filter(band).agg(
+        pround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+Q42_ORACLE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q43_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar-aggregate threshold + NOT EXISTS
+    anti join + final rollup — wealthy customers who never placed an
+    urgent order, counted per nation.  The scalar avg is a one-row
+    broadcast; the NOT EXISTS is a left-anti join against the
+    urgent-order custkey set."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    urgent_cust = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent_cust, c.c_custkey == urgent_cust.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            pround(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+Q43_ORACLE = """
+SELECT n_name,
+       count(*)                 AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY n_name
+"""
+
+
+def q44_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) per attribute triple with a
+    NOT IN exclusion list.  The NOT IN over non-null s_suppkey is an
+    anti join (broadcast — the exclusion list is tiny); the distinct
+    count is Spark's two-phase partial-distinct aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11") & (F.col("p_type") != "MEDIUM")
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q44_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#11'
+  AND p_type  <> 'MEDIUM'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style regularization (operators/timeseries.py):
+    per-user daily rollup on a dense date spine, gaps forward-filled.
+    Day rendered as a string so both engines hash identically."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.timeseries import (
+        gapfill_forward_fill,
+    )
+
+    out = gapfill_forward_fill(_t(spark, sf_dir, "events"))
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "filled_value",
+        "is_observed",
+    )
+
+
+TS_GAPFILL_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 2) AS day_value
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
+  FROM (SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1)
+)
+SELECT s.user_id,
+       strftime(s.day, '%Y-%m-%d') AS day,
+       last_value(d.day_value IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       d.day_value IS NOT NULL AS is_observed
+FROM spine s
+LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
+_STRATA = {"view": 1, "click": 2, "signup": 8, "purchase": 16, "error": 4}
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified rebalancing sample
+    (operators/sampling.py): dominant event types keep 1-2/16, rare
+    ones keep more — the exact kept row set is engine- and
+    partitioning-independent (md5-bucket per stratum)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    return stratified_hash_sample(
+        _t(spark, sf_dir, "events"), "event_id", "event_type", _STRATA
+    ).select("event_id", "event_type")
+
+
+def _sample_stratified_oracle() -> str:
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        stratified_predicate_sql,
+    )
+
+    pred = stratified_predicate_sql("event_id", "event_type", _STRATA)
+    return f"SELECT event_id, event_type FROM events WHERE {pred}"
+
+
+def stream_daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with watermark-bounded state
+    (streaming/windowed.py streaming_daily_distinct): the distinct
+    (user, event_type, day) set emitted incrementally; equals batch
+    DISTINCT on a finite source."""
+    import os
+
+    from aws_cdk_pipelines_datalake_etl_spark.streaming.windowed import (
+        streaming_daily_distinct,
+    )
+
+    out = streaming_daily_distinct(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    return out.select(
+        "user_id", "event_type", F.date_format("day", "yyyy-MM-dd").alias("day")
+    )
+
+
+STREAM_DAILY_DISTINCT_ORACLE = """
+SELECT DISTINCT user_id, event_type,
+       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1838,6 +2279,22 @@ def build_registry() -> dict[str, QuerySpec]:
         "cdc_latest_state": QuerySpec(cdc_latest_state, CDC_LATEST_STATE_ORACLE),
         "bucketed_join": QuerySpec(bucketed_join, BUCKETED_JOIN_ORACLE),
         "q35_trailing_window": QuerySpec(q35_trailing_window, Q35_ORACLE),
+        "q36_nation_volume": QuerySpec(q36_nation_volume, Q36_ORACLE),
+        "q37_returned_items": QuerySpec(q37_returned_items, Q37_ORACLE),
+        "q38_priority_case": QuerySpec(q38_priority_case, Q38_ORACLE),
+        "q39_promo_revenue": QuerySpec(q39_promo_revenue, Q39_ORACLE),
+        "q40_avg_qty_subquery": QuerySpec(q40_avg_qty_subquery, Q40_ORACLE),
+        "q41_large_orders": QuerySpec(q41_large_orders, Q41_ORACLE),
+        "q42_disjunctive_join": QuerySpec(q42_disjunctive_join, Q42_ORACLE),
+        "q43_dormant_customers": QuerySpec(q43_dormant_customers, Q43_ORACLE),
+        "q44_supplier_variety": QuerySpec(q44_supplier_variety, Q44_ORACLE),
+        "ts_gapfill": QuerySpec(ts_gapfill, TS_GAPFILL_ORACLE),
+        "sample_stratified": QuerySpec(
+            sample_stratified, _sample_stratified_oracle()
+        ),
+        "stream_daily_distinct": QuerySpec(
+            stream_daily_distinct, STREAM_DAILY_DISTINCT_ORACLE
+        ),
         "text_quality_gate": QuerySpec(text_quality_gate, TEXT_QUALITY_GATE_ORACLE),
         "stream_sliding": QuerySpec(stream_sliding, STREAM_SLIDING_ORACLE),
         "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),

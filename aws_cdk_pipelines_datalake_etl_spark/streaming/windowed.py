@@ -87,6 +87,58 @@ def tumbling_window_agg(
     )
 
 
+def streaming_daily_distinct(
+    spark: SparkSession,
+    path: str,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming deduplication: the distinct (key..., day) set emitted
+    incrementally — "which users did what each day", the daily-active
+    building block, computed on the stream instead of a batch DISTINCT.
+
+    The dedup key *includes* the event-time day and the watermark is
+    set on it, so Spark evicts a day's dedup state once the watermark
+    passes it — state is O(distinct keys per ~watermark window), not
+    O(all history).  A plain ``dropDuplicates`` on non-time keys would
+    grow state forever; that is the trap this operator exists to avoid
+    at 100 TB.  With a finite source nothing is evicted early, so the
+    result equals batch ``SELECT DISTINCT`` — the oracle's claim.
+    """
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import (
+        fix_nanos_timestamps,
+    )
+
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        stream_path = os.path.dirname(path)
+    else:
+        stream_path = path
+    stream = fix_nanos_timestamps(reader.parquet(stream_path), (ts_col,))
+    deduped = (
+        stream.withColumn("day_ts", F.date_trunc("day", F.col(ts_col)))
+        .withWatermark("day_ts", watermark)
+        .dropDuplicates([*key_cols, "day_ts"])
+    )
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        *key_cols, F.to_date("day_ts").alias("day")
+    )
+
+
 def session_window_agg(
     spark: SparkSession,
     path: str,

@@ -87,6 +87,22 @@ def shingle_set(
     )
 
 
+def shingle_hashes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Raw (id, h48) shingle hashes WITHOUT the distinct pass.
+
+    MinHash's ``min()`` is idempotent to duplicate shingles, so the
+    signature path can skip :func:`shingle_set`'s distinct — which at
+    scale removes an entire shuffle of the (id, shingle-string) rows.
+    Only the exact-Jaccard verification needs true sets."""
+    return (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+        .select("id", F.explode(word_shingles("toks", k)).alias("sh"))
+        .select("id", hash48(F.col("sh")).alias("h"))
+    )
+
+
 def _verified_jaccard(pairs: DataFrame, shingles: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard for candidate (id1, id2) pairs; filter >= threshold."""
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
@@ -165,19 +181,22 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     coeffs = minhash_coefficients(num_perm, seed)
 
-    # reused by the signature pass and twice by verification, but NOT
-    # cached: per-use column pruning of the recomputed explode beats
-    # materializing the full set (see ngram_jaccard_pairs note)
-    sh = shingle_set(df, id_col, text_col, k)
+    # signature path: raw hashes, NO distinct — min() tolerates dupes,
+    # and the partial (map-side) min aggregation means the only rows
+    # that ever shuffle are num_perm longs per (doc x partition)
     hmod = (F.col("h") % MINHASH_PRIME).cast("long")
     mins = [
         F.min((hmod * F.lit(a) + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    sig = sh.groupBy("id").agg(*mins)
+    sig = shingle_hashes(df, id_col, text_col, k).groupBy("id").agg(*mins)
 
+    # band signatures are hashed to a long (xxhash64): the LSH bucket
+    # key shuffles as 8 bytes instead of a ~40-char string.  Hash
+    # collisions can only ADD candidates (equal sigs stay equal), and
+    # every candidate is exact-verified below, so correctness holds.
     band_structs = ", ".join(
-        "named_struct('band', {b}, 'bsig', concat_ws(',', {vals}))".format(
+        "named_struct('band', {b}, 'bsig', xxhash64(concat_ws(',', {vals})))".format(
             b=b,
             vals=", ".join(
                 f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
@@ -189,14 +208,32 @@ def minhash_lsh_pairs(
         "id", F.explode(F.expr(f"array({band_structs})")).alias("bs")
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
 
-    a = banded.select(F.col("id").alias("id1"), "band", "bsig")
-    b = banded.select(F.col("id").alias("id2"), "band", "bsig")
+    # pair-gen as ONE shuffle: group ids per LSH bucket, expand pairs
+    # inside the bucket (vs. a self-join, whose two map sides each
+    # recompute the signature aggregate).  A bucket of n docs emits
+    # n(n-1)/2 pairs in one task — same placement a hash self-join
+    # would give that bucket, since equal keys co-locate either way;
+    # giant buckets mean near-identical cluster blowup, which is a
+    # corpus property to handle upstream with exact/fingerprint dedup.
+    buckets = (
+        banded.groupBy("band", "bsig")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     candidates = (
-        a.join(b, ["band", "bsig"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> named_struct('id1', least(x, y), 'id2', greatest(x, y)))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id1", "p.id2")
         .distinct()
     )
+    sh = shingle_set(df, id_col, text_col, k)
     return _verified_jaccard(candidates, sh, threshold)
 
 

@@ -1087,6 +1087,17 @@ WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
 """
 
 
+def sim_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup (operators/similarity.py
+    hyperplane_lsh_near_dup_pairs): bucketed candidate generation +
+    exact-cosine verification.  The oracle is the exact all-pairs
+    formulation — at the registry's band settings the LSH miss
+    probability is ~1e-4 per true pair, so the outputs are equal."""
+    return sim.hyperplane_lsh_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate ANN (scale path) — no SQL oracle;
     recall measured against the brute-force path in tests."""
@@ -2307,6 +2318,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "text_token_count": QuerySpec(text_token_count, TEXT_TOKEN_COUNT_ORACLE),
         "sim_brute_topk": QuerySpec(sim_brute_topk, SIM_BRUTE_TOPK_ORACLE),
         "sim_near_dup_pairs": QuerySpec(sim_near_dup_pairs, SIM_NEAR_DUP_ORACLE),
+        "sim_lsh_near_dup": QuerySpec(sim_lsh_near_dup, SIM_NEAR_DUP_ORACLE),
         "sim_ivf_topk": QuerySpec(sim_ivf_topk, None),
         "sim_ivf_full_probe": QuerySpec(sim_ivf_full_probe, SIM_BRUTE_TOPK_ORACLE),
         "asof_view_to_purchase": QuerySpec(asof_view_to_purchase, ASOF_ORACLE),

@@ -57,3 +57,19 @@ def test_near_dup_pairs_ordered_ids(spark, emb):
     pairs = sim.embedding_near_dup_pairs(emb, threshold=0.3).collect()
     assert pairs, "threshold 0.3 should produce pairs on test data"
     assert all(r.id1 < r.id2 for r in pairs)
+
+
+def test_hyperplane_lsh_equals_exact_pairs(spark, emb):
+    """At the default band settings the LSH miss probability is ~1e-4
+    per true pair, so the candidate-verified output must equal the
+    exact all-pairs formulation on test data."""
+    exact = {
+        (r.id1, r.id2, r.cosine)
+        for r in sim.embedding_near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    lsh = {
+        (r.id1, r.id2, r.cosine)
+        for r in sim.hyperplane_lsh_near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    assert exact, "threshold 0.35 should produce pairs on test data"
+    assert lsh == exact

@@ -172,3 +172,52 @@ def test_salted_agg_two_stage_partials(spark):
     assert plan.count(") Exchange") == 2
     assert "_salt" in plan
     assert "partial_sum" in plan
+
+
+def test_q41_in_subquery_plans_as_semi_join(spark):
+    """The IN-over-HAVING subquery must become a semi join against the
+    aggregated order list, not a per-row subquery re-execution."""
+    plan = formatted_plan(R.q41_large_orders(spark, SF_DIR_SMOKE))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q40_correlated_scalar_agg_decorrelates(spark):
+    """The per-part avg threshold must be computed once as an
+    aggregate and joined back — no nested-loop re-aggregation."""
+    plan = formatted_plan(R.q40_avg_qty_subquery(spark, SF_DIR_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q36_nation_filter_pushes_before_join(spark):
+    """The two-nation filter must reach the nation scans (pushed
+    predicate), not run post-join over the 5-way product."""
+    df = R.q36_nation_volume(spark, SF_DIR_SMOKE)
+    assert_pushed_filter(df, "n_name")
+    assert_broadcast_join(df)
+
+
+def test_gapfill_spine_from_aggregated_bounds(spark):
+    """The date-spine explode must fan out from the one-row-per-key
+    bounds aggregate, never from raw events: exactly two aggregates
+    (daily rollup + bounds) feed a Generate above the small side."""
+    from aws_cdk_pipelines_datalake_etl_spark.plans.registry import ts_gapfill
+
+    plan = formatted_plan(ts_gapfill(spark, SF_DIR_SMOKE))
+    assert "Generate" in plan  # the explode
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_lsh_near_dup_single_arrow_pass_no_cartesian(spark):
+    """Hyperplane LSH must evaluate the signature UDF via Arrow and
+    never fall back to an all-pairs product."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.similarity import (
+        hyperplane_lsh_near_dup_pairs,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    plan = formatted_plan(hyperplane_lsh_near_dup_pairs(emb))
+    assert "ArrowEvalPython" in plan
+    assert "CartesianProduct" not in plan

@@ -107,6 +107,48 @@ def token_count_bpe_ish(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Two-level aggregation: term frequency on (doc, term), document
+    frequency on term (computed FROM the tf relation, so the corpus
+    text is read once), idf = ln(N/df) with N from a one-row
+    broadcast aggregate.  Ranking uses the *rounded* score with the
+    term as tiebreaker — a total order, so the kept set is
+    engine-exact.  The tf→df join is left to AQE: vocabulary size is
+    corpus-dependent (broadcast when it fits, shuffle when not).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            pround(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col), "term", "tf", "tfidf", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
 def quality_gate(
     df: DataFrame,
     id_col: str = "doc_id",

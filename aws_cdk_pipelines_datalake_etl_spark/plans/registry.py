@@ -2236,6 +2236,35 @@ FROM events
 """
 
 
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF
+    (operators/text.py tfidf_top_terms): two-level aggregation with a
+    one-row broadcast for N; ranked on the rounded score with the
+    term as tiebreaker so the kept set is engine-exact."""
+    return tx.tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+TEXT_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT id, term, tf,
+         round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT id AS doc_id, term, tf, tfidf, rank
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY id
+                                        ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2307,6 +2336,7 @@ def build_registry() -> dict[str, QuerySpec]:
             stream_daily_distinct, STREAM_DAILY_DISTINCT_ORACLE
         ),
         "text_quality_gate": QuerySpec(text_quality_gate, TEXT_QUALITY_GATE_ORACLE),
+        "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TEXT_TFIDF_ORACLE),
         "stream_sliding": QuerySpec(stream_sliding, STREAM_SLIDING_ORACLE),
         "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
         "dedup_fingerprint": QuerySpec(dedup_fingerprint, DEDUP_FINGERPRINT_ORACLE),

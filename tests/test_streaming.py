@@ -208,3 +208,40 @@ def test_late_data_dropped_beyond_watermark(spark):
         & (F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR") <= F.lit(wm1))
     ).count()
     assert dropped_candidates > 0
+
+
+def test_stream_upsert_equals_batch_cdc(spark, tmp_path):
+    """foreachBatch CDC sink: a multi-file change stream upserted
+    micro-batch by micro-batch into a parquet snapshot must end in
+    the same state as one batch last-writer-wins collapse over all
+    changes."""
+    from pyspark.sql import functions as F
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.cdc import apply_changes
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import load_table
+    from aws_cdk_pipelines_datalake_etl_spark.streaming.sinks import (
+        stream_upsert_parquet,
+    )
+
+    src = str(tmp_path / "changes")
+    table = str(tmp_path / "state")
+    ev = (
+        load_table(spark, SF_DIR_SMOKE, "events")
+        .limit(3000)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    # several files -> several micro-batches (maxFilesPerTrigger=1)
+    ev.repartition(4).write.parquet(src)
+    stream_upsert_parquet(
+        spark, src, table, ["user_id"], version_col="ts", tiebreak_col="event_id"
+    )
+    streamed = spark.read.parquet(table)
+    all_changes = spark.read.parquet(src)
+    expected = apply_changes(
+        all_changes.limit(0), all_changes, ["user_id"], "ts", "event_id"
+    )
+    assert sorted(
+        streamed.select("user_id", "event_id").collect()
+    ) == sorted(expected.select("user_id", "event_id").collect())
+    # one row per key
+    assert streamed.groupBy("user_id").count().filter(F.col("count") > 1).count() == 0

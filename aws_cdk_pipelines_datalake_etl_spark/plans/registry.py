@@ -2265,6 +2265,137 @@ WHERE rank <= 3
 """
 
 
+def q45_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day,
+    counted on each active day-offset in their first week.  Two
+    aggregations sharing the user_id shuffle key plus one join —
+    the canonical product-analytics rollup."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    activity = ev.select("user_id", F.to_date("ts").alias("active_day")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .withColumn("day_offset", F.datediff("active_day", "cohort_day"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+Q45_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       active_day - cohort_day AS day_offset,
+       count(*) AS n_active
+FROM activity JOIN firsts USING (user_id)
+WHERE active_day - cohort_day <= 7
+GROUP BY 1, 2
+"""
+
+
+def q46_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered 3-step funnel (view -> click -> purchase):
+    per-user earliest view, earliest click after it, earliest
+    purchase after that — successive min-aggregate + join steps, the
+    relational funnel formulation both engines express identically."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n")).select(F.lit("1_view").alias("stage"), "n")
+        .unionAll(
+            c.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("2_click").alias("stage"), "n"
+            )
+        )
+        .unionAll(
+            p.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("3_purchase").alias("stage"), "n"
+            )
+        )
+    )
+
+
+Q46_ORACLE = """
+WITH e AS (SELECT user_id, ts, event_type FROM events),
+v AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t2
+      FROM e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t3
+      FROM e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+SELECT '1_view' AS stage, count(*) AS n FROM v
+UNION ALL SELECT '2_click', count(*) FROM c
+UNION ALL SELECT '3_purchase', count(*) FROM p
+"""
+
+
+def q47_reaggregation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern: the monthly rollup is computed
+    FROM the daily partials (count and sum re-aggregate losslessly),
+    not from raw events — at 100 TB the daily materialization is what
+    makes coarser granularities nearly free.  The oracle computes the
+    monthly rollup directly from events: equality IS the claim that
+    re-aggregation is lossless."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.to_date("ts").alias("day"), F.col("event_type")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("v"),
+        )
+    )
+    return (
+        daily.groupBy(
+            F.date_format(F.date_trunc("month", F.col("day")), "yyyy-MM").alias(
+                "month"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            pround(F.sum("v"), 2).alias("total_value"),
+        )
+    )
+
+
+Q47_ORACLE = """
+SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2328,6 +2459,11 @@ def build_registry() -> dict[str, QuerySpec]:
         "q42_disjunctive_join": QuerySpec(q42_disjunctive_join, Q42_ORACLE),
         "q43_dormant_customers": QuerySpec(q43_dormant_customers, Q43_ORACLE),
         "q44_supplier_variety": QuerySpec(q44_supplier_variety, Q44_ORACLE),
+        "q45_retention_cohorts": QuerySpec(q45_retention_cohorts, Q45_ORACLE),
+        "q46_funnel_stages": QuerySpec(q46_funnel_stages, Q46_ORACLE),
+        "q47_reaggregation_rollup": QuerySpec(
+            q47_reaggregation_rollup, Q47_ORACLE
+        ),
         "ts_gapfill": QuerySpec(ts_gapfill, TS_GAPFILL_ORACLE),
         "sample_stratified": QuerySpec(
             sample_stratified, _sample_stratified_oracle()

@@ -64,6 +64,8 @@ def read_raw(
         return read_raw_json(spark, path, schema=schema)
     if lower.endswith(".parquet"):
         return spark.read.parquet(path)
+    if lower.endswith(".orc"):
+        return spark.read.orc(path)
     return read_raw_csv(spark, path, schema=schema)
 
 

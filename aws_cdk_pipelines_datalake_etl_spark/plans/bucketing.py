@@ -17,7 +17,27 @@ metastore feature, so these helpers go through ``saveAsTable`` /
 
 from __future__ import annotations
 
+import os
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """Idempotency guard: DROP TABLE alone misses the case where a
+    previous session's managed-table directory survived in the
+    warehouse while the (per-session, in-memory) catalog forgot the
+    table — saveAsTable then fails with LOCATION_ALREADY_EXISTS."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    parsed = urlparse(wh)
+    wh_path = parsed.path if parsed.scheme in ("file", "") else None
+    if wh_path:
+        shutil.rmtree(
+            os.path.join(wh_path, table.split(".")[-1].lower()),
+            ignore_errors=True,
+        )
 
 
 def write_bucketed(
@@ -30,6 +50,7 @@ def write_bucketed(
     """Persist ``df`` as a bucketed (+ optionally per-bucket sorted)
     managed parquet table.  Sorting by the join key lets the
     sort-merge join skip its sort as well."""
+    _drop_table_and_location(df.sparkSession, table)
     writer = (
         df.write.mode("overwrite")
         .format("parquet")

@@ -46,3 +46,23 @@ def test_parquet_raw_file_through_pipeline(spark, lake_root, tmp_path):
     res = runner.on_file(key)
     assert res.status == "SUCCEEDED", res.error_message
     assert spark.table("warehouse.items").count() == 2
+
+
+def test_orc_raw_file_through_pipeline(spark, lake_root, tmp_path):
+    src = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], ["id", "v"])
+    staging = str(tmp_path / "staging.orc")
+    src.coalesce(1).write.orc(staging)
+    part = next(p for p in os.listdir(staging) if p.endswith(".orc"))
+    key = "warehouse/orc_items/orc_items.orc"
+    dst = os.path.join(lake_root, "raw", key)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.rename(os.path.join(staging, part), dst)
+
+    runner = PipelineRunner(
+        spark=spark,
+        layout=LakeLayout(lake_root),
+        clock=lambda: datetime(2024, 2, 1, tzinfo=timezone.utc),
+    )
+    res = runner.on_file(key)
+    assert res.status == "SUCCEEDED", res.error_message
+    assert spark.table("warehouse.orc_items").count() == 3

@@ -30,9 +30,13 @@ HEADLINE = [
     "q32_regional_supplier_volume",
     "q11_window_topk_per_group",
     "q13_sessionize",
+    "q41_large_orders",
+    "q47_reaggregation_rollup",
+    "ts_gapfill",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_metrics",
+    "text_tfidf_top_terms",
     "sim_brute_topk",
     "stream_tumbling",
 ]

@@ -1,0 +1,120 @@
+"""Property-based invariants (hypothesis) for the algebraic operators
+whose correctness claims are universal, not fixture-specific:
+
+- CDC last-writer-wins: batch-split invariance + idempotence — the
+  properties that make the streaming foreachBatch sink safe to replay.
+- Hash sampling: nested-rate containment (a 2/16 sample is inside the
+  4/16 sample) — the composability the docstring promises.
+- As-of join: agreement with a direct per-row Python evaluation.
+
+Example counts are small (Spark actions dominate runtime); the
+generators still explore duplicate keys, ties, and empty sides —
+the corners a fixture suite tends to miss.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from aws_cdk_pipelines_datalake_etl_spark.operators.cdc import apply_changes
+from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import hash_sample
+
+PROP = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (key, version, tiebreak, payload) rows; small domains force collisions
+change_rows = st.lists(
+    st.tuples(
+        st.integers(0, 5),
+        st.integers(0, 3),
+        st.integers(0, 100),
+        st.integers(-10, 10),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+def _cdc_df(spark, rows):
+    return spark.createDataFrame(
+        rows or [(0, 0, 0, 0)], ["k", "ver", "tb", "payload"]
+    ).limit(len(rows))
+
+
+def _state(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@PROP
+@given(rows=change_rows, split=st.integers(0, 20))
+def test_cdc_batch_split_invariance(spark, rows, split):
+    """Applying a change set in one batch == applying any prefix then
+    the rest: the property that makes micro-batch boundaries (and
+    batch replays) invisible in the final snapshot."""
+    split = min(split, len(rows))
+    all_df = _cdc_df(spark, rows)
+    base = all_df.limit(0)
+    one_shot = apply_changes(base, all_df, ["k"], "ver", "tb")
+    first = apply_changes(base, _cdc_df(spark, rows[:split]), ["k"], "ver", "tb")
+    two_step = apply_changes(first, _cdc_df(spark, rows[split:]), ["k"], "ver", "tb")
+    assert _state(one_shot) == _state(two_step)
+
+
+@PROP
+@given(rows=change_rows)
+def test_cdc_idempotence(spark, rows):
+    """Re-applying the same changes to the merged snapshot changes
+    nothing — replayed micro-batches are harmless."""
+    all_df = _cdc_df(spark, rows)
+    once = apply_changes(all_df.limit(0), all_df, ["k"], "ver", "tb")
+    twice = apply_changes(once, all_df, ["k"], "ver", "tb")
+    assert _state(once) == _state(twice)
+
+
+@PROP
+@given(ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=50, unique=True))
+def test_hash_sample_rates_nest(spark, ids):
+    """hash_sample(n) rows are a superset of hash_sample(m) rows for
+    m < n — rates compose by construction (prefix buckets)."""
+    df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    small = {r.id for r in hash_sample(df, "id", 2).collect()}
+    large = {r.id for r in hash_sample(df, "id", 8).collect()}
+    assert small <= large
+
+
+@PROP
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=15
+    ),
+    right_map=st.dictionaries(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        st.integers(-5, 5),
+        max_size=15,
+    ),
+)
+def test_asof_matches_direct_evaluation(spark, lefts, right_map):
+    """For every left row, the as-of join must pick the latest right
+    row with rts <= lts on the same key (inclusive) — checked against
+    a direct per-row Python evaluation.  Right rows are unique per
+    (key, ts): the operator's last-value carry is only defined up to
+    ties otherwise."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.asof import asof_join
+
+    rights = [(k, t, v) for (k, t), v in right_map.items()]
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], ["k", "ts", "lid"]
+    )
+    right = spark.createDataFrame(
+        rights or [(0, 0, 0)], ["k", "ts", "val"]
+    ).limit(len(rights))
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["val"])
+    got = {r.lid: r.val_asof for r in out.collect()}
+    for i, (k, t) in enumerate(lefts):
+        cands = [(rt, v) for (rk, rt, v) in rights if rk == k and rt <= t]
+        expected = max(cands)[1] if cands else None
+        assert got.get(i) == expected, (i, k, t, cands, got.get(i))

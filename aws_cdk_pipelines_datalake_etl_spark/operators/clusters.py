@@ -1,0 +1,91 @@
+"""Connected components over near-duplicate pairs — the collapse step
+of corpus dedup.
+
+Pair-finders (:mod:`.dedup`, :mod:`.similarity`) emit edges; keeping
+ONE document per duplicate *cluster* requires the transitive closure:
+if A~B and B~C, then A,B,C are one cluster even when A~C was never
+emitted.  The standard distributed formulation is iterative min-label
+propagation (the simplified Connected Components of
+Kiveris et al. / GraphFrames): every node starts labeled with itself;
+each round replaces a node's label by the min over its neighbors'
+labels (and its own); fixpoint after at most diameter rounds.
+
+Spark-first shape: the loop is a *driver* loop, but each round is two
+distributed hash shuffles (join labels->edges, groupBy min) — no data
+ever collects to the driver; the only driver-side value per round is
+the count of changed labels (the convergence test).  Diameter of
+near-dup graphs is tiny in practice (clusters are near-cliques), so
+rounds ~ 2-4.  At 100 TB the same loop runs with checkpointing every
+few rounds to truncate lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Min-label connected components over an undirected edge list.
+
+    Returns ``(node, cluster_rep)`` for every node appearing in at
+    least one edge, where ``cluster_rep`` is the smallest node id in
+    the component.  Raises if the fixpoint is not reached within
+    ``max_iterations`` (= graph diameter bound).
+    """
+    edges = (
+        pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+        .union(pairs.select(F.col(id2).alias("a"), F.col(id1).alias("b")))
+        .distinct()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # convergence: one count action per round; the labels
+        # themselves never leave the executors
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        # localCheckpoint truncates the per-round lineage so the plan
+        # doesn't grow exponentially with iterations
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"did not converge in {max_iterations} rounds")
+    return labels.select("node", F.col("label").alias("cluster_rep"))
+
+
+def dedup_cluster_representatives(
+    pairs: DataFrame, id1: str = "id1", id2: str = "id2"
+) -> DataFrame:
+    """One row per clustered document: (doc, its cluster's min id).
+    Docs in no pair are implicitly their own representative and are
+    not emitted (keeps the output proportional to the duplicate set,
+    not the corpus)."""
+    return connected_components(pairs, id1, id2).select(
+        F.col("node").alias("doc_id"), "cluster_rep"
+    )

@@ -952,6 +952,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive collapse of the near-dup pair list into clusters
+    (operators/clusters.py): iterative min-label propagation, each
+    round two distributed shuffles, converging in ~diameter rounds.
+    The oracle computes the same closure with a recursive CTE over
+    the exact-Jaccard pair list."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.clusters import (
+        dedup_cluster_representatives,
+    )
+
+    pairs = dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+    return dedup_cluster_representatives(pairs)
+
+
+DEDUP_CLUSTERS_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) g
+  WHERE i <= len(w) - 2
+), sizes AS (
+  SELECT id, count(*) AS n FROM sh GROUP BY id
+), pair AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+), dup AS (
+  SELECT id1, id2
+  FROM pair
+  JOIN sizes sa ON sa.id = id1
+  JOIN sizes sb ON sb.id = id2
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+), edges AS (
+  SELECT id1 AS a, id2 AS b FROM dup
+  UNION
+  SELECT id2, id1 FROM dup
+), reach(node, peer) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a
+)
+SELECT node AS doc_id, least(node, min(peer)) AS cluster_rep
+FROM reach GROUP BY node
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_signatures(_t(spark, sf_dir, "documents"))
 
@@ -2479,6 +2526,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, _JACCARD_ORACLE),
         "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _JACCARD_ORACLE),
         "dedup_simhash": QuerySpec(dedup_simhash, _simhash_oracle()),
+        "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_ORACLE),
         "text_metrics": QuerySpec(text_metrics_q, TEXT_METRICS_ORACLE),
         "text_langid": QuerySpec(text_langid, _langid_oracle()),
         "text_token_count": QuerySpec(text_token_count, TEXT_TOKEN_COUNT_ORACLE),

@@ -75,3 +75,22 @@ def test_shingle_guard_short_docs(spark):
     by_id = {r.id: r.n for r in sh}
     assert 1 not in by_id  # < 3 tokens -> no shingles (no phantom rows)
     assert by_id[2] == 2
+
+
+def test_connected_components_known_graph(spark):
+    """Chain, triangle, and isolated pair must collapse to min-id
+    representatives; singletons (no edges) are not emitted."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.clusters import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id1", "id2"],
+    )
+    out = {r.node: r.cluster_rep for r in connected_components(pairs).collect()}
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }

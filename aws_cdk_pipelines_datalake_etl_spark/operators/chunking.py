@@ -1,0 +1,96 @@
+"""Training-window preparation: document chunking and sequence
+packing — the two ops between a curated corpus and a tokenizer at
+100 TB.
+
+Both are pure Catalyst expressions (sequence/slice/explode plus one
+window), so they run entirely in whole-stage codegen: chunking is a
+row-local fan-out (no shuffle at all); packing is one shuffle on the
+shard key.  Nothing here needs a UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping token windows: a chunk
+    starts every ``stride`` tokens and spans ``chunk_tokens`` (the
+    final chunks are shorter).  Every token lands in >= 1 chunk and
+    consecutive chunks overlap by ``chunk_tokens - stride`` — the
+    standard context-window slicing for LLM pretraining data.
+
+    Row-local: the starts are a ``sequence`` over the token count and
+    the chunk text a ``slice`` of the token array, so the fan-out
+    happens inside the scan stage with no shuffle; output rows are
+    (doc, chunk_idx, n_chunk_tokens, chunk_text).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    d = df.select(F.col(id_col), tokens(text_col).alias("toks"))
+    starts = F.expr(f"sequence(1, greatest(1, size(toks)), {stride})")
+    return (
+        d.select(F.col(id_col), "toks", F.posexplode(starts).alias("pos", "start"))
+        .select(
+            F.col(id_col),
+            (F.col("pos") + 1).alias("chunk_idx"),
+            F.expr(f"slice(toks, start, {chunk_tokens})").alias("chunk_toks"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            F.size("chunk_toks").alias("n_chunk_tokens"),
+            F.array_join("chunk_toks", " ").alias("chunk_text"),
+        )
+    )
+
+
+def pack_greedy_bins(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget_tokens: int = 2048,
+) -> DataFrame:
+    """Assign whole documents to fixed-token-budget training bins by
+    deterministic running-sum packing.
+
+    A single global greedy pack is inherently sequential, so the
+    scalable formulation shards first (first md5 hex digit of the id,
+    16 shards — same deterministic bucketing as :mod:`.sampling`;
+    widen the prefix for more parallelism), then packs within
+    each shard by id order: cumulative token count, bin =
+    floor((cumsum - 1) / budget).  One shuffle (the per-shard window);
+    shards pack in parallel, and the layout is stable across runs,
+    partitionings, and engines.  Documents longer than the budget get
+    a bin to themselves plus spill into the next — downstream chunking
+    (:func:`chunk_documents`) handles intra-document splitting.
+
+    Output: (shard, doc_id, n_tokens, bin_id).
+    """
+    d = df.select(
+        F.col(id_col),
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 1).alias("shard"),
+        F.size(tokens(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.select(
+        "shard",
+        F.col(id_col),
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - 1) / budget_tokens)
+        .cast("long")
+        .alias("bin_id"),
+    )

@@ -2443,6 +2443,132 @@ GROUP BY 1, 2
 """
 
 
+def q48_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users (WAU) per day — formulated as the
+    scale path: each (day, user) activity row is EXPANDED to the 7
+    spine days it supports (``sequence`` + ``explode``), then one
+    hash-aggregate counts distinct users per spine day.  That keeps
+    the whole computation equi-shuffled; the naive range join (spine
+    BETWEEN day-6 AND day) plans as a nested-loop broadcast that
+    re-scans activity once per spine day."""
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = pairs.select("day").distinct()
+    contrib = pairs.select(
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("day2"),
+        "user_id",
+    )
+    return (
+        contrib.join(F.broadcast(days), contrib.day2 == days.day, "left_semi")
+        .groupBy(F.date_format("day2", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+
+
+Q48_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+contrib AS (
+  SELECT unnest(generate_series(day, day + 6, INTERVAL 1 DAY))::DATE AS day2,
+         user_id
+  FROM pairs
+),
+days AS (SELECT DISTINCT day FROM pairs)
+SELECT strftime(day2, '%Y-%m-%d') AS day,
+       count(DISTINCT user_id) AS wau
+FROM contrib
+WHERE day2 IN (SELECT day FROM days)
+GROUP BY 1
+"""
+
+
+def q49_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): ``parse_json`` once
+    into the binary variant encoding, then typed ``variant_get``
+    extraction — the engine-native way to query JSON event payloads
+    without a schema, replacing per-access string re-parsing."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.parse_json("props").alias("v"))
+        .select(
+            "event_type", F.variant_get("v", "$.k", "int").alias("k")
+        )
+        .groupBy("event_type")
+        .agg(
+            pround(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+Q49_ORACLE = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER))           AS max_k,
+       count(*)                                                          AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking for pretraining data
+    (operators/chunking.py chunk_documents): 64-token chunks every 48
+    tokens, produced row-locally (sequence + slice + explode, zero
+    shuffle)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    return chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+TEXT_CHUNK_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+starts AS (
+  SELECT doc_id, toks, i AS chunk_idx, 1 + (i - 1) * 48 AS start
+  FROM d, (SELECT unnest(generate_series(1, 500)) AS i) g
+  WHERE 1 + (i - 1) * 48 <= greatest(1, len(toks))
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(len(list_slice(toks, start, start + 63)) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, start, start + 63), ' ') AS chunk_text
+FROM starts
+"""
+
+
+def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded greedy packing into 2048-token training
+    bins (operators/chunking.py pack_greedy_bins): md5 sharding +
+    per-shard running-sum window — one shuffle, engine/partitioning
+    stable."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.chunking import (
+        pack_greedy_bins,
+    )
+
+    return pack_greedy_bins(_t(spark, sf_dir, "documents"))
+
+
+TEXT_PACK_ORACLE = """
+WITH d AS (
+  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens
+  FROM documents
+)
+SELECT shard, doc_id, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                  / 2048.0) AS BIGINT) AS bin_id
+FROM d
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2507,6 +2633,8 @@ def build_registry() -> dict[str, QuerySpec]:
         "q43_dormant_customers": QuerySpec(q43_dormant_customers, Q43_ORACLE),
         "q44_supplier_variety": QuerySpec(q44_supplier_variety, Q44_ORACLE),
         "q45_retention_cohorts": QuerySpec(q45_retention_cohorts, Q45_ORACLE),
+        "q48_rolling_wau": QuerySpec(q48_rolling_wau, Q48_ORACLE),
+        "q49_variant_json": QuerySpec(q49_variant_json, Q49_ORACLE),
         "q46_funnel_stages": QuerySpec(q46_funnel_stages, Q46_ORACLE),
         "q47_reaggregation_rollup": QuerySpec(
             q47_reaggregation_rollup, Q47_ORACLE
@@ -2520,6 +2648,8 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "text_quality_gate": QuerySpec(text_quality_gate, TEXT_QUALITY_GATE_ORACLE),
         "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TEXT_TFIDF_ORACLE),
+        "text_chunk_windows": QuerySpec(text_chunk_windows, TEXT_CHUNK_ORACLE),
+        "text_pack_bins": QuerySpec(text_pack_bins, TEXT_PACK_ORACLE),
         "stream_sliding": QuerySpec(stream_sliding, STREAM_SLIDING_ORACLE),
         "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
         "dedup_fingerprint": QuerySpec(dedup_fingerprint, DEDUP_FINGERPRINT_ORACLE),

@@ -42,3 +42,53 @@ def test_token_count(spark, tiny):
     # ceil(3/4)*3 ('the','cat','and') + ceil(3/4) ('hat') + ceil(3/4) ('the')
     assert t[1].n_bpe_ish_tokens == 5
     assert t[2].n_bpe_ish_tokens == 2 + 1  # ceil(6/4)=2, ceil(3/4)=1
+
+
+def test_chunking_covers_every_token_with_overlap(spark):
+    """Every token index must land in >= 1 chunk; consecutive chunks
+    overlap by chunk_tokens - stride; rebuilding the doc from
+    stride-aligned prefixes reproduces the original token stream."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    chunks = sorted(
+        chunk_documents(df, chunk_tokens=64, stride=48).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    covered = []
+    for i, r in enumerate(chunks):
+        toks = r.chunk_text.split(" ")
+        assert len(toks) == r.n_chunk_tokens
+        start = i * 48
+        assert toks == [f"w{j}" for j in range(start, min(start + 64, 150))]
+        covered.extend(range(start, start + len(toks)))
+    assert set(covered) == set(range(150))
+
+
+def test_packing_bins_respect_budget_shape(spark):
+    """Within a shard, cumulative tokens of all docs in bins < b must
+    not exceed (b) * budget; bin ids are non-decreasing in doc order."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.chunking import (
+        pack_greedy_bins,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR_SMOKE
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    out = pack_greedy_bins(docs, budget_tokens=512).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        prev_bin = 0
+        for r in rows:
+            cum += r.n_tokens
+            assert r.bin_id == (cum - 1) // 512
+            assert r.bin_id >= prev_bin
+            prev_bin = r.bin_id

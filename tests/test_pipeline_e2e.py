@@ -150,3 +150,67 @@ def test_nulltype_column_repaired_to_string(spark, runner, yellow_csv):
     conformed = spark.table("tlc_taxi_data.yellow_taxi_trip_record")
     # congestion_surcharge was all-empty -> NullType -> cast to string
     assert dict(conformed.dtypes)["congestion_surcharge"] == "string"
+
+
+GREEN_HEADER = (
+    "VendorID,lpep_pickup_datetime,lpep_dropoff_datetime,store_and_fwd_flag,"
+    "RatecodeID,PULocationID,DOLocationID,passenger_count,trip_distance,"
+    "fare_amount,extra,mta_tax,tip_amount,tolls_amount,ehail_fee,"
+    "improvement_surcharge,total_amount,payment_type,trip_type,"
+    "congestion_surcharge"
+)
+
+GREEN_ROWS = [
+    "2,2020-08-03 08:00:00,2020-08-03 08:15:00,N,1,10,20,1,3.0,12.0,0.5,0.5,2.0,0.0,,0.3,15.3,1,1,0.0",
+    "2,2020-08-03 09:00:00,2020-08-03 09:40:00,N,1,10,20,2,8.0,28.0,0.5,0.5,5.0,2.0,,0.3,36.3,1,1,0.0",
+    "1,2020-08-04 10:00:00,2020-08-04 10:05:00,Y,1,11,21,1,1.0,4.5,0.0,0.5,0.0,0.0,,0.3,5.3,2,1,0.0",
+]
+
+
+def _write_green_csv(lake_root, key):
+    path = os.path.join(lake_root, "raw", key)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(GREEN_HEADER + "\n")
+        f.write("\n".join(GREEN_ROWS) + "\n")
+
+
+def test_green_name_mismatch_two_step_flow(spark, runner, lake_root):
+    """The reference's green flow has a deliberate name mismatch: the
+    shipped SQL file is green_taxi_trip_record.sql but it reads FROM
+    tlc_taxi_data.green_taxi_record_data
+    (transformation-sql/green_taxi_trip_record.sql:17, lookup rule at
+    etl_conformed_to_purposebuilt.py:181-183).  Faithfully mirrored:
+
+    1. ingest green data under green_taxi_record_data/ — Job 1
+       conforms it; there is no green_taxi_record_data.sql, which this
+       engine treats as a conform-only success (runner.py:140-143,
+       softening the reference's S3-get failure) — the conformed
+       table is what matters;
+    2. trigger green_taxi_trip_record/ — its SQL aggregates the
+       table conformed in step 1 and SUCCEEDS end-to-end.
+    """
+    _write_green_csv(
+        lake_root, "tlc_taxi_data/green_taxi_record_data/green_tripdata_2020-08.csv"
+    )
+    res1 = runner.on_file(
+        "tlc_taxi_data/green_taxi_record_data/green_tripdata_2020-08.csv"
+    )
+    assert res1.status == "SUCCEEDED"
+    assert res1.purposebuilt_rows is None  # conform-only: no transform SQL
+    assert res1.conformed_rows == 3
+    assert spark.table("tlc_taxi_data.green_taxi_record_data").count() == 3
+
+    _write_green_csv(
+        lake_root, "tlc_taxi_data/green_taxi_trip_record/green_tripdata_2020-08.csv"
+    )
+    res2 = runner.on_file(
+        "tlc_taxi_data/green_taxi_trip_record/green_tripdata_2020-08.csv"
+    )
+    assert res2.status == "SUCCEEDED", res2.error_message
+    pb = spark.table("tlc_taxi_data_purposebuilt.green_taxi_trip_record")
+    rows = {
+        (r.vendorid, r.pulocationid): (r["count"], round(r.total_amount, 6))
+        for r in pb.collect()
+    }
+    assert rows == {(2, 10): (2, 51.6), (1, 11): (1, 5.3)}

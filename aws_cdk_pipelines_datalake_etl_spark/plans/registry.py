@@ -2569,6 +2569,39 @@ FROM d
 """
 
 
+def q50_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-month aggregate row turned into
+    long (month, metric, value) rows via ``stack`` — the inverse of
+    q19's pivot, a row-local Expand with no extra shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    wide = ev.groupBy(F.date_format("ts", "yyyy-MM").alias("month")).agg(
+        pround(F.sum("value"), 2).alias("total_value"),
+        pround(F.avg("value"), 6).alias("avg_value"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+    )
+    return wide.select(
+        "month",
+        F.expr(
+            "stack(3, 'total_value', total_value,"
+            " 'avg_value', avg_value, 'n_events', n_events)"
+        ).alias("metric", "value"),
+    )
+
+
+Q50_ORACLE = """
+WITH wide AS (
+  SELECT strftime(ts, '%Y-%m') AS month,
+         round(sum(value), 2)  AS total_value,
+         round(avg(value), 6)  AS avg_value,
+         CAST(count(*) AS DOUBLE) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT month, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (total_value, avg_value, n_events))
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2634,6 +2667,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "q44_supplier_variety": QuerySpec(q44_supplier_variety, Q44_ORACLE),
         "q45_retention_cohorts": QuerySpec(q45_retention_cohorts, Q45_ORACLE),
         "q48_rolling_wau": QuerySpec(q48_rolling_wau, Q48_ORACLE),
+        "q50_unpivot": QuerySpec(q50_unpivot, Q50_ORACLE),
         "q49_variant_json": QuerySpec(q49_variant_json, Q49_ORACLE),
         "q46_funnel_stages": QuerySpec(q46_funnel_stages, Q46_ORACLE),
         "q47_reaggregation_rollup": QuerySpec(

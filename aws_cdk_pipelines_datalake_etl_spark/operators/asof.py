@@ -66,3 +66,59 @@ def asof_join(
         *[F.col(f"_r_{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
     return out
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    suffix: str = "_next",
+) -> DataFrame:
+    """Forward as-of: for each left row, the EARLIEST right row of the
+    same key with ``right_ts >= left_ts`` (NULLs when none) — "what
+    happened next", the mirror of :func:`asof_join`'s "latest before".
+
+    Same union-and-window strategy and the same single-shuffle cost;
+    the window looks FORWARD (``first_value ignoreNulls`` over
+    [current, unbounded following]) and the tag order flips so a
+    right row at the exact left timestamp is included (inclusive
+    match).  Right rows should be unique per (key, ts) or the carried
+    value among ties is partition-order-dependent.
+    """
+    lt = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(0).alias("_tag"),
+        F.struct(*left.columns).alias("_l"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+            for c in right_cols
+        ],
+    )
+    rt = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(lt.schema["_l"].dataType).alias("_l"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_tag")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = lt.unionByName(rt).select(
+        "_tag",
+        "_l",
+        *[
+            F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("_tag") == 0).select(
+        F.col("_l.*"),
+        *[F.col(f"_r_{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )

@@ -2602,6 +2602,90 @@ UNPIVOT (value FOR metric IN (total_value, avg_value, n_events))
 """
 
 
+def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of (operators/asof.py asof_join_forward): for every
+    view event, the user's earliest purchase at-or-after it — the
+    "time to conversion" primitive.  One shuffle (union + forward
+    window); purchases pre-deduped to one row per (user, ts) so the
+    carried value is deterministic.  The oracle uses correlated
+    ORDER-BY-LIMIT-1 subqueries, which DuckDB decorrelates."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.asof import (
+        asof_join_forward,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(pround(F.sum("value"), 2).alias("purchase_value"))
+    )
+    return asof_join_forward(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["ts", "purchase_value"],
+    )
+
+
+ASOF_FORWARD_ORACLE = """
+WITH v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts, round(sum(value), 2) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT v.event_id, v.user_id, v.ts,
+       (SELECT p.ts FROM p
+        WHERE p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY p.ts LIMIT 1) AS ts_next,
+       (SELECT p.purchase_value FROM p
+        WHERE p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY p.ts LIMIT 1) AS purchase_value_next
+FROM v
+"""
+
+
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/incremental.py): the
+    corpus split deterministically into a 12/16 "base" and 4/16
+    "delta", each rolled up to additive partials, merged by key —
+    proving merge-of-partials equals the from-scratch aggregate (the
+    oracle).  Per-batch cost at scale is delta-sized, not
+    history-sized."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.incremental import (
+        additive_rollup,
+        merge_rollups,
+        read_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+    delta_digits = ["0", "1", "2", "3"]
+    base = additive_rollup(
+        ev.filter(~bucket.isin(delta_digits)), ["event_type"], "value"
+    )
+    delta = additive_rollup(
+        ev.filter(bucket.isin(delta_digits)), ["event_type"], "value"
+    )
+    return read_rollup(merge_rollups(base, delta, ["event_type"]))
+
+
+INCREMENTAL_ROLLUP_ORACLE = """
+SELECT event_type,
+       round(sum(value), 2) AS total_value,
+       round(sum(value) / count(*), 6) AS avg_value,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2699,6 +2783,12 @@ def build_registry() -> dict[str, QuerySpec]:
         "sim_lsh_near_dup": QuerySpec(sim_lsh_near_dup, SIM_NEAR_DUP_ORACLE),
         "sim_ivf_topk": QuerySpec(sim_ivf_topk, None),
         "sim_ivf_full_probe": QuerySpec(sim_ivf_full_probe, SIM_BRUTE_TOPK_ORACLE),
+        "asof_forward_next_purchase": QuerySpec(
+            asof_forward_next_purchase, ASOF_FORWARD_ORACLE
+        ),
+        "incremental_rollup": QuerySpec(
+            incremental_rollup, INCREMENTAL_ROLLUP_ORACLE
+        ),
         "asof_view_to_purchase": QuerySpec(asof_view_to_purchase, ASOF_ORACLE),
         "stream_tumbling": QuerySpec(stream_tumbling, STREAM_TUMBLING_ORACLE),
         "stream_session_window": QuerySpec(

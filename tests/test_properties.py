@@ -118,3 +118,59 @@ def test_asof_matches_direct_evaluation(spark, lefts, right_map):
         cands = [(rt, v) for (rk, rt, v) in rights if rk == k and rt <= t]
         expected = max(cands)[1] if cands else None
         assert got.get(i) == expected, (i, k, t, cands, got.get(i))
+
+
+@PROP
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=15
+    ),
+    right_map=st.dictionaries(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        st.integers(-5, 5),
+        max_size=15,
+    ),
+)
+def test_asof_forward_matches_direct_evaluation(spark, lefts, right_map):
+    """Forward as-of must pick the EARLIEST right row with rts >= lts
+    (inclusive) per key — mirror of the backward property."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.asof import (
+        asof_join_forward,
+    )
+
+    rights = [(k, t, v) for (k, t), v in right_map.items()]
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], ["k", "ts", "lid"]
+    )
+    right = spark.createDataFrame(
+        rights or [(0, 0, 0)], ["k", "ts", "val"]
+    ).limit(len(rights))
+    out = asof_join_forward(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["val"]
+    )
+    got = {r.lid: r.val_next for r in out.collect()}
+    for i, (k, t) in enumerate(lefts):
+        cands = [(rt, v) for (rk, rt, v) in rights if rk == k and rt >= t]
+        expected = min(cands)[1] if cands else None
+        assert got.get(i) == expected, (i, k, t, cands, got.get(i))
+
+
+@PROP
+@given(rows=change_rows, split=st.integers(0, 20))
+def test_incremental_rollup_merge_invariance(spark, rows, split):
+    """Merging partial rollups of any two-way split equals the
+    from-scratch rollup — the IVM correctness property."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.incremental import (
+        additive_rollup,
+        merge_rollups,
+    )
+
+    split = min(split, len(rows))
+    all_df = _cdc_df(spark, rows)
+    direct = additive_rollup(all_df, ["k"], "payload")
+    merged = merge_rollups(
+        additive_rollup(_cdc_df(spark, rows[:split]), ["k"], "payload"),
+        additive_rollup(_cdc_df(spark, rows[split:]), ["k"], "payload"),
+        ["k"],
+    )
+    assert _state(direct) == _state(merged)

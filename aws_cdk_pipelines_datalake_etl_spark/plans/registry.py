@@ -2686,6 +2686,50 @@ GROUP BY event_type
 """
 
 
+_EVENT_CATEGORIES = [
+    ("view", "engagement"),
+    ("click", "engagement"),
+    ("signup", "acquisition"),
+    ("purchase", "revenue"),
+    ("error", "ops"),
+]
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless stream-static enrichment (streaming/joins.py
+    stream_static_enrich): the event stream joined per micro-batch to
+    a broadcast dimension, rolled up by the dim attribute; equals the
+    batch join + GROUP BY on a finite source."""
+    import os
+
+    from aws_cdk_pipelines_datalake_etl_spark.streaming.joins import (
+        stream_static_enrich,
+    )
+
+    dim = spark.createDataFrame(_EVENT_CATEGORIES, ["event_type", "category"])
+    return stream_static_enrich(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        dim,
+        on="event_type",
+    )
+
+
+STREAM_STATIC_JOIN_ORACLE = """
+SELECT CASE event_type
+         WHEN 'view' THEN 'engagement'
+         WHEN 'click' THEN 'engagement'
+         WHEN 'signup' THEN 'acquisition'
+         WHEN 'purchase' THEN 'revenue'
+         ELSE 'ops'
+       END AS category,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2763,6 +2807,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "stream_daily_distinct": QuerySpec(
             stream_daily_distinct, STREAM_DAILY_DISTINCT_ORACLE
+        ),
+        "stream_static_join": QuerySpec(
+            stream_static_join, STREAM_STATIC_JOIN_ORACLE
         ),
         "text_quality_gate": QuerySpec(text_quality_gate, TEXT_QUALITY_GATE_ORACLE),
         "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TEXT_TFIDF_ORACLE),

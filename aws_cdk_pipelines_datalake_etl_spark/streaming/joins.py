@@ -94,3 +94,45 @@ def stream_interval_join(
         "right_ts",
         "right_value",
     )
+
+
+def stream_static_enrich(
+    spark: SparkSession,
+    stream_path: str,
+    dim: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Stream-static join: each micro-batch of the event stream is
+    enriched against a *static* (batch) dimension — Spark plans the
+    dim side as a per-batch broadcast, so the join is STATELESS: no
+    watermark needed, nothing accumulates, and at 100 TB/day stream
+    rates the cost is one broadcast hash probe per event.
+
+    This is the streaming twin of the reference's catalog-table joins
+    (SURVEY §2.6 — the declared join surface), demonstrated as a
+    keyed rollup over the enriched stream so the finite-source result
+    equals the equivalent batch join + GROUP BY (the oracle's claim).
+    """
+    stream = _read_stream(spark, stream_path, ts_col)
+    from aws_cdk_pipelines_datalake_etl_spark.functions.rounding import pround
+
+    enriched = stream.join(F.broadcast(dim), on=on)
+    agg_cols = [c for c in dim.columns if c != on]
+    agg = enriched.groupBy(*agg_cols).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        pround(F.sum(value_col), 2).alias("total_value"),
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

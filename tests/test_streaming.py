@@ -245,3 +245,24 @@ def test_stream_upsert_equals_batch_cdc(spark, tmp_path):
     ) == sorted(expected.select("user_id", "event_id").collect())
     # one row per key
     assert streamed.groupBy("user_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_upsert_batch_replay_is_idempotent(spark, tmp_path):
+    """Replaying the exact same micro-batch into the snapshot (the
+    foreachBatch failure-recovery scenario) must leave it unchanged."""
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import load_table
+    from aws_cdk_pipelines_datalake_etl_spark.streaming.sinks import (
+        upsert_batch_into_parquet,
+    )
+
+    table = str(tmp_path / "snap")
+    batch = (
+        load_table(spark, SF_DIR_SMOKE, "events")
+        .limit(500)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    upsert_batch_into_parquet(spark, batch, table, ["user_id"], "ts", "event_id")
+    state1 = sorted(map(tuple, spark.read.parquet(table).collect()))
+    upsert_batch_into_parquet(spark, batch, table, ["user_id"], "ts", "event_id")
+    state2 = sorted(map(tuple, spark.read.parquet(table).collect()))
+    assert state1 == state2

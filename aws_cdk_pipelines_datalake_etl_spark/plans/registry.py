@@ -2730,6 +2730,62 @@ GROUP BY 1
 """
 
 
+def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality suite over lineitem (operators/quality.py):
+    completeness + range checks in one aggregation pass, composite-key
+    uniqueness, and lineitem->orders referential integrity as an
+    anti-join count — the Glue Data Quality role, as a queryable
+    report table."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators import quality as dq
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        dq.completeness_and_bounds_report(
+            li,
+            completeness_cols=["l_orderkey", "l_shipdate"],
+            bounds={"l_discount": (0.0, 1.0), "l_quantity": (1.0, 50.0)},
+        )
+        .unionByName(dq.uniqueness_report(li, ["l_orderkey", "l_linenumber"]))
+        .unionByName(dq.referential_report(li, o, "l_orderkey", "o_orderkey"))
+    )
+
+
+DQ_REPORT_ORACLE = """
+SELECT 'completeness' AS check_name, 'l_orderkey' AS target,
+       round(count(l_orderkey) * 1.0 / count(*), 6) AS value,
+       count(l_orderkey) = count(*) AS passed
+FROM lineitem
+UNION ALL
+SELECT 'completeness', 'l_shipdate',
+       round(count(l_shipdate) * 1.0 / count(*), 6),
+       count(l_shipdate) = count(*)
+FROM lineitem
+UNION ALL
+SELECT 'bounds', 'l_discount',
+       round(avg(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 1.0 ELSE 0.0 END), 6),
+       min(l_discount) >= 0 AND max(l_discount) <= 1
+FROM lineitem
+UNION ALL
+SELECT 'bounds', 'l_quantity',
+       round(avg(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1.0 ELSE 0.0 END), 6),
+       min(l_quantity) >= 1 AND max(l_quantity) <= 50
+FROM lineitem
+UNION ALL
+SELECT 'uniqueness', 'l_orderkey+l_linenumber',
+       round(count(DISTINCT l_orderkey || chr(31) || l_linenumber) * 1.0
+             / count(*), 6),
+       count(DISTINCT l_orderkey || chr(31) || l_linenumber) = count(*)
+FROM lineitem
+UNION ALL
+SELECT 'referential', 'l_orderkey->o_orderkey',
+       CAST(n AS DOUBLE), n = 0
+FROM (SELECT count(*) AS n FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey))
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2836,6 +2892,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "incremental_rollup": QuerySpec(
             incremental_rollup, INCREMENTAL_ROLLUP_ORACLE
         ),
+        "dq_report": QuerySpec(dq_report, DQ_REPORT_ORACLE),
         "asof_view_to_purchase": QuerySpec(asof_view_to_purchase, ASOF_ORACLE),
         "stream_tumbling": QuerySpec(stream_tumbling, STREAM_TUMBLING_ORACLE),
         "stream_session_window": QuerySpec(

@@ -128,3 +128,32 @@ def test_stream_stream_join_equals_batch(spark):
     ).select("user_id", "left_id", "right_id", "left_ts", "right_ts", "right_value")
     key = lambda r: (r.user_id, r.left_id, r.right_id)  # noqa: E731
     assert sorted(streamed.collect(), key=key) == sorted(batch.collect(), key=key)
+
+
+def test_dq_checks_catch_injected_violations(spark):
+    """Nulls, out-of-range values, duplicate keys, and orphans must
+    flip the respective checks to passed=False with the right
+    metric values."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators import quality as dq
+
+    child = spark.createDataFrame(
+        [(1, 0.5), (2, 1.5), (2, 0.2), (None, 0.3)],
+        "k int, v double",
+    )
+    parent = spark.createDataFrame([(1,)], ["pk"])
+    rep = {
+        (r.check_name, r.target): (r.value, r.passed)
+        for r in dq.completeness_and_bounds_report(
+            child, ["k"], {"v": (0.0, 1.0)}
+        )
+        .unionByName(dq.uniqueness_report(child, ["k"]))
+        .unionByName(dq.referential_report(child, parent, "k", "pk"))
+        .collect()
+    }
+    assert rep[("completeness", "k")] == (0.75, False)
+    assert rep[("bounds", "v")] == (0.75, False)
+    # 3 distinct non-null-ish keys of 4 rows (None stringifies empty)
+    assert rep[("uniqueness", "k")][1] is False
+    # rows with k=2 (x2) are orphans; the null key row is not matched either
+    value, passed = rep[("referential", "k->pk")]
+    assert passed is False and value == 3.0

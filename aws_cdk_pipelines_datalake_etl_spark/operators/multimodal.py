@@ -24,7 +24,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -216,3 +218,51 @@ def sample_video_frames(
             )
 
     return df.select(id_col, blob_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+EMBEDDING_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def extract_embedding_batch(
+    df: DataFrame,
+    extractor: Callable[[bytes], list] | None = None,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    batch_size: int = 64,
+) -> DataFrame:
+    """Feature-extract binary payloads into a fixed-size embedding
+    column (``array<float>``) via ``mapInPandas`` — the bridge from
+    multimodal blobs to the similarity/ANN operators
+    (:mod:`.similarity` consumes exactly this column shape).
+
+    ``extractor(payload) -> list[float]``.  The default raises
+    NotImplementedError (model/codec libs absent in this
+    environment); tests inject a deterministic fake to prove the
+    plumbing end-to-end (blob -> embedding -> cosine search).
+    """
+
+    def _default(payload: bytes) -> list:
+        raise NotImplementedError(
+            "no feature extractor available in this environment; "
+            "inject extractor= (e.g. a CLIP/audio embedding fn)"
+        )
+
+    ext = extractor or _default
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "embedding": [ext(p) for p in pdf[blob_col]],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, EMBEDDING_SCHEMA)

@@ -107,3 +107,52 @@ def test_default_decoder_is_stubbed(spark, docs):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_blob_to_embedding_to_search_pipeline(spark):
+    """The full multimodal bridge: binary payloads -> deterministic
+    fake embeddings (mapInPandas) -> brute-force cosine search finds
+    each blob's own embedding as its nearest neighbor."""
+    import hashlib
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        extract_embedding_batch,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    def fake_extractor(payload: bytes) -> list:
+        # deterministic 8-dim vector from the payload hash
+        h = hashlib.md5(payload).digest()
+        return [float(b) / 255.0 for b in h[:8]]
+
+    blobs = spark.createDataFrame(
+        [(i, f"media-{i}".encode()) for i in range(20)], ["doc_id", "blob"]
+    )
+    emb = extract_embedding_batch(blobs, extractor=fake_extractor)
+    assert emb.schema["embedding"].dataType.simpleString() == "array<float>"
+    # query ids offset: brute_force_topk excludes self-id matches,
+    # and we want each query to find its own blob's embedding
+    queries = emb.filter("doc_id < 3").select(
+        (emb.doc_id + 1000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select(emb.doc_id.alias("vec_id"), "embedding")
+    top = brute_force_topk(corpus, queries, k=1).collect()
+    assert {(r.query_id, r.neighbor_id) for r in top} == {
+        (1000, 0), (1001, 1), (1002, 2)
+    }
+    assert all(r.cosine == 1.0 for r in top)
+
+
+def test_extract_embedding_default_raises(spark):
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        extract_embedding_batch,
+    )
+
+    blobs = spark.createDataFrame([(1, b"x")], ["doc_id", "blob"])
+    try:
+        extract_embedding_batch(blobs).collect()
+        raise AssertionError("expected NotImplementedError via Spark task")
+    except Exception as exc:  # Py4J wraps the worker exception
+        assert "NotImplementedError" in str(exc) or "no feature extractor" in str(exc)

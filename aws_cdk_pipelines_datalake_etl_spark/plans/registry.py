@@ -2513,6 +2513,47 @@ GROUP BY event_type
 """
 
 
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram statistics: top-20 word bigrams by
+    document frequency (each doc counts a bigram once).  Row-local
+    bigram generation + array_distinct, one count shuffle, totally
+    ordered top-k (count desc, bigram asc)."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.array_distinct(
+            F.expr(
+                "CASE WHEN size(split(lower(text), ' ')) < 2 THEN array()"
+                " ELSE transform(sequence(1, size(split(lower(text), ' ')) - 1),"
+                " i -> split(lower(text), ' ')[i - 1] || ' ' ||"
+                " split(lower(text), ' ')[i]) END"
+            )
+        ).alias("bigrams")
+    )
+    return (
+        d.select(F.explode("bigrams").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+TEXT_TOP_BIGRAMS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+bg AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS bigram
+  FROM d, (SELECT unnest(generate_series(1, 4000)) AS i) g
+  WHERE i <= len(w) - 1
+)
+SELECT bigram, count(*) AS doc_freq
+FROM bg
+GROUP BY bigram
+ORDER BY doc_freq DESC, bigram
+LIMIT 20
+"""
+
+
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking for pretraining data
     (operators/chunking.py chunk_documents): 64-token chunks every 48
@@ -2976,6 +3017,7 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "text_quality_gate": QuerySpec(text_quality_gate, TEXT_QUALITY_GATE_ORACLE),
         "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TEXT_TFIDF_ORACLE),
+        "text_top_bigrams": QuerySpec(text_top_bigrams, TEXT_TOP_BIGRAMS_ORACLE),
         "text_chunk_windows": QuerySpec(text_chunk_windows, TEXT_CHUNK_ORACLE),
         "text_pack_bins": QuerySpec(text_pack_bins, TEXT_PACK_ORACLE),
         "stream_sliding": QuerySpec(stream_sliding, STREAM_SLIDING_ORACLE),

@@ -221,3 +221,17 @@ def test_lsh_near_dup_single_arrow_pass_no_cartesian(spark):
     plan = formatted_plan(hyperplane_lsh_near_dup_pairs(emb))
     assert "ArrowEvalPython" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q51_collapses_into_scan(spark):
+    """Q6 shape: all three predicates pushed to the parquet scan and
+    only the needed columns read."""
+    df = R.q51_forecast_revenue(spark, SF_DIR_SMOKE)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_pushed_filter(df, "l_discount")
+    assert_pushed_filter(df, "l_quantity")
+    assert_read_schema_only(
+        df,
+        "lineitem",
+        {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"},
+    )

@@ -214,3 +214,23 @@ def test_green_name_mismatch_two_step_flow(spark, runner, lake_root):
         for r in pb.collect()
     }
     assert rows == {(2, 10): (2, 51.6), (1, 11): (1, 5.3)}
+
+
+def test_window_function_transform_through_pipeline(spark, runner, lake_root):
+    """The purpose-built job executes arbitrary Spark SQL (the §2.6
+    observation, etl_conformed_to_purposebuilt.py:199) — proven here
+    with a window-function transform (transforms/user_events.sql)
+    flowing through the full raw -> conformed -> purpose-built path."""
+    key = "app_events/user_events/events.csv"
+    path = os.path.join(lake_root, "raw", key)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("event_id,user_id,amount\n")
+        f.write("1,7,10.0\n2,7,5.0\n3,8,2.0\n4,7,1.0\n")
+    res = runner.on_file(key)
+    assert res.status == "SUCCEEDED", res.error_message
+    out = {
+        r.event_id: r.running_amount
+        for r in spark.table("app_events_purposebuilt.user_events").collect()
+    }
+    assert out == {1: 10.0, 2: 15.0, 3: 2.0, 4: 16.0}

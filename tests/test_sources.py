@@ -66,3 +66,15 @@ def test_orc_raw_file_through_pipeline(spark, lake_root, tmp_path):
     res = runner.on_file(key)
     assert res.status == "SUCCEEDED", res.error_message
     assert spark.table("warehouse.orc_items").count() == 3
+
+
+def test_cli_parser_modes():
+    from aws_cdk_pipelines_datalake_etl_spark.__main__ import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["--lake", "/x", "--file", "s/t/f.csv"])
+    assert a.file == "s/t/f.csv" and not a.scan and a.watch is None
+    a = p.parse_args(["--lake", "/x", "--scan"])
+    assert a.scan
+    a = p.parse_args(["--lake", "/x", "--watch", "3", "--poll-seconds", "0.5"])
+    assert a.watch == 3 and a.poll_seconds == 0.5

@@ -2931,6 +2931,60 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 """
 
 
+def q54_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of event values — data-profiling
+    shape, formulated for scale: a global ``ntile`` would sort the
+    whole table in ONE partition, so instead the 9 decile boundaries
+    come from one partial-aggregating ``percentile`` pass, broadcast
+    as a single row, and each row's bucket is a row-local comparison
+    count against the (rounded) boundaries.  Two narrow passes, no
+    global sort."""
+    ev = _t(spark, sf_dir, "events")
+    qs = [i / 10.0 for i in range(1, 10)]
+    bounds = ev.agg(
+        F.expr(
+            "transform(percentile(value, array({qs})), b -> round(b, 6))".format(
+                qs=", ".join(map(str, qs))
+            )
+        ).alias("bounds")
+    )
+    return (
+        ev.join(F.broadcast(bounds))
+        .withColumn(
+            "bucket",
+            (
+                F.lit(1)
+                + F.expr(
+                    "aggregate(bounds, 0, (acc, b) ->"
+                    " acc + CASE WHEN value > b THEN 1 ELSE 0 END)"
+                )
+            ).cast("int"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.min("value"), 2).alias("lo"),
+            pround(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+Q54_ORACLE = """
+WITH bounds AS (
+  SELECT list_transform(
+           quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           b -> round(b, 6)) AS bs
+  FROM events
+)
+SELECT CAST(1 + len(list_filter(bs, b -> value > b)) AS INTEGER) AS bucket,
+       count(*) AS n,
+       round(min(value), 2) AS lo,
+       round(max(value), 2) AS hi
+FROM events, bounds
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3000,6 +3054,9 @@ def build_registry() -> dict[str, QuerySpec]:
         "q51_forecast_revenue": QuerySpec(q51_forecast_revenue, Q51_ORACLE),
         "q52_product_profit": QuerySpec(q52_product_profit, Q52_ORACLE),
         "q53_top_supplier": QuerySpec(q53_top_supplier, Q53_ORACLE),
+        "q54_equidepth_histogram": QuerySpec(
+            q54_equidepth_histogram, Q54_ORACLE
+        ),
         "q49_variant_json": QuerySpec(q49_variant_json, Q49_ORACLE),
         "q46_funnel_stages": QuerySpec(q46_funnel_stages, Q46_ORACLE),
         "q47_reaggregation_rollup": QuerySpec(

@@ -2938,7 +2938,9 @@ def q54_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from one partial-aggregating ``percentile`` pass, broadcast
     as a single row, and each row's bucket is a row-local comparison
     count against the (rounded) boundaries.  Two narrow passes, no
-    global sort."""
+    global sort.  (The conditionless 1-row join plans as a
+    BroadcastNestedLoopJoin — with a single-row build side that IS
+    the scalar-broadcast pattern, one in-memory row per task.)"""
     ev = _t(spark, sf_dir, "events")
     qs = [i / 10.0 for i in range(1, 10)]
     bounds = ev.agg(

@@ -43,6 +43,50 @@ def hash_sample_predicate_sql(id_col: str, sixteenths: int) -> str:
     return f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 1) IN ({accepted})"
 
 
+def train_val_test_split(
+    df: DataFrame, id_col: str, val_sixteenths: int = 1, test_sixteenths: int = 1
+) -> DataFrame:
+    """Deterministic 3-way corpus split: the first hex digit of
+    ``md5(id)`` routes each row to test (first ``test_sixteenths``
+    digits), val (next ``val_sixteenths``), or train (the rest).
+
+    Row-local (no shuffle, no RNG) and stable across runs, engines,
+    and partitionings — the property a reproducible training corpus
+    needs; and because bucket ranges nest, growing the corpus never
+    moves an existing row between splits."""
+    if val_sixteenths + test_sixteenths >= 16:
+        raise ValueError("val+test must leave room for train")
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    test_digits = list(HEX_DIGITS[:test_sixteenths])
+    val_digits = list(HEX_DIGITS[test_sixteenths : test_sixteenths + val_sixteenths])
+    return df.withColumn(
+        "split",
+        F.when(bucket.isin(test_digits), "test")
+        .when(bucket.isin(val_digits), "val")
+        .otherwise("train"),
+    )
+
+
+def cap_per_class(
+    df: DataFrame, id_col: str, class_col: str, cap: int
+) -> DataFrame:
+    """Keep at most ``cap`` rows per class, chosen deterministically:
+    rows rank by (md5(id), id) inside their class, so the kept set is
+    a stable pseudo-random subsample per class — the standard
+    majority-class down-capping pass for label balancing.  One
+    shuffle (the per-class window)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(class_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame, id_col: str, stratum_col: str, sixteenths_by_stratum: dict[str, int]
 ) -> DataFrame:

@@ -2987,6 +2987,106 @@ GROUP BY 1
 """
 
 
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-way split sizes (operators/sampling.py
+    train_val_test_split): 1/16 test, 1/16 val, 14/16 train —
+    row-local md5 routing, stable across engines/partitionings."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    return (
+        train_val_test_split(_t(spark, sf_dir, "documents"), "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SAMPLE_SPLIT_ORACLE = """
+SELECT CASE
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' THEN 'test'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '1' THEN 'val'
+         ELSE 'train'
+       END AS split,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+def sample_cap_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class down-capping (operators/sampling.py cap_per_class):
+    at most 300 events per event_type, picked by deterministic
+    md5-order rank — the label-balancing pass, oracle-replayed with
+    the same window."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        cap_per_class,
+    )
+
+    return cap_per_class(
+        _t(spark, sf_dir, "events"), "event_id", "event_type", cap=300
+    ).select("event_id", "event_type")
+
+
+SAMPLE_CAP_ORACLE = """
+SELECT event_id, event_type
+FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events
+)
+WHERE rn <= 300
+"""
+
+
+def q55_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total analytics: each nation's revenue share within
+    its region — a windowed sum over the aggregate (one extra
+    exchange on the small aggregated relation, never on the fact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    per_nation = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        "revenue",
+        pround(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
+            "region_share"
+        ),
+    )
+
+
+Q55_ORACLE = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name, revenue,
+       round(revenue / sum(revenue) OVER (PARTITION BY r_name), 6)
+         AS region_share
+FROM per_nation
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3068,6 +3168,11 @@ def build_registry() -> dict[str, QuerySpec]:
         "sample_stratified": QuerySpec(
             sample_stratified, _sample_stratified_oracle()
         ),
+        "sample_train_val_test": QuerySpec(
+            sample_train_val_test, SAMPLE_SPLIT_ORACLE
+        ),
+        "sample_cap_per_class": QuerySpec(sample_cap_per_class, SAMPLE_CAP_ORACLE),
+        "q55_ratio_to_report": QuerySpec(q55_ratio_to_report, Q55_ORACLE),
         "stream_daily_distinct": QuerySpec(
             stream_daily_distinct, STREAM_DAILY_DISTINCT_ORACLE
         ),

@@ -3087,6 +3087,117 @@ FROM per_nation
 """
 
 
+_CLUSTER_DROP_CTE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) g
+  WHERE i <= len(w) - 2
+), sizes AS (
+  SELECT id, count(*) AS n FROM sh GROUP BY id
+), pair AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+), dup AS (
+  SELECT id1, id2
+  FROM pair
+  JOIN sizes sa ON sa.id = id1
+  JOIN sizes sb ON sb.id = id2
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+), edges AS (
+  SELECT id1 AS a, id2 AS b FROM dup
+  UNION
+  SELECT id2, id1 FROM dup
+), reach(node, peer) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a
+), dropped AS (
+  SELECT node FROM (
+    SELECT node, least(node, min(peer)) AS rep FROM reach GROUP BY node
+  ) WHERE node != rep
+)
+"""
+
+
+def _dedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-representative members of near-dup clusters — the docs
+    dedup removes."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.clusters import (
+        dedup_cluster_representatives,
+    )
+
+    pairs = dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+    clusters = dedup_cluster_representatives(pairs)
+    return clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select(
+        "doc_id"
+    )
+
+
+def corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduped corpus: every document except non-representative
+    near-dup cluster members (MinHash-LSH pairs -> connected
+    components -> keep min-id per cluster) — the end product the
+    dedup family exists for, as one anti join."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(_dedup_dropped(spark, sf_dir), "doc_id", "left_anti")
+
+
+CORPUS_SURVIVORS_ORACLE = (
+    _CLUSTER_DROP_CTE
+    + """
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM dropped)
+"""
+)
+
+
+def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's capstone composition — the final training corpus:
+    documents that (a) pass the quality gate, (b) survive near-dup
+    cluster collapse, and (c) route to the train split.  Three
+    operator families composed as semi/anti joins on doc_id; each
+    piece is individually oracle-checked elsewhere, and here the
+    whole pipeline is checked as one relation."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    passing = tx.quality_gate(docs).select("doc_id")
+    train = (
+        train_val_test_split(docs, "doc_id")
+        .filter(F.col("split") == "train")
+        .select("doc_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(passing, "doc_id", "left_semi")
+        .join(_dedup_dropped(spark, sf_dir), "doc_id", "left_anti")
+        .join(train, "doc_id", "left_semi")
+    )
+
+
+CORPUS_TRAINING_SET_ORACLE = (
+    _CLUSTER_DROP_CTE
+    + """
+, metrics AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+         round(len(list_distinct(string_split(lower(text), ' '))) * 1.0
+               / len(string_split(lower(text), ' ')), 6) AS ttr
+  FROM documents
+)
+SELECT doc_id FROM metrics
+WHERE n_tokens >= 30 AND ttr >= 0.35 AND ttr <= 0.95
+  AND doc_id NOT IN (SELECT node FROM dropped)
+  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('0', '1')
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3191,6 +3302,12 @@ def build_registry() -> dict[str, QuerySpec]:
         "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _JACCARD_ORACLE),
         "dedup_simhash": QuerySpec(dedup_simhash, _simhash_oracle()),
         "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_ORACLE),
+        "corpus_dedup_survivors": QuerySpec(
+            corpus_dedup_survivors, CORPUS_SURVIVORS_ORACLE
+        ),
+        "corpus_training_set": QuerySpec(
+            corpus_training_set, CORPUS_TRAINING_SET_ORACLE
+        ),
         "text_metrics": QuerySpec(text_metrics_q, TEXT_METRICS_ORACLE),
         "text_langid": QuerySpec(text_langid, _langid_oracle()),
         "text_token_count": QuerySpec(text_token_count, TEXT_TOKEN_COUNT_ORACLE),

@@ -43,6 +43,27 @@ def hash_sample_predicate_sql(id_col: str, sixteenths: int) -> str:
     return f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 1) IN ({accepted})"
 
 
+def row_uniform(id_col: str) -> "F.Column":
+    """Deterministic per-row uniform in [0, 1): the first 8 hex
+    digits of ``md5(id)`` as a 32-bit integer over 2^32.  Portable —
+    the DuckDB twin is ``('0x' || substr(md5(id), 1, 8))::BIGINT /
+    4294967296.0`` — and row-local, so weighted keep decisions are
+    reproducible anywhere."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+
+
+def weighted_hash_sample(df: DataFrame, id_col: str, weight_col) -> DataFrame:
+    """Keep each row with probability = its weight in [0, 1], decided
+    by the deterministic row uniform — importance/quality-weighted
+    corpus sampling with an exactly reproducible kept set (no RNG, no
+    shuffle)."""
+    return df.filter(row_uniform(id_col) < F.col(weight_col))
+
+
 def train_val_test_split(
     df: DataFrame, id_col: str, val_sixteenths: int = 1, test_sixteenths: int = 1
 ) -> DataFrame:

@@ -3205,6 +3205,113 @@ WHERE n_tokens >= 30 AND ttr >= 0.35 AND ttr <= 0.95
 )
 
 
+_U32_SQL = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)"
+    " / 4294967296.0"
+)
+
+
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling (operators/sampling.py
+    weighted_hash_sample): keep probability = type-token ratio
+    clamped to [0.1, 1], decided by the deterministic row uniform —
+    higher-quality docs survive more often, and the kept set is
+    bit-reproducible (both engines compute the identical weight from
+    the identical rounded metric)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    m = tx.text_metrics(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.least(
+            F.lit(1.0), F.greatest(F.lit(0.1), F.col("type_token_ratio"))
+        ).alias("w"),
+    )
+    return weighted_hash_sample(m, "doc_id", "w").select("doc_id")
+
+
+SAMPLE_WEIGHTED_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         round(len(list_distinct(string_split(lower(text), ' '))) * 1.0
+               / len(string_split(lower(text), ' ')), 6) AS ttr
+  FROM documents
+)
+SELECT doc_id FROM m
+WHERE {_U32_SQL} < least(1.0, greatest(0.1, ttr))
+"""
+
+
+def sample_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform data-mixture rebalance: every source downsampled to
+    (in expectation) HALF the smallest source's size — per-source
+    keep fraction min_count/(2*count), applied with the deterministic
+    row uniform (the halving keeps the fraction strictly < 1 so the
+    filter provably discriminates even on an already-balanced
+    corpus).  Two tiny aggregates broadcast against the fact scan;
+    the keep decision itself is row-local."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import row_uniform
+
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    mn = counts.agg(F.min("n").alias("mn"))
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(counts), "source")
+        .join(F.broadcast(mn))
+        .filter(row_uniform("doc_id") < F.col("mn") / (2 * F.col("n")))
+        .select("doc_id", "source")
+    )
+
+
+SAMPLE_REBALANCE_ORACLE = f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+mn AS (SELECT min(n) AS mn FROM counts)
+SELECT d.doc_id, d.source
+FROM documents d
+JOIN counts c ON d.source = c.source
+CROSS JOIN mn
+WHERE {_U32_SQL} < mn * 0.5 / c.n
+"""
+
+
+def text_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal: keep each token's FIRST
+    occurrence, preserving order — the within-doc dedup quality pass.
+    Entirely row-local (an indexed lambda filter over the token
+    array); emits the compression ratio the filter achieves."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    )
+    deduped = F.expr("filter(w, (x, i) -> array_position(w, x) == i + 1)")
+    return d.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.size(deduped).alias("n_after"),
+        pround(F.size(deduped) / F.size("w"), 6).alias("keep_ratio"),
+        F.array_join(deduped, " ").alias("dedup_text"),
+    )
+
+
+TEXT_REPETITION_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+x AS (
+  SELECT doc_id, w,
+         list_filter(w, (t, i) -> list_position(w, t) = i) AS dd
+  FROM d
+)
+SELECT doc_id,
+       CAST(len(w) AS INTEGER)  AS n_tokens,
+       CAST(len(dd) AS INTEGER) AS n_after,
+       round(len(dd) * 1.0 / len(w), 6) AS keep_ratio,
+       array_to_string(dd, ' ') AS dedup_text
+FROM x
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3290,6 +3397,15 @@ def build_registry() -> dict[str, QuerySpec]:
             sample_train_val_test, SAMPLE_SPLIT_ORACLE
         ),
         "sample_cap_per_class": QuerySpec(sample_cap_per_class, SAMPLE_CAP_ORACLE),
+        "sample_quality_weighted": QuerySpec(
+            sample_quality_weighted, SAMPLE_WEIGHTED_ORACLE
+        ),
+        "sample_source_rebalance": QuerySpec(
+            sample_source_rebalance, SAMPLE_REBALANCE_ORACLE
+        ),
+        "text_repetition_removal": QuerySpec(
+            text_repetition_removal, TEXT_REPETITION_ORACLE
+        ),
         "q55_ratio_to_report": QuerySpec(q55_ratio_to_report, Q55_ORACLE),
         "stream_daily_distinct": QuerySpec(
             stream_daily_distinct, STREAM_DAILY_DISTINCT_ORACLE

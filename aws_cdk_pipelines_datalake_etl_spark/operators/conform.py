@@ -21,7 +21,9 @@ bounded by cluster cores, no small-file explosion.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import NullType, StructType
 
@@ -69,17 +71,34 @@ def read_raw(
     return read_raw_csv(spark, path, schema=schema)
 
 
+class ConformResult(NamedTuple):
+    table: DataFrame  # the conformed catalog table
+    n_rows: int  # rows written, observed during the write itself
+
+
 def conform(
     spark: SparkSession,
     params: JobParams,
     conformed_root: str,
     schema: StructType | None = None,
-) -> DataFrame:
-    """Run the conformance job for one raw file; returns the conformed
-    DataFrame (parity: etl_raw_to_conformed.py:176-221 ``main``)."""
+) -> ConformResult:
+    """Run the conformance job for one raw file
+    (parity: etl_raw_to_conformed.py:176-221 ``main``).
+
+    The row count comes from an ``Observation`` attached to the write
+    plan, not a re-read of the written table: the write materializes
+    every column, so DROPMALFORMED's column-dependent row filtering is
+    fully resolved in that same action (counting any *narrower* plan
+    would be wrong — malformed detection depends on which columns get
+    parsed), and the count costs nothing extra.  At 100 TB that's one
+    full table scan saved per ingested file.
+    """
     df = read_raw(spark, params.source_path, schema=schema)
     df = stamp_partitions(df, *params.partition_values)
     df = repair_null_columns(df)
+
+    obs = Observation(f"conform_{params.execution_id or params.table_name}")
+    df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
 
     location = f"{conformed_root.rstrip('/')}/{params.table_name}"
     (
@@ -88,6 +107,7 @@ def conform(
         .mode("overwrite")  # dynamic overwrite: only touched partitions replaced
         .save(location)
     )
+    n_rows = int(obs.get["n_rows"])
     # catalog upsert after the write so the external location exists
     # (same net state as the reference's upsert-then-write order)
     catalog.upsert_table(
@@ -98,8 +118,7 @@ def conform(
         location=location,
     )
     catalog.recover_partitions(spark, params.target_database_name, params.table_name)
-    # Return the conformed table, not the pre-write plan: with
-    # DROPMALFORMED, CSV malformed-row detection depends on which
-    # columns a given action parses (column pruning), so the written
-    # table is the single source of truth for row counts.
-    return spark.table(f"`{params.target_database_name}`.`{params.table_name}`")
+    table = spark.table(
+        f"`{params.target_database_name}`.`{params.table_name}`"
+    )
+    return ConformResult(table, n_rows)

@@ -123,7 +123,7 @@ class PipelineRunner:
         (step_functions_stack.py:154-205)."""
         try:
             conformed = conform(self.spark, params, self.layout.conformed)
-            conformed_rows = conformed.count()
+            conformed_rows = conformed.n_rows  # observed during the write
             purpose_db = (
                 self.purposebuilt_database
                 or f"{params.source_system_name}_purposebuilt"

@@ -17,8 +17,10 @@ free and are validated by the oracle harness.
 from __future__ import annotations
 
 from pathlib import Path
+from typing import NamedTuple
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from aws_cdk_pipelines_datalake_etl_spark import catalog
 from aws_cdk_pipelines_datalake_etl_spark.params import JobParams
@@ -31,17 +33,27 @@ def run_sql(spark: SparkSession, sql_text: str) -> DataFrame:
     return spark.sql(sql_text)
 
 
+class TransformResult(NamedTuple):
+    table: DataFrame  # the purpose-built catalog table
+    n_rows: int  # rows written, observed during the write itself
+
+
 def transform(
     spark: SparkSession,
     params: JobParams,
     purposebuilt_root: str,
     transforms_dir: str | Path | None = None,
     target_database: str | None = None,
-) -> DataFrame:
+) -> TransformResult:
     """Run the purpose-built job for one conformed table
-    (parity: etl_conformed_to_purposebuilt.py:180-212 ``main``)."""
+    (parity: etl_conformed_to_purposebuilt.py:180-212 ``main``).
+    The row count is observed during the write (same rationale as
+    operators/conform.py: no second scan of the written table)."""
     sql_text = load_transform_sql(params.table_name, transforms_dir)
     df = run_sql(spark, sql_text)
+
+    obs = Observation(f"transform_{params.execution_id or params.table_name}")
+    df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
 
     database = target_database or params.target_database_name
     location = f"{purposebuilt_root.rstrip('/')}/{params.table_name}"
@@ -51,6 +63,7 @@ def transform(
         .mode("overwrite")
         .save(location)
     )
+    n_rows = int(obs.get["n_rows"])
     catalog.upsert_table(
         spark,
         df,
@@ -59,4 +72,6 @@ def transform(
         location=location,
     )
     catalog.recover_partitions(spark, database, params.table_name)
-    return spark.table(f"`{database}`.`{params.table_name}`")
+    return TransformResult(
+        spark.table(f"`{database}`.`{params.table_name}`"), n_rows
+    )

@@ -136,7 +136,7 @@ class PipelineRunner:
                     transforms_dir=self.transforms_dir,
                     target_database=purpose_db,
                 )
-                purposebuilt_rows = built.count()
+                purposebuilt_rows = built.n_rows  # observed during the write
             except TransformNotFoundError:
                 # No transform registered for this table: conformance
                 # alone is a valid pipeline outcome.

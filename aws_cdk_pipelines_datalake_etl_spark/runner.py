@@ -174,6 +174,7 @@ class PipelineRunner:
         polls: int,
         poll_seconds: float = 1.0,
         sleep: Callable[[float], None] | None = None,
+        ledger_path: str | None = None,
     ) -> list[RunResult]:
         """Continuous O1 trigger: poll the raw zone ``polls`` times,
         firing the 2-job DAG once per NEWLY seen file (arrival order).
@@ -183,6 +184,13 @@ class PipelineRunner:
         are keyed by relative path; re-delivering the same key is safe
         anyway (dynamic-partition-overwrite idempotency, K1), so a
         restart that loses the seen-set only rewrites partitions.
+
+        With ``ledger_path`` the seen-set is durable: each processed
+        key is appended (one line, flushed) and reloaded on start, so
+        a restarted watcher skips everything already processed —
+        exactly-once *processing* on top of the at-least-once/
+        idempotent base.  The ledger is driver-side control metadata
+        (keys, not data); at lake scale it stays tiny.
         ``sleep`` is injectable so tests drive arrivals
         deterministically.
         """
@@ -190,16 +198,30 @@ class PipelineRunner:
 
         do_sleep = sleep or _time.sleep
         seen: set[str] = set()
+        if ledger_path and Path(ledger_path).is_file():
+            seen.update(
+                line.strip()
+                for line in Path(ledger_path).read_text().splitlines()
+                if line.strip()
+            )
+        ledger = open(ledger_path, "a") if ledger_path else None
         results: list[RunResult] = []
-        for i in range(polls):
-            root = Path(self.layout.raw)
-            if root.is_dir():
-                for p in sorted(root.rglob("*")):
-                    if p.is_file():
-                        key = str(p.relative_to(root))
-                        if key not in seen:
-                            seen.add(key)
-                            results.append(self.on_file(key))
-            if i < polls - 1:
-                do_sleep(poll_seconds)
+        try:
+            for i in range(polls):
+                root = Path(self.layout.raw)
+                if root.is_dir():
+                    for p in sorted(root.rglob("*")):
+                        if p.is_file():
+                            key = str(p.relative_to(root))
+                            if key not in seen:
+                                seen.add(key)
+                                results.append(self.on_file(key))
+                                if ledger:
+                                    ledger.write(key + "\n")
+                                    ledger.flush()
+                if i < polls - 1:
+                    do_sleep(poll_seconds)
+        finally:
+            if ledger:
+                ledger.close()
         return results

@@ -234,3 +234,39 @@ def test_window_function_transform_through_pipeline(spark, runner, lake_root):
         for r in spark.table("app_events_purposebuilt.user_events").collect()
     }
     assert out == {1: 10.0, 2: 15.0, 3: 2.0, 4: 16.0}
+
+
+def test_watch_ledger_survives_restart(spark, lake_root, tmp_path):
+    """A restarted watcher with a durable ledger must skip files the
+    previous instance already processed."""
+    ledger = str(tmp_path / "processed.ledger")
+
+    def write_raw(key, rows):
+        path = os.path.join(lake_root, "raw", key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write("id,v\n" + "\n".join(rows) + "\n")
+
+    def make_runner():
+        return PipelineRunner(
+            spark=spark,
+            layout=LakeLayout(lake_root),
+            transforms_dir=os.path.join(
+                os.path.dirname(__file__), "..", "transforms"
+            ),
+            notifier=lambda s, m: None,
+            clock=lambda: FIXED_NOW,
+        )
+
+    write_raw("shop/led1/a.csv", ["1,10"])
+    r1 = make_runner().watch(polls=1, ledger_path=ledger)
+    assert [x.params.table_name for x in r1] == ["led1"]
+
+    # restart: a NEW runner instance, one old file + one new file
+    write_raw("shop/led2/b.csv", ["2,20"])
+    r2 = make_runner().watch(polls=1, ledger_path=ledger)
+    assert [x.params.table_name for x in r2] == ["led2"]  # led1 skipped
+    assert sorted(open(ledger).read().split()) == [
+        "shop/led1/a.csv",
+        "shop/led2/b.csv",
+    ]

@@ -26,6 +26,11 @@ def build_parser() -> argparse.ArgumentParser:
     mode.add_argument("--scan", action="store_true", help="process all raw files once")
     mode.add_argument("--watch", type=int, metavar="POLLS", help="poll the raw zone POLLS times")
     p.add_argument("--poll-seconds", type=float, default=5.0)
+    p.add_argument(
+        "--ledger",
+        default=None,
+        help="durable processed-file ledger for --watch (skip across restarts)",
+    )
     return p
 
 
@@ -46,7 +51,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.scan:
         results = runner.scan_raw_zone()
     else:
-        results = runner.watch(polls=args.watch, poll_seconds=args.poll_seconds)
+        results = runner.watch(
+            polls=args.watch,
+            poll_seconds=args.poll_seconds,
+            ledger_path=args.ledger,
+        )
     failed = [r for r in results if r.status != "SUCCEEDED"]
     for r in results:
         print(

@@ -158,3 +158,40 @@ def test_dynamic_partition_pruning_on_partitioned_lake(spark, tmp_path):
     )
     plan = formatted_plan(joined)
     assert "dynamicpruningexpression" in plan.lower(), plan
+
+
+def test_sorted_write_produces_skippable_file_ranges(spark, tmp_path):
+    """Writing repartitioned-by-range + sorted-within-partitions on the
+    filter column must yield parquet files whose min/max ranges are
+    (near-)disjoint — the footer-stats layout that lets a selective
+    filter skip whole files/row-groups at scan time.  Verified against
+    the actual parquet metadata via pyarrow."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import load_table
+
+    path = str(tmp_path / "ev_sorted")
+    ev = load_table(spark, SF_DIR_SMOKE, "events").select("user_id", "value")
+    (
+        ev.repartitionByRange(4, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.parquet(path)
+    )
+    ranges = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        names = md.schema.to_arrow_schema().names
+        col_idx = names.index("user_id")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: {(lo1, hi1)} vs {(lo2, hi2)}"

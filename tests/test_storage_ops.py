@@ -195,3 +195,35 @@ def test_sorted_write_produces_skippable_file_ranges(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"file ranges overlap: {(lo1, hi1)} vs {(lo2, hi2)}"
+
+
+def test_cluster_rewrite_preserves_rows_and_ranges(spark, tmp_path):
+    """cluster_parquet_dir must keep the exact row multiset while
+    producing the disjoint-range file layout."""
+    import pyarrow.parquet as pq
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.maintenance import (
+        cluster_parquet_dir,
+    )
+
+    path = str(tmp_path / "ev_unsorted")
+    ev = load_table(spark, SF_DIR_SMOKE, "events").select(
+        "event_id", "user_id", "value"
+    )
+    ev.repartition(8).write.parquet(path)  # interleaved layout
+    before = sorted(r.event_id for r in spark.read.parquet(path).collect())
+    n = cluster_parquet_dir(spark, path, "user_id", n_files=4)
+    assert n == 4
+    after = sorted(r.event_id for r in spark.read.parquet(path).collect())
+    assert after == before
+    ranges = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        idx = md.schema.to_arrow_schema().names.index("user_id")
+        stats = [md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2

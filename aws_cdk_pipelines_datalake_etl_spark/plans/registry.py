@@ -2778,6 +2778,44 @@ GROUP BY 1
 """
 
 
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream interval join
+    (streaming/joins.py stream_interval_left_join): matched pairs
+    stream out normally; unmatched views emit with nulls only after a
+    sentinel batch sweeps the watermark past their join window —
+    equal to the batch left join, which is exactly what the oracle
+    asserts."""
+    import os
+
+    from aws_cdk_pipelines_datalake_etl_spark.streaming.joins import (
+        stream_interval_left_join,
+    )
+
+    return stream_interval_left_join(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
+STREAM_LEFT_OUTER_ORACLE = """
+WITH v AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id,
+       v.event_id AS left_id,
+       p.event_id AS right_id,
+       v.ts AS left_ts,
+       p.ts AS right_ts
+FROM v
+LEFT JOIN p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
 def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality suite over lineitem (operators/quality.py):
     completeness + range checks in one aggregation pass, composite-key
@@ -3412,6 +3450,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "stream_static_join": QuerySpec(
             stream_static_join, STREAM_STATIC_JOIN_ORACLE
+        ),
+        "stream_left_outer_join": QuerySpec(
+            stream_left_outer_join, STREAM_LEFT_OUTER_ORACLE
         ),
         "text_quality_gate": QuerySpec(text_quality_gate, TEXT_QUALITY_GATE_ORACLE),
         "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TEXT_TFIDF_ORACLE),

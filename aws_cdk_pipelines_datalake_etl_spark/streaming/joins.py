@@ -136,3 +136,130 @@ def stream_static_enrich(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_interval_left_join(
+    spark: SparkSession,
+    path: str,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the hardest watermark
+    semantics: matched pairs emit like the inner join, but an
+    UNMATCHED left row can only emit (with nulls) once the watermark
+    has passed ``left_ts + horizon``, proving no match can still
+    arrive.  On a finite source the watermark stalls at
+    ``max(ts) - delay``, which would withhold the tail's unmatched
+    rows forever — so this driver feeds the data as batch one, then a
+    far-future sentinel pair as batch two, advancing the watermark
+    past everything; the drained result then equals the BATCH left
+    join (the oracle's claim).  Sentinels use negative ids/users and
+    are filtered from the output.
+    """
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    batch = spark.read.parquet(path)
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import (
+        fix_nanos_timestamps,
+    )
+
+    max_ts = (
+        fix_nanos_timestamps(batch, (ts_col,))
+        .agg(F.max(ts_col).alias("mx"))
+        .collect()[0]["mx"]
+    )
+    src_dir = tempfile.mkdtemp(prefix="ssleftjoin_")
+    if os.path.isfile(path):
+        shutil.copy(path, os.path.join(src_dir, "batch0.parquet"))
+    else:
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(path, f), os.path.join(src_dir, f))
+
+    schema = spark.read.parquet(src_dir).schema
+    src = fix_nanos_timestamps(
+        spark.readStream.schema(schema).parquet(src_dir), (ts_col,)
+    )
+    left = (
+        src.filter(F.col("event_type") == left_type)
+        .select(
+            F.col(key_col).alias("l_user"),
+            F.col("event_id").alias("left_id"),
+            F.col(ts_col).alias("left_ts"),
+        )
+        .withWatermark("left_ts", watermark)
+    )
+    right = (
+        src.filter(F.col("event_type") == right_type)
+        .select(
+            F.col(key_col).alias("r_user"),
+            F.col("event_id").alias("right_id"),
+            F.col(ts_col).alias("right_ts"),
+        )
+        .withWatermark("right_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    )
+    name = f"ssleft_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch two: one sentinel per side, 30 days past the end —
+        # the watermark sweep that releases every unmatched left row.
+        # Rows are built against the SOURCE file schema (testdata
+        # stores ts as nanos-long; other sources as timestamp).
+        from pyspark.sql.types import LongType
+
+        sentinel_ts = pd.Timestamp(max_ts) + pd.Timedelta(days=30)
+        ts_value = (
+            int(sentinel_ts.value)
+            if isinstance(schema[ts_col].dataType, LongType)
+            else sentinel_ts.to_pydatetime()
+        )
+
+        def sentinel_row(event_id: int, event_type: str) -> tuple:
+            vals = {
+                "event_id": event_id,
+                ts_col: ts_value,
+                key_col: -1,
+                "event_type": event_type,
+                "value": 0.0,
+                "props": "{}",
+            }
+            return tuple(vals.get(f.name) for f in schema.fields)
+
+        sentinels = spark.createDataFrame(
+            [sentinel_row(-1, left_type), sentinel_row(-2, right_type)], schema
+        )
+        sentinels.coalesce(1).write.mode("append").parquet(src_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .filter(F.col("l_user") >= 0)
+        .select(
+            F.col("l_user").alias("user_id"),
+            "left_id",
+            "right_id",
+            "left_ts",
+            "right_ts",
+        )
+    )

@@ -3350,6 +3350,128 @@ FROM x
 """
 
 
+def q56_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-nation customer and supplier counts kept
+    even when a nation has only one side — both aggregates reduced
+    BEFORE the join (25-row inputs), so the outer join is trivial
+    regardless of fact size."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        c.join(s, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+Q56_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey AS nk, count(*) AS n_customers FROM customer GROUP BY 1
+),
+s AS (
+  SELECT s_nationkey AS nk, count(*) AS n_suppliers FROM supplier GROUP BY 1
+)
+SELECT coalesce(c.nk, s.nk) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+"""
+
+
+def q57_dense_grid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-grid report: every (region x order-priority) cell,
+    zero-filled — an intentional small CROSS JOIN of two dimensions
+    left-joined to the aggregated facts.  The cartesian product is
+    |regions| x |priorities| (tiny and bounded); the fact side is
+    pre-aggregated so nothing big ever crosses."""
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    prio = _t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    facts = (
+        _t(spark, sf_dir, "orders")
+        .join(_t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_regionkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = r.crossJoin(prio)
+    return (
+        grid.join(
+            facts,
+            (grid.r_regionkey == facts.n_regionkey)
+            & (grid.o_orderpriority == facts.o_orderpriority),
+            "left",
+        )
+        .select(
+            "r_name",
+            grid.o_orderpriority.alias("priority"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+Q57_ORACLE = """
+WITH grid AS (
+  SELECT r_regionkey, r_name, o_orderpriority
+  FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+),
+facts AS (
+  SELECT n_regionkey, o_orderpriority, count(*) AS n
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT g.r_name, g.o_orderpriority AS priority, coalesce(f.n, 0) AS n_orders
+FROM grid g
+LEFT JOIN facts f
+  ON g.r_regionkey = f.n_regionkey AND g.o_orderpriority = f.o_orderpriority
+"""
+
+
+def q58_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix: counts of consecutive (event_type ->
+    next event_type) per user — one window (lead over the user's time
+    order) + one aggregate.  The canonical behavioral-sequence rollup;
+    ties broken by event_id so both engines see the same order."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+Q58_ORACLE = """
+SELECT event_type, next_type, count(*) AS n_transitions
+FROM (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3422,6 +3544,9 @@ def build_registry() -> dict[str, QuerySpec]:
         "q54_equidepth_histogram": QuerySpec(
             q54_equidepth_histogram, Q54_ORACLE
         ),
+        "q56_full_outer_join": QuerySpec(q56_full_outer_join, Q56_ORACLE),
+        "q57_dense_grid_report": QuerySpec(q57_dense_grid_report, Q57_ORACLE),
+        "q58_event_transitions": QuerySpec(q58_event_transitions, Q58_ORACLE),
         "q49_variant_json": QuerySpec(q49_variant_json, Q49_ORACLE),
         "q46_funnel_stages": QuerySpec(q46_funnel_stages, Q46_ORACLE),
         "q47_reaggregation_rollup": QuerySpec(

@@ -176,3 +176,43 @@ def test_incremental_rollup_merge_invariance(spark, rows, split):
         ["k"],
     )
     assert _state(direct) == _state(merged)
+
+
+@PROP
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=18,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation must agree with a direct union-find on
+    arbitrary small graphs (node domain 12 keeps the diameter under
+    the iteration cap — convergence is diameter-bounded by design)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.clusters import (
+        connected_components,
+    )
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+    pairs = spark.createDataFrame(edges, ["id1", "id2"])
+    got = {r.node: r.cluster_rep for r in connected_components(pairs).collect()}
+    assert got == expected

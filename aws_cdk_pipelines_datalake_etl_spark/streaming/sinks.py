@@ -65,6 +65,8 @@ def stream_upsert_parquet(
     version_col: str,
     tiebreak_col: str,
     max_files_per_trigger: int = 1,
+    checkpoint_path: str | None = None,
+    sink_fn=None,
 ) -> None:
     """Drive a finite file-source change stream to completion,
     continuously upserting into the parquet snapshot — the streaming
@@ -73,6 +75,13 @@ def stream_upsert_parquet(
     ``maxFilesPerTrigger=1`` forces multiple micro-batches over a
     multi-file source, so the merge-per-batch path (not a single
     degenerate batch) is what's exercised.
+
+    ``checkpoint_path`` pins the checkpoint so a crashed run can be
+    RESUMED with the same call: the source offsets are transactional
+    in the checkpoint and the merge is idempotent, so replaying the
+    failed batch converges to the same snapshot (crash-recovery test
+    proves it).  ``sink_fn(batch, batch_id)`` overrides the sink for
+    fault-injection in tests.
     """
     schema = spark.read.parquet(source_path).schema
     stream = (
@@ -87,10 +96,11 @@ def stream_upsert_parquet(
         )
 
     q = (
-        stream.writeStream.foreachBatch(_sink)
+        stream.writeStream.foreachBatch(sink_fn or _sink)
         .option(
             "checkpointLocation",
-            table_path.rstrip("/") + f"__ckpt_{uuid.uuid4().hex[:8]}",
+            checkpoint_path
+            or table_path.rstrip("/") + f"__ckpt_{uuid.uuid4().hex[:8]}",
         )
         .trigger(availableNow=True)
         .start()

@@ -266,3 +266,65 @@ def test_upsert_batch_replay_is_idempotent(spark, tmp_path):
     upsert_batch_into_parquet(spark, batch, table, ["user_id"], "ts", "event_id")
     state2 = sorted(map(tuple, spark.read.parquet(table).collect()))
     assert state1 == state2
+
+
+def test_stream_upsert_crash_recovery_from_checkpoint(spark, tmp_path):
+    """Kill the upsert stream mid-run (fault injected in the second
+    micro-batch AFTER its merge was applied — the worst case: work
+    done, commit lost), restart with the SAME checkpoint, and the
+    final snapshot must equal the clean one-shot run: transactional
+    source offsets + idempotent merge = exactly-once state."""
+    import pyspark.errors
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.cdc import apply_changes
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import load_table
+    from aws_cdk_pipelines_datalake_etl_spark.streaming.sinks import (
+        stream_upsert_parquet,
+        upsert_batch_into_parquet,
+    )
+
+    src = str(tmp_path / "changes")
+    table = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    ev = (
+        load_table(spark, SF_DIR_SMOKE, "events")
+        .limit(2000)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    ev.repartition(4).write.parquet(src)
+
+    crashed = {"done": False}
+
+    def crashing_sink(batch, batch_id):
+        upsert_batch_into_parquet(
+            spark, batch, table, ["user_id"], "ts", "event_id"
+        )
+        if batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash AFTER merge, before commit")
+
+    try:
+        stream_upsert_parquet(
+            spark, src, table, ["user_id"], "ts", "event_id",
+            checkpoint_path=ckpt, sink_fn=crashing_sink,
+        )
+        raise AssertionError("expected the injected crash to propagate")
+    except (RuntimeError, pyspark.errors.exceptions.base.PySparkException,
+            Exception) as exc:
+        assert "injected crash" in str(exc)
+    assert crashed["done"]
+
+    # resume: same checkpoint; batch 1 replays (idempotent), 2-3 run
+    stream_upsert_parquet(
+        spark, src, table, ["user_id"], "ts", "event_id", checkpoint_path=ckpt
+    )
+    recovered = sorted(
+        map(tuple, spark.read.parquet(table).select("user_id", "event_id").collect())
+    )
+    all_changes = spark.read.parquet(src)
+    expected = apply_changes(
+        all_changes.limit(0), all_changes, ["user_id"], "ts", "event_id"
+    )
+    assert recovered == sorted(
+        map(tuple, expected.select("user_id", "event_id").collect())
+    )

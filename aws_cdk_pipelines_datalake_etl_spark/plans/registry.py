@@ -3472,6 +3472,39 @@ GROUP BY 1, 2
 """
 
 
+def cdc_state_asof_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over an event-sourced table: reconstruct each
+    user's state AS OF a cutoff instant — filter history to ts <=
+    cutoff (pushed to the scan), then one latest-per-key window.  The
+    same one-shuffle shape as the live CDC collapse, just bounded in
+    time; on a date-partitioned lake the cutoff also prunes
+    partitions."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = "2024-01-15 00:00:00"
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.filter(F.col("ts") <= cutoff)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+CDC_STATE_ASOF_ORACLE = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+)
+WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3524,6 +3557,9 @@ def build_registry() -> dict[str, QuerySpec]:
         "stream_stream_join": QuerySpec(stream_stream_join, STREAM_STREAM_JOIN_ORACLE),
         "join_salted_skew": QuerySpec(join_salted_skew, JOIN_SALTED_SKEW_ORACLE),
         "cdc_latest_state": QuerySpec(cdc_latest_state, CDC_LATEST_STATE_ORACLE),
+        "cdc_state_asof_time": QuerySpec(
+            cdc_state_asof_time, CDC_STATE_ASOF_ORACLE
+        ),
         "bucketed_join": QuerySpec(bucketed_join, BUCKETED_JOIN_ORACLE),
         "q35_trailing_window": QuerySpec(q35_trailing_window, Q35_ORACLE),
         "q36_nation_volume": QuerySpec(q36_nation_volume, Q36_ORACLE),

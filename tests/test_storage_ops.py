@@ -227,3 +227,22 @@ def test_cluster_rewrite_preserves_rows_and_ranges(spark, tmp_path):
     ranges.sort()
     for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+def test_static_partition_pruning_on_conformed_layout(spark, tmp_path):
+    """A literal filter on the reference's partition column must show
+    up as a PartitionFilter on the scan — reading one day touches one
+    directory, not the lake."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ev_bydate")
+    ev = load_table(spark, SF_DIR_SMOKE, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.partitionBy("day").parquet(path)
+    one_day = spark.read.parquet(path).filter(F.col("day") == "2024-01-05")
+    plan = formatted_plan(one_day)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "2024-01-05" in m.group(1), plan

@@ -3505,6 +3505,81 @@ WHERE rn = 1
 """
 
 
+def q59_union_heterogeneous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligning union of heterogeneous relations
+    (``unionByName(allowMissingColumns=True)``): customers and
+    suppliers as one `entities` relation — columns matched by NAME,
+    side-specific columns null-filled — then rolled up per kind.
+    The schema-drift companion to the conform zone's
+    last-writer-wins behavior."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit("customer").alias("kind"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    entities = c.unionByName(s, allowMissingColumns=True)
+    return entities.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.sum("acctbal"), 2).alias("total_acctbal"),
+        F.count("mktsegment").alias("n_with_segment"),
+    )
+
+
+Q59_ORACLE = """
+WITH entities AS (
+  SELECT c_name AS name, c_nationkey AS nationkey, c_acctbal AS acctbal,
+         c_mktsegment AS mktsegment, 'customer' AS kind
+  FROM customer
+  UNION ALL BY NAME
+  SELECT s_name AS name, s_nationkey AS nationkey, s_acctbal AS acctbal,
+         'supplier' AS kind
+  FROM supplier
+)
+SELECT kind,
+       count(*) AS n,
+       round(sum(acctbal), 2) AS total_acctbal,
+       count(mktsegment) AS n_with_segment
+FROM entities
+GROUP BY kind
+"""
+
+
+def q60_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution scalar surface: Levenshtein edit distance of
+    every nation name against a probe plus a normalized similarity —
+    the fuzzy-matching primitive (at corpus scale the all-pairs
+    version blocks on a cheap key first, same pattern as the LSH
+    ops)."""
+    n = _t(spark, sf_dir, "nation")
+    dist = F.levenshtein(F.col("n_name"), F.lit("NATION_1"))
+    return n.select(
+        "n_name",
+        dist.alias("edit_distance"),
+        pround(
+            F.lit(1.0)
+            - dist / F.greatest(F.length("n_name"), F.lit(len("NATION_1"))),
+            6,
+        ).alias("similarity"),
+    )
+
+
+Q60_ORACLE = """
+SELECT n_name,
+       levenshtein(n_name, 'NATION_1') AS edit_distance,
+       round(1.0 - levenshtein(n_name, 'NATION_1') * 1.0
+                   / greatest(length(n_name), 8), 6) AS similarity
+FROM nation
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3583,6 +3658,10 @@ def build_registry() -> dict[str, QuerySpec]:
         "q56_full_outer_join": QuerySpec(q56_full_outer_join, Q56_ORACLE),
         "q57_dense_grid_report": QuerySpec(q57_dense_grid_report, Q57_ORACLE),
         "q58_event_transitions": QuerySpec(q58_event_transitions, Q58_ORACLE),
+        "q59_union_heterogeneous": QuerySpec(
+            q59_union_heterogeneous, Q59_ORACLE
+        ),
+        "q60_edit_distance": QuerySpec(q60_edit_distance, Q60_ORACLE),
         "q49_variant_json": QuerySpec(q49_variant_json, Q49_ORACLE),
         "q46_funnel_stages": QuerySpec(q46_funnel_stages, Q46_ORACLE),
         "q47_reaggregation_rollup": QuerySpec(

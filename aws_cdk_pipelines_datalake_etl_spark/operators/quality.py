@@ -76,9 +76,14 @@ def completeness_and_bounds_report(
 
 
 def uniqueness_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Distinct-key fraction for a (composite) key; passes at 1.0."""
+    """Distinct-key fraction for a (composite) key; passes at 1.0.
+
+    The key is a STRUCT, not a string concatenation: struct values are
+    never NULL (so NULL-bearing tuples still count) and field-wise
+    distinctness treats (NULL,'x') and ('x',NULL) as different keys —
+    string encodings collide on exactly those."""
     target = "+".join(key_cols)
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    key = F.struct(*[F.col(c) for c in key_cols])
     one = df.agg(
         (F.count_distinct(key) / F.count(F.lit(1))).alias("frac"),
         (F.count_distinct(key) == F.count(F.lit(1))).alias("ok"),

@@ -19,6 +19,9 @@ as a first-class operator.
 The salt is derived from a row identity column via ``crc32`` — fully
 deterministic, no ``rand()`` — so replays/retries of a task produce
 identical partials (important for speculative execution at scale).
+A NULL identity coalesces to salt 0 (crc32(NULL) is NULL, and a NULL
+salt would never equal any replicated salt — silently dropping the
+row from the join).
 """
 
 from __future__ import annotations
@@ -43,7 +46,9 @@ def salted_sum_count(
     stage 2 folds the partials per key.  Output columns:
     ``key_cols..., total, n_rows, avg_value``.
     """
-    salt = (F.crc32(F.col(id_col).cast("string")) % n_salts).alias("_salt")
+    salt = (
+        F.coalesce(F.crc32(F.col(id_col).cast("string")), F.lit(0)) % n_salts
+    ).alias("_salt")
     partial = (
         df.select(*key_cols, salt, F.col(value_col))
         .groupBy(*key_cols, "_salt")
@@ -84,7 +89,8 @@ def salted_join(
     composes with joins AQE can't split (e.g. bucketed SMJ).
     """
     salted_big = big.withColumn(
-        "_salt", F.crc32(F.col(id_col).cast("string")) % n_salts
+        "_salt",
+        F.coalesce(F.crc32(F.col(id_col).cast("string")), F.lit(0)) % n_salts,
     )
     replicated_small = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salts)]))

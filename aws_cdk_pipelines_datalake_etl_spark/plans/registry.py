@@ -1869,7 +1869,9 @@ def q36_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
-            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
         )
         .agg(
             pround(
@@ -1884,7 +1886,7 @@ SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation,
          n2.n_name AS cust_nation,
-         year(l_shipdate) AS l_year,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
          l_extendedprice * (1 - l_discount) AS volume
   FROM lineitem
   JOIN orders   ON l_orderkey = o_orderkey
@@ -1950,20 +1952,24 @@ def q38_priority_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
         )
     )
 
 
 Q38_ORACLE = """
-SELECT year(l_shipdate) AS ship_year,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-           AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-           AS low_line_count
+SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
@@ -2322,7 +2328,9 @@ def q45_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity = ev.select("user_id", F.to_date("ts").alias("active_day")).distinct()
     return (
         activity.join(firsts, "user_id")
-        .withColumn("day_offset", F.datediff("active_day", "cohort_day"))
+        .withColumn(
+            "day_offset", F.datediff("active_day", "cohort_day").cast("int")
+        )
         .filter(F.col("day_offset") <= 7)
         .groupBy(
             F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
@@ -2340,7 +2348,7 @@ activity AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
 )
 SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
-       active_day - cohort_day AS day_offset,
+       CAST(active_day - cohort_day AS INTEGER) AS day_offset,
        count(*) AS n_active
 FROM activity JOIN firsts USING (user_id)
 WHERE active_day - cohort_day <= 7
@@ -2859,9 +2867,9 @@ SELECT 'bounds', 'l_quantity',
 FROM lineitem
 UNION ALL
 SELECT 'uniqueness', 'l_orderkey+l_linenumber',
-       round(count(DISTINCT l_orderkey || chr(31) || l_linenumber) * 1.0
+       round(count(DISTINCT (l_orderkey, l_linenumber)) * 1.0
              / count(*), 6),
-       count(DISTINCT l_orderkey || chr(31) || l_linenumber) = count(*)
+       count(DISTINCT (l_orderkey, l_linenumber)) = count(*)
 FROM lineitem
 UNION ALL
 SELECT 'referential', 'l_orderkey->o_orderkey',
@@ -2918,7 +2926,8 @@ def q52_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
-            F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year")
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
         )
         .agg(pround(F.sum(amount), 2).alias("sum_profit"))
     )
@@ -2926,7 +2935,7 @@ def q52_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q52_ORACLE = """
 SELECT n_name AS nation,
-       year(l_shipdate) AS o_year,
+       CAST(year(l_shipdate) AS INTEGER) AS o_year,
        round(sum(l_extendedprice * (1 - l_discount)
                  - 0.1 * p_retailprice * l_quantity), 2) AS sum_profit
 FROM lineitem

@@ -185,12 +185,17 @@ class PipelineRunner:
         anyway (dynamic-partition-overwrite idempotency, K1), so a
         restart that loses the seen-set only rewrites partitions.
 
-        With ``ledger_path`` the seen-set is durable: each processed
-        key is appended (one line, flushed) and reloaded on start, so
-        a restarted watcher skips everything already processed —
-        exactly-once *processing* on top of the at-least-once/
-        idempotent base.  The ledger is driver-side control metadata
-        (keys, not data); at lake scale it stays tiny.
+        With ``ledger_path`` the seen-set is durable: each
+        *successfully* processed key is appended (one line, flushed)
+        and reloaded on start, so a restarted watcher skips everything
+        already done — exactly-once *processing* on top of the
+        at-least-once/idempotent base.  FAILED keys are deliberately
+        NOT written: within one watch run the in-memory seen-set
+        stops hot-loop retries, but a restart retries them (safe —
+        dynamic-partition overwrite is idempotent, K1), so a transient
+        failure never becomes silent data loss.  The ledger is
+        driver-side control metadata (keys, not data); at lake scale
+        it stays tiny.
         ``sleep`` is injectable so tests drive arrivals
         deterministically.
         """
@@ -215,8 +220,9 @@ class PipelineRunner:
                             key = str(p.relative_to(root))
                             if key not in seen:
                                 seen.add(key)
-                                results.append(self.on_file(key))
-                                if ledger:
+                                result = self.on_file(key)
+                                results.append(result)
+                                if ledger and result.status == "SUCCEEDED":
                                     ledger.write(key + "\n")
                                     ledger.flush()
                 if i < polls - 1:

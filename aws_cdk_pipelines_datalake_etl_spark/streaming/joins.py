@@ -157,8 +157,12 @@ def stream_interval_left_join(
     rows forever — so this driver feeds the data as batch one, then a
     far-future sentinel pair as batch two, advancing the watermark
     past everything; the drained result then equals the BATCH left
-    join (the oracle's claim).  Sentinels use negative ids/users and
-    are filtered from the output.
+    join (the oracle's claim).  Sentinels are tagged OUT-OF-BAND via
+    an extra ``__sentinel`` boolean column in the stream schema (the
+    real files lack the column, so they read as null -> false) — no
+    key-space convention is stolen from the data, so negative user
+    ids in real events survive.  Their far-future timestamp already
+    guarantees they can't interval-match any real row.
     """
     import shutil
     import tempfile
@@ -183,9 +187,14 @@ def stream_interval_left_join(
             if f.endswith(".parquet"):
                 shutil.copy(os.path.join(path, f), os.path.join(src_dir, f))
 
+    from pyspark.sql.types import BooleanType
+
     schema = spark.read.parquet(src_dir).schema
+    # Extended read schema: the real files have no __sentinel column,
+    # so the parquet reader fills it with null (coalesced to false).
+    stream_schema = schema.add("__sentinel", BooleanType())
     src = fix_nanos_timestamps(
-        spark.readStream.schema(schema).parquet(src_dir), (ts_col,)
+        spark.readStream.schema(stream_schema).parquet(src_dir), (ts_col,)
     )
     left = (
         src.filter(F.col("event_type") == left_type)
@@ -193,6 +202,7 @@ def stream_interval_left_join(
             F.col(key_col).alias("l_user"),
             F.col("event_id").alias("left_id"),
             F.col(ts_col).alias("left_ts"),
+            F.coalesce(F.col("__sentinel"), F.lit(False)).alias("l_sentinel"),
         )
         .withWatermark("left_ts", watermark)
     )
@@ -238,15 +248,17 @@ def stream_interval_left_join(
             vals = {
                 "event_id": event_id,
                 ts_col: ts_value,
-                key_col: -1,
+                key_col: 0,
                 "event_type": event_type,
                 "value": 0.0,
                 "props": "{}",
+                "__sentinel": True,
             }
-            return tuple(vals.get(f.name) for f in schema.fields)
+            return tuple(vals.get(f.name) for f in stream_schema.fields)
 
         sentinels = spark.createDataFrame(
-            [sentinel_row(-1, left_type), sentinel_row(-2, right_type)], schema
+            [sentinel_row(-1, left_type), sentinel_row(-2, right_type)],
+            stream_schema,
         )
         sentinels.coalesce(1).write.mode("append").parquet(src_dir)
         q.processAllAvailable()
@@ -254,7 +266,7 @@ def stream_interval_left_join(
         q.stop()
     return (
         spark.table(name)
-        .filter(F.col("l_user") >= 0)
+        .filter(~F.col("l_sentinel"))
         .select(
             F.col("l_user").alias("user_id"),
             "left_id",

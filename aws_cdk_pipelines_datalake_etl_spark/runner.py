@@ -196,6 +196,14 @@ class PipelineRunner:
         failure never becomes silent data loss.  The ledger is
         driver-side control metadata (keys, not data); at lake scale
         it stays tiny.
+
+        Migration note: ledgers written before this success-only
+        format ALSO recorded FAILED keys; a restarted watcher would
+        skip those.  To force their retry, delete the ledger (or the
+        offending lines) — the audit log's :meth:`AuditLog.
+        latest_status` identifies executions whose final status is
+        FAILED, and re-processing skipped-but-succeeded keys is safe
+        regardless (idempotent overwrite).
         ``sleep`` is injectable so tests drive arrivals
         deterministically.
         """

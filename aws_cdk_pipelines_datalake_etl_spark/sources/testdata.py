@@ -9,9 +9,9 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TESTDATA_TABLES = (
     "region",
@@ -29,14 +29,43 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ntz_wall_micros(c: Column) -> Column:
+    """Wall-clock microseconds since 1970-01-01 of a TIMESTAMP_NTZ
+    column — pure NTZ arithmetic (NTZ - NTZ -> day-time interval), so
+    the result is identical under ANY session timezone, DST included.
+    Matches DuckDB's ``epoch_us(ts)`` on naive timestamps exactly.
+    (Interval->long truncates toward zero, so the sub-second part is
+    re-attached from ``date_part`` — valid for post-1970 data, which
+    is all the engine's event time.)
+    """
+    secs = (c - F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")).cast("long")
+    frac_us = (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("long") % 1_000_000
+    return secs * 1_000_000 + frac_us
+
+
 def fix_nanos_timestamps(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:
-    """Convert TIMESTAMP(NANOS) columns read as long (under
-    ``spark.sql.legacy.parquet.nanosAsLong``) into proper timestamps,
-    truncating ns -> us exactly like engines with microsecond
-    timestamps (e.g. DuckDB) do."""
+    """Normalize event-time columns to session-timezone-INDEPENDENT
+    TIMESTAMP (instant = the file's wall-clock read as UTC), whatever
+    physical type the parquet carries:
+
+    - TIMESTAMP(NANOS) read as long (under
+      ``spark.sql.legacy.parquet.nanosAsLong``): ns -> us truncation,
+      exactly like microsecond engines (e.g. DuckDB) do;
+    - TIMESTAMP_NTZ (Spark 4 reads isAdjustedToUTC=false micros this
+      way): converted via wall-clock interval arithmetic, NOT a
+      session-tz cast — ``unix_micros``, ``withWatermark``,
+      ``F.window`` etc. then work and agree with DuckDB's naive
+      timestamps bit-for-bit;
+    - TIMESTAMP (LTZ): already fine, untouched.
+    """
     for c in cols:
-        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+        if c not in df.columns:
+            continue
+        dt = df.schema[c].dataType
+        if isinstance(dt, LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn(c, F.timestamp_micros(_ntz_wall_micros(F.col(c))))
     return df
 
 

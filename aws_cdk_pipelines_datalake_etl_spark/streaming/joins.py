@@ -189,10 +189,16 @@ def stream_interval_left_join(
 
     from pyspark.sql.types import BooleanType
 
+    from pyspark.sql.types import StructField, StructType
+
     schema = spark.read.parquet(src_dir).schema
     # Extended read schema: the real files have no __sentinel column,
     # so the parquet reader fills it with null (coalesced to false).
-    stream_schema = schema.add("__sentinel", BooleanType())
+    # Built as a fresh StructType — StructType.add mutates in place,
+    # which would silently turn `schema` into the extended schema too.
+    stream_schema = StructType(
+        list(schema.fields) + [StructField("__sentinel", BooleanType())]
+    )
     src = fix_nanos_timestamps(
         spark.readStream.schema(stream_schema).parquet(src_dir), (ts_col,)
     )

@@ -1,0 +1,61 @@
+"""Z-order (Morton) interleave key — multi-column data skipping.
+
+Single-column range clustering (operators/maintenance.py
+``cluster_parquet_dir``) makes files disjoint in ONE column; filters
+on any other column still read everything.  Interleaving the bits of
+several columns' bucket indices gives a space-filling-curve key:
+range-clustering on it yields files that are simultaneously narrow in
+EVERY participating column, so footer min/max stats prune files for
+selective filters on any of them — the plain-parquet equivalent of
+``OPTIMIZE ... ZORDER BY``.
+
+The whole key is one JVM-side codegen'd expression (shift/mask/or
+over ``width_bucket``-style normalized ranks): no UDF, no extra scan
+beyond one min/max aggregate per column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BITS = 8  # 2^8 buckets per dimension; D dims -> 2^(8D) cells
+
+
+def _bucket(c: Column, lo: float, hi: float, bits: int) -> Column:
+    """Uniform [lo, hi] -> integer bucket in [0, 2^bits).  Equi-width
+    is one aggregate per column; heavy skew can substitute
+    approxQuantile boundaries upstream without touching the
+    interleave."""
+    n = (1 << bits) - 1
+    if hi <= lo:  # constant column: everything in bucket 0
+        return F.lit(0).cast("long")
+    scaled = (c.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
+    return F.least(
+        F.greatest(F.floor(scaled * n), F.lit(0)).cast("long"), F.lit(n).cast("long")
+    )
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS
+) -> Column:
+    """Morton key over ``cols`` (numeric/date/timestamp).  One
+    min/max aggregate per column (driver-side, single reduced row),
+    then a pure bit-interleave expression: bit i of column d lands at
+    position ``i*D + d``."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))]
+    row = df.agg(*aggs).collect()[0]
+    bounds = [(row[2 * i], row[2 * i + 1]) for i in range(len(cols))]
+    buckets = [
+        _bucket(F.col(c), lo if lo is not None else 0.0, hi if hi is not None else 0.0, bits)
+        for c, (lo, hi) in zip(cols, bounds)
+    ]
+    d = len(cols)
+    key: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * d + j))
+    return key

@@ -54,6 +54,47 @@ def compact_parquet_dir(
     )
 
 
+def zorder_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int | None = None,
+) -> int:
+    """Rewrite a parquet directory clustered on the Z-order
+    (Morton-interleave) key of ``cols`` (functions/zorder.py): files
+    become simultaneously narrow in EVERY listed column, so selective
+    filters on any of them skip files via footer min/max stats —
+    multi-column ``OPTIMIZE ... ZORDER`` over plain parquet.  One
+    range shuffle on the key; atomic swap; row content unchanged
+    (asserted by tests)."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.zorder import (
+        DEFAULT_BITS,
+        zorder_key,
+    )
+
+    df = spark.read.parquet(path)
+    zkey = zorder_key(df, cols, bits or DEFAULT_BITS)
+    tmp = path.rstrip("/") + "__zordering"
+    (
+        df.withColumn("__zkey", zkey)
+        .repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    bak = path.rstrip("/") + "__prezorder"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return sum(
+        1
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
 def cluster_parquet_dir(
     spark: SparkSession,
     path: str,

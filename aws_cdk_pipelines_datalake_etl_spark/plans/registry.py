@@ -3667,6 +3667,24 @@ _DRIVER_WINDOW = [
 ]
 
 
+def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch rollup (operators/sketches.py): one scan
+    builds a per-(day, event_type) sketch table; per-type distinct
+    users is then answered by UNIONING SKETCHES, never re-reading the
+    fact table — the scale-correct materialization of
+    COUNT(DISTINCT) in the purpose-built zone.  No oracle: estimates
+    are Datasketches-HLL-specific; tests assert <=5% error vs exact
+    and merge==direct-sketch equality."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sketches import (
+        build_hll_rollup,
+        merge_hll_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    rollup = build_hll_rollup(ev, ["day", "event_type"], "user_id")
+    return merge_hll_rollup(rollup, ["event_type"]).orderBy("event_type")
+
+
 def build_registry() -> dict[str, QuerySpec]:
     reg = {
         "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_ORACLE),
@@ -3819,6 +3837,7 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "stream_late_drop": QuerySpec(stream_late_drop, STREAM_LATE_DROP_ORACLE),
         "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_ORACLE),
+        "sketch_distinct_rollup": QuerySpec(sketch_distinct_rollup, None),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]
     assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"

@@ -1,0 +1,81 @@
+"""HLL sketch rollup: mergeability and accuracy (operators/sketches.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from aws_cdk_pipelines_datalake_etl_spark.operators.sketches import (
+    build_hll_rollup,
+    estimate_total,
+    merge_hll_rollup,
+)
+from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+
+
+@pytest.fixture(scope="module")
+def rollup(events):
+    # one fact-table scan -> (day, event_type) sketch table
+    df = build_hll_rollup(events, ["day", "event_type"], "user_id")
+    df.cache().count()
+    return df
+
+
+def test_rollup_shape(events, rollup):
+    keys = events.select("day", "event_type").distinct().count()
+    assert rollup.count() == keys
+    assert dict(rollup.dtypes)["hll"] == "binary"
+
+
+def test_merged_estimate_within_error(events, rollup):
+    """Union of per-(day,type) sketches answers per-type distinct
+    users within HLL error bounds (lgK=12 -> ~1.6% rse; assert 5%)."""
+    est = {
+        r["event_type"]: r["approx_distinct"]
+        for r in merge_hll_rollup(rollup, ["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(2, 0.05 * n), (k, est[k], n)
+
+
+def test_merge_equals_direct_sketch(events, rollup):
+    """Register-wise-max mergeability: unioning the per-day sketches
+    gives the SAME estimate as sketching the raw data directly — the
+    property that makes the rollup a lossless-for-estimates artifact."""
+    merged = estimate_total(rollup).collect()[0]["approx_distinct"]
+    direct = (
+        build_hll_rollup(events.withColumn("g", F.lit(1)), ["g"], "user_id")
+        .select(F.hll_sketch_estimate("hll").alias("e"))
+        .collect()[0]["e"]
+    )
+    assert merged == direct
+
+
+def test_range_query_from_rollup_only(events, rollup):
+    """Arbitrary date-range distinct count served from the rollup."""
+    lo, hi = "2024-01-03", "2024-01-10"
+    sub = rollup.filter((F.col("day") >= lo) & (F.col("day") <= hi))
+    est = estimate_total(sub).collect()[0]["approx_distinct"]
+    exact = (
+        events.filter((F.col("day") >= lo) & (F.col("day") <= hi))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(est - exact) <= max(2, 0.05 * exact)

@@ -1,0 +1,84 @@
+"""Z-order clustering: multi-column file-skipping layout
+(functions/zorder.py + maintenance.zorder_parquet_dir)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from aws_cdk_pipelines_datalake_etl_spark.operators.maintenance import (
+    cluster_parquet_dir,
+    zorder_parquet_dir,
+)
+from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+N_FILES = 16
+
+
+def _file_ranges(path: str, col: str) -> list[tuple[float, float]]:
+    ranges = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet") or f.startswith(("_", ".")):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        idx = md.schema.names.index(col)
+        stats = [
+            md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)
+        ]
+        ranges.append(
+            (min(s.min for s in stats), max(s.max for s in stats))
+        )
+    return ranges
+
+
+def _mean_coverage(path: str, col: str) -> float:
+    """Mean fraction of the global value range a single file spans."""
+    ranges = _file_ranges(path, col)
+    glo = min(r[0] for r in ranges)
+    ghi = max(r[1] for r in ranges)
+    span = float(ghi - glo) or 1.0
+    return sum((hi - lo) / span for lo, hi in ranges) / len(ranges)
+
+
+@pytest.fixture(scope="module")
+def src(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("zorder")
+    path = str(base / "events")
+    # two independent selective dimensions: user and event id
+    load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value"
+    ).write.parquet(path)
+    return path
+
+
+def test_zorder_narrows_every_dimension(spark, src, tmp_path):
+    zpath = str(tmp_path / "z")
+    cpath = str(tmp_path / "c")
+    df = spark.read.parquet(src)
+    df.write.parquet(zpath)
+    df.write.parquet(cpath)
+
+    n = zorder_parquet_dir(spark, zpath, ["user_id", "event_id"], N_FILES)
+    assert n == N_FILES
+    cluster_parquet_dir(spark, cpath, "user_id", N_FILES)
+
+    # single-column clustering: tight on user_id, blind on event_id
+    assert _mean_coverage(cpath, "user_id") < 0.15
+    assert _mean_coverage(cpath, "event_id") > 0.6
+
+    # z-order: simultaneously narrow on BOTH dimensions (16 files on
+    # an 8-bit-per-dim curve -> ~4x4 grid -> ~25-35% per dim)
+    assert _mean_coverage(zpath, "user_id") < 0.45
+    assert _mean_coverage(zpath, "event_id") < 0.45
+
+    # row content unchanged
+    z = spark.read.parquet(zpath)
+    assert z.count() == df.count()
+    assert (
+        z.agg(F.sum("event_id"), F.sum("user_id")).collect()
+        == df.agg(F.sum("event_id"), F.sum("user_id")).collect()
+    )

@@ -81,6 +81,7 @@ def conform(
     params: JobParams,
     conformed_root: str,
     schema: StructType | None = None,
+    sample_rows: int = 0,
 ) -> ConformResult:
     """Run the conformance job for one raw file
     (parity: etl_raw_to_conformed.py:176-221 ``main``).
@@ -94,8 +95,14 @@ def conform(
     full table scan saved per ingested file.
     """
     df = read_raw(spark, params.source_path, schema=schema)
+    if sample_rows:  # K8 tap 1: post-read (etl_raw_to_conformed.py:196)
+        df.show(sample_rows)
     df = stamp_partitions(df, *params.partition_values)
+    if sample_rows:  # K8 tap 2: post-stamp (etl_raw_to_conformed.py:199)
+        df.show(sample_rows)
     df = repair_null_columns(df)
+    if sample_rows:  # K8 tap 3: pre-write (etl_raw_to_conformed.py:215)
+        df.show(sample_rows)
 
     obs = Observation(f"conform_{params.execution_id or params.table_name}")
     df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))

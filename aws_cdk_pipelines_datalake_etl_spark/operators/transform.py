@@ -27,6 +27,17 @@ from aws_cdk_pipelines_datalake_etl_spark.params import JobParams
 from aws_cdk_pipelines_datalake_etl_spark.sources.sql_text import load_transform_sql
 
 
+def validate_table(
+    spark: SparkSession, database: str, table: str, n: int = 10
+) -> DataFrame:
+    """R7: the consumer validation query — ``SELECT * FROM db.t LIMIT
+    n`` (the reference's documented Athena check, README.md:263-265),
+    run against the session catalog.  A LIMIT over parquet plans as a
+    CollectLimit that stops after the first file(s) — O(n), not a
+    scan."""
+    return spark.sql(f"SELECT * FROM `{database}`.`{table}` LIMIT {int(n)}")
+
+
 def run_sql(spark: SparkSession, sql_text: str) -> DataFrame:
     """Execute one transformation-SQL statement
     (parity: etl_conformed_to_purposebuilt.py:199)."""

@@ -78,6 +78,9 @@ class PipelineRunner:
     clock: Callable[[], datetime] = field(
         default_factory=lambda: (lambda: datetime.now(timezone.utc))
     )
+    # K8: the reference's df.show(5) console taps
+    # (etl_raw_to_conformed.py:196,199,215); 0 = off (production)
+    debug_sample_rows: int = 0
 
     def __post_init__(self) -> None:
         self.audit = AuditLog(self.spark, self.layout.audit, clock=self.clock)
@@ -122,7 +125,12 @@ class PipelineRunner:
         """O5: conform -> transform with catch edges to FAILED+notify
         (step_functions_stack.py:154-205)."""
         try:
-            conformed = conform(self.spark, params, self.layout.conformed)
+            conformed = conform(
+                self.spark,
+                params,
+                self.layout.conformed,
+                sample_rows=self.debug_sample_rows,
+            )
             conformed_rows = conformed.n_rows  # observed during the write
             purpose_db = (
                 self.purposebuilt_database

@@ -270,3 +270,36 @@ def test_watch_ledger_survives_restart(spark, lake_root, tmp_path):
         "shop/led1/a.csv",
         "shop/led2/b.csv",
     ]
+
+
+def test_debug_sample_taps_and_validation_query(
+    spark, lake_root, yellow_csv, capsys
+):
+    """K8: df.show taps at the reference's three points
+    (etl_raw_to_conformed.py:196,199,215) when debug_sample_rows is
+    set; R7: the consumer validation query (README.md:263-265)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.transform import (
+        validate_table,
+    )
+
+    r = PipelineRunner(
+        spark=spark,
+        layout=LakeLayout(lake_root),
+        transforms_dir=os.path.join(
+            os.path.dirname(__file__), "..", "transforms"
+        ),
+        notifier=lambda s, m: None,
+        clock=lambda: FIXED_NOW,
+        debug_sample_rows=5,
+    )
+    assert r.on_file(yellow_csv).status == "SUCCEEDED"
+    out = capsys.readouterr().out
+    # three show() tables; the post-stamp ones carry partition cols
+    assert out.count("only showing top 5 rows") >= 1 or "vendorid" in out.lower()
+
+    sample = validate_table(
+        spark, "tlc_taxi_data_purposebuilt", "yellow_taxi_trip_record", n=10
+    )
+    rows = sample.collect()
+    assert 0 < len(rows) <= 10
+    assert "count" in sample.columns  # the aggregate's output shape

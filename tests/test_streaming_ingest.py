@@ -1,0 +1,78 @@
+"""Streaming raw-zone conformance (streaming/ingest.py): checkpoint
+is the ledger — restarts skip processed files, new files flow."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from aws_cdk_pipelines_datalake_etl_spark.streaming.ingest import stream_conform
+
+SCHEMA = StructType(
+    [
+        StructField("id", IntegerType()),
+        StructField("v", DoubleType()),
+        StructField("name", StringType()),
+    ]
+)
+FIXED_NOW = datetime(2020, 8, 15, tzinfo=timezone.utc)
+
+
+def _write_csv(raw_dir: str, fname: str, rows: list[str]) -> None:
+    os.makedirs(raw_dir, exist_ok=True)
+    with open(os.path.join(raw_dir, fname), "w") as f:
+        f.write("id,v,name\n" + "\n".join(rows) + "\n")
+
+
+def _drain(q):
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+@pytest.mark.streaming
+def test_stream_conform_exactly_once_across_restart(spark, tmp_path):
+    raw = str(tmp_path / "raw")
+    out = str(tmp_path / "conformed")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_csv(raw, "a.csv", ["1,10.5,x", "2,20.5,y"])
+    _write_csv(raw, "b.csv", ["3,30.5,z"])
+    _drain(
+        stream_conform(
+            spark, raw, out, SCHEMA, ckpt, clock=lambda: FIXED_NOW,
+            max_files_per_trigger=1,
+        )
+    )
+    first = spark.read.parquet(out)
+    assert first.count() == 3
+    # ingest-date partition stamp (R1), hive layout (K1)
+    assert os.path.isdir(os.path.join(out, "year=2020", "month=08", "day=15"))
+
+    # restart with the SAME checkpoint: old files must NOT reprocess
+    _write_csv(raw, "c.csv", ["4,40.5,w"])
+    _drain(
+        stream_conform(
+            spark, raw, out, SCHEMA, ckpt, clock=lambda: FIXED_NOW
+        )
+    )
+    again = spark.read.parquet(out)
+    assert again.count() == 4  # 3 old (once) + 1 new
+    assert sorted(
+        r["id"] for r in again.select("id").collect()
+    ) == [1, 2, 3, 4]
+    # content sanity: per-row values survived conformance
+    assert (
+        again.filter(F.col("id") == 4).select("v").collect()[0][0] == 40.5
+    )

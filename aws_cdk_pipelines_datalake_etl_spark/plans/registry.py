@@ -891,6 +891,34 @@ FROM orders
 """
 
 
+def udaf_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDAF surface: a GROUPED_AGG ``@pandas_udf`` computing
+    median absolute deviation per group — an aggregate Spark has no
+    builtin for (DuckDB's ``mad()`` is the oracle).  Arrow ships each
+    group's values as one pandas Series; at scale the shuffle is the
+    same single exchange a builtin agg pays, with per-group state =
+    the group's values (exact medians are holistic — the sketch twin
+    for unbounded groups is ``approx_quantiles``)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: annotations are stringified in this module
+    # (future import), so the functionType cannot be inferred
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def mad(v):
+        return float((v - v.median()).abs().median())
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        pround(mad(F.col("value")), 4).alias("mad_value")
+    )
+
+
+UDAF_MAD_ORACLE = """
+SELECT event_type, round(mad(value), 4) AS mad_value
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Tier E: dedup / text / similarity / as-of / streaming
 # --------------------------------------------------------------------------
@@ -3838,6 +3866,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "stream_late_drop": QuerySpec(stream_late_drop, STREAM_LATE_DROP_ORACLE),
         "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_ORACLE),
         "sketch_distinct_rollup": QuerySpec(sketch_distinct_rollup, None),
+        "udaf_mad": QuerySpec(udaf_mad, UDAF_MAD_ORACLE),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]
     assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"

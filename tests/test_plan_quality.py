@@ -235,3 +235,25 @@ def test_q51_collapses_into_scan(spark):
         "lineitem",
         {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"},
     )
+
+
+def test_hll_rollup_merge_aggregates_partially(spark):
+    """Sketch union must partial-merge map-side (ObjectHashAggregate
+    partial_hll_union_agg before the exchange) — the property that
+    makes the rollup answer from kilobytes at 100 TB."""
+    plan = formatted_plan(R.sketch_distinct_rollup(spark, SF_DIR_SMOKE))
+    low = plan.lower()
+    assert "hll_union_agg" in low
+    assert "partial_hll_union_agg" in low or "partial" in low
+
+
+def test_grouped_agg_pandas_udf_single_exchange(spark):
+    """The UDAF (grouped-agg pandas UDF) pays exactly one shuffle,
+    like a builtin aggregate, and runs via Arrow."""
+    plan = formatted_plan(R.udaf_mad(spark, SF_DIR_SMOKE))
+    # Spark 4 names the node ArrowAggregatePython (AggregateInPandas
+    # pre-4.0) — either way it must be Arrow-based, not row-Python
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
+    assert plan.count("Exchange") == 1
+    # only the two touched columns are read
+    assert "struct<event_type:string,value:double>" in plan

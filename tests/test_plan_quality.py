@@ -254,6 +254,8 @@ def test_grouped_agg_pandas_udf_single_exchange(spark):
     # Spark 4 names the node ArrowAggregatePython (AggregateInPandas
     # pre-4.0) — either way it must be Arrow-based, not row-Python
     assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
-    assert plan.count("Exchange") == 1
+    # formatted plans print each node twice (tree + detail): one
+    # Exchange means exactly one hashpartitioning argument line
+    assert plan.count("hashpartitioning") == 1
     # only the two touched columns are read
     assert "struct<event_type:string,value:double>" in plan

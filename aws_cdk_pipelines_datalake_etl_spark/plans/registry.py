@@ -3713,6 +3713,52 @@ def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_hll_rollup(rollup, ["event_type"]).orderBy("event_type")
 
 
+def sketch_theta_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (operators/sketches.py): audience
+    overlap — distinct viewers, buyers, union, intersection, and
+    viewed-but-never-bought — computed ENTIRELY from two per-type
+    sketches, no fact-table rejoin.  Sized (lgNomEntries=15) so the
+    sketch is in exact mode at oracle scale: the DuckDB set-op oracle
+    matches exactly; past ~32k distincts/key it degrades to ~1-2%
+    error instead of failing."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sketches import (
+        build_theta_rollup,
+        theta_overlap,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rollup = build_theta_rollup(ev, ["event_type"], "user_id")
+    return theta_overlap(rollup, "event_type", "view", "purchase")
+
+
+SKETCH_THETA_ORACLE = """
+WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+     p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT (SELECT count(*) FROM v) AS n_left,
+       (SELECT count(*) FROM p) AS n_right,
+       (SELECT count(*) FROM (SELECT * FROM v UNION SELECT * FROM p)) AS n_union,
+       (SELECT count(*) FROM (SELECT * FROM v INTERSECT SELECT * FROM p)) AS n_intersection,
+       (SELECT count(*) FROM (SELECT * FROM v EXCEPT SELECT * FROM p)) AS n_left_only
+"""
+
+
+def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile-sketch rollup (operators/sketches.py): per-(day,
+    type) sketches merged per type answer p50/p95 of event value over
+    any range from a fixed-size summary.  No oracle (KLL rank-error
+    is sketch-specific); tests bound the rank error."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sketches import (
+        build_kll_rollup,
+        merge_kll_quantiles,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    rollup = build_kll_rollup(ev, ["day", "event_type"], "value")
+    return merge_kll_quantiles(rollup, ["event_type"], [0.5, 0.95]).orderBy(
+        "event_type"
+    )
+
+
 def build_registry() -> dict[str, QuerySpec]:
     reg = {
         "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_ORACLE),
@@ -3867,6 +3913,10 @@ def build_registry() -> dict[str, QuerySpec]:
         "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_ORACLE),
         "sketch_distinct_rollup": QuerySpec(sketch_distinct_rollup, None),
         "udaf_mad": QuerySpec(udaf_mad, UDAF_MAD_ORACLE),
+        "sketch_theta_audience": QuerySpec(
+            sketch_theta_audience, SKETCH_THETA_ORACLE
+        ),
+        "sketch_quantile_rollup": QuerySpec(sketch_quantile_rollup, None),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]
     assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"

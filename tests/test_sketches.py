@@ -79,3 +79,63 @@ def test_range_query_from_rollup_only(events, rollup):
         .count()
     )
     assert abs(est - exact) <= max(2, 0.05 * exact)
+
+
+# --- Theta: set algebra, exact under nominal entries ----------------------
+
+
+def test_theta_overlap_exact_under_nominal(spark, events):
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sketches import (
+        build_theta_rollup,
+        theta_overlap,
+    )
+
+    rollup = build_theta_rollup(events, ["event_type"], "user_id")
+    got = theta_overlap(rollup, "event_type", "view", "purchase").collect()[0]
+
+    viewers = {
+        r[0] for r in events.filter(F.col("event_type") == "view")
+        .select("user_id").distinct().collect()
+    }
+    buyers = {
+        r[0] for r in events.filter(F.col("event_type") == "purchase")
+        .select("user_id").distinct().collect()
+    }
+    # sf0.01 cardinalities are far below 2^15 nominal entries -> exact
+    assert got["n_left"] == len(viewers)
+    assert got["n_right"] == len(buyers)
+    assert got["n_union"] == len(viewers | buyers)
+    assert got["n_intersection"] == len(viewers & buyers)
+    assert got["n_left_only"] == len(viewers - buyers)
+
+
+# --- KLL: mergeable quantiles ---------------------------------------------
+
+
+def test_kll_merged_quantiles_match_exact_within_rank_error(spark, events):
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sketches import (
+        build_kll_rollup,
+        merge_kll_quantiles,
+    )
+
+    ev = events
+    rollup = build_kll_rollup(ev, ["day", "event_type"], "value")
+    got = {
+        r["event_type"]: (r["q50"], r["q95"])
+        for r in merge_kll_quantiles(
+            rollup, ["event_type"], [0.5, 0.95]
+        ).collect()
+    }
+    for etype, (q50, q95) in got.items():
+        vals = sorted(
+            r[0]
+            for r in ev.filter(F.col("event_type") == etype)
+            .select("value")
+            .collect()
+        )
+        n = len(vals)
+        # k=1600 -> ~0.33% rank error; allow 1% rank slack
+        for q, est in ((0.5, q50), (0.95, q95)):
+            lo = vals[max(0, int((q - 0.01) * n) - 1)]
+            hi = vals[min(n - 1, int((q + 0.01) * n))]
+            assert lo <= est <= hi, (etype, q, est, lo, hi)

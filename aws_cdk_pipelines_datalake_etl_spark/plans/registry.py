@@ -3759,6 +3759,43 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One SQL text, both engines (like q23): Spark 4 and DuckDB share the
+# WITH RECURSIVE dialect.  The closure is tiny here (3-level
+# hierarchy); at scale each recursion step is one self-join the
+# optimizer plans like any other, with total work bounded by closure
+# depth — for unbounded-depth graphs the iterative min-label
+# propagation in operators/clusters.py is the production path.
+Q61_RECURSIVE_SQL = """
+WITH RECURSIVE edges(child, parent) AS (
+  -- concat() implicitly stringifies on both engines; an explicit cast
+  -- can't be written portably (Spark: STRING, DuckDB: VARCHAR)
+  SELECT concat('c', c_custkey), concat('n', c_nationkey) FROM customer
+  UNION ALL
+  SELECT concat('n', n_nationkey), concat('r', n_regionkey) FROM nation
+),
+closure(child, anc) AS (
+  SELECT child, parent FROM edges
+  UNION ALL
+  SELECT c.child, e.parent FROM closure c JOIN edges e ON c.anc = e.child
+)
+SELECT anc, count(*) AS n_descendants
+FROM closure GROUP BY anc
+"""
+
+
+def q61_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): transitive ancestor
+    closure of the customer -> nation -> region hierarchy, counting
+    descendants per ancestor.  The identical SQL text runs on DuckDB
+    as the oracle."""
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import (
+        register_testdata_views,
+    )
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(Q61_RECURSIVE_SQL)
+
+
 def build_registry() -> dict[str, QuerySpec]:
     reg = {
         "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_ORACLE),
@@ -3917,6 +3954,9 @@ def build_registry() -> dict[str, QuerySpec]:
             sketch_theta_audience, SKETCH_THETA_ORACLE
         ),
         "sketch_quantile_rollup": QuerySpec(sketch_quantile_rollup, None),
+        "q61_recursive_closure": QuerySpec(
+            q61_recursive_closure, Q61_RECURSIVE_SQL
+        ),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]
     assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"

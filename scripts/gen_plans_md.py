@@ -1,0 +1,96 @@
+"""Regenerate PLANS.md: the actual physical plans of representative
+queries, with the scale-relevant properties called out — verifiable
+evidence that the plans are the ones SCALE.md claims.
+
+Usage: python scripts/gen_plans_md.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("PLANS_SF_DIR", "/root/testdata/sf0.01")
+
+# query -> the plan properties a reviewer should look for
+SHOWCASE = {
+    "q01_pricing_summary": (
+        "partial_sum/partial_count BEFORE the Exchange (map-side combine); "
+        "PushedFilters on l_shipdate; pruned ReadSchema"
+    ),
+    "q06_broadcast_dim_join": (
+        "BroadcastHashJoin with BroadcastExchange on the dim side only — "
+        "the fact side never shuffles"
+    ),
+    "q25_exists_correlated": (
+        "EXISTS/NOT EXISTS decorrelated to SortMergeJoin LeftSemi + "
+        "BroadcastHashJoin LeftAnti — no per-row subquery re-execution"
+    ),
+    "q24_grouping_sets": (
+        "one Expand node feeding ONE Exchange — grouping sets do not "
+        "multiply shuffles"
+    ),
+    "q34_window_navigation": (
+        "lag/lead/ntile/first_value share a single Window node over one "
+        "Exchange+Sort — the partitioning is reused across functions"
+    ),
+    "q29_pandas_udf_score": (
+        "ArrowEvalPython (vectorized Arrow batches), not BatchEvalPython "
+        "(row-at-a-time pickle)"
+    ),
+    "udaf_mad": (
+        "grouped-agg pandas UDF: ArrowAggregatePython after exactly one "
+        "hash Exchange — same shuffle shape as a builtin aggregate"
+    ),
+    "sketch_distinct_rollup": (
+        "two ObjectHashAggregate pairs, each partial->final: the raw scan "
+        "partial-aggregates hll_sketch_agg map-side, and the rollup merge "
+        "partial-aggregates hll_union_agg — nothing holistic anywhere"
+    ),
+    "q03_filter_project": (
+        "PushedFilters: [IsNotNull, GreaterThan/LessThan ...] reach the "
+        "parquet scan; ReadSchema carries only the projected columns"
+    ),
+    "bucketed_join": (
+        "SortMergeJoin with ZERO Exchange nodes: both sides are bucketed "
+        "on the join key, so co-location is free (SelectedBucketsCount)"
+    ),
+}
+
+
+def main() -> None:
+    from aws_cdk_pipelines_datalake_etl_spark import get_spark
+    from aws_cdk_pipelines_datalake_etl_spark.plans.explain import formatted_plan
+    from aws_cdk_pipelines_datalake_etl_spark.plans.registry import build_registry
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = build_registry()
+
+    out = [
+        "# PLANS — physical plans of representative queries (generated)",
+        "",
+        "Produced by `python scripts/gen_plans_md.py` at sf0.01; regenerate",
+        "after plan-affecting changes.  Each section names the property that",
+        "matters at 100 TB; `tests/test_plan_quality.py` asserts these",
+        "properties so they survive refactors.",
+        "",
+    ]
+    for name, note in SHOWCASE.items():
+        plan = formatted_plan(reg[name].fn(spark, SF_DIR))
+        # strip the volatile plan-id / file-path noise for a stable diff
+        plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)
+        plan = re.sub(r"\[file:[^\]]+\]", "[testdata]", plan)
+        out += [f"## {name}", "", f"**Look for:** {note}", "", "```", plan.rstrip(), "```", ""]
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {path}: {len(SHOWCASE)} plans")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -172,3 +172,60 @@ def quality_gate(
         & (F.col("type_token_ratio") >= min_ttr)
         & (F.col("type_token_ratio") <= max_ttr)
     )
+
+
+def contamination(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination scan: corpus documents sharing at least
+    ``min_shared`` DISTINCT word ``k``-grams with an eval-set document
+    — the standard train/test-leak check before training.
+
+    The eval set is small by nature, so its shingle set is broadcast;
+    the corpus side streams through one shuffle-free probe, then a
+    (doc, eval) aggregation counts distinct shared shingles (the
+    shingle sets are already distinct per doc).  At 100 TB: the corpus
+    pass is a scan, state is O(|eval shingles|).
+    """
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dedup import shingle_set
+
+    c = shingle_set(corpus, id_col, text_col, k).select(
+        F.col("id").alias("doc_id"), "sh"
+    )
+    e = shingle_set(eval_docs, id_col, text_col, k).select(
+        F.col("id").alias("eval_id"), "sh"
+    )
+    return (
+        c.join(F.broadcast(e), "sh")
+        .filter(F.col("doc_id") != F.col("eval_id"))
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# Portable (Java regex + RE2) patterns: explicit classes, no
+# lookarounds, no shorthand-class dialect differences.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+"
+PHONE_RE = "[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """PII scrub: replace email addresses and phone-shaped numbers
+    with typed placeholders — the preprocessing step before any
+    corpus leaves the curation zone.  Two ``regexp_replace`` passes,
+    pure codegen'd expressions (patterns chosen to behave identically
+    under Java regex and RE2, so cross-engine oracles stay exact)."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.withColumn(out_col, scrubbed)

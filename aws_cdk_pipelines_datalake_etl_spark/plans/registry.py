@@ -3796,6 +3796,61 @@ def q61_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(Q61_RECURSIVE_SQL)
 
 
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination scan (operators/text.py): corpus docs
+    sharing >=2 distinct word trigrams with an eval-set doc (eval set
+    = doc_id % 97 == 0, broadcast).  One corpus scan + broadcast
+    probe; no corpus-side shuffle before the pair aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    return tx.contamination(docs, eval_docs, k=3, min_shared=2)
+
+
+TEXT_CONTAMINATION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) g
+  WHERE i <= len(w) - 2
+)
+SELECT c.id AS doc_id, e.id AS eval_id, count(*) AS n_shared
+FROM sh c JOIN sh e ON c.s = e.s AND c.id <> e.id
+WHERE e.id % 97 = 0
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/text.py): emails and phone-shaped
+    numbers replaced by typed placeholders.  The testdata corpus
+    carries none, so deterministic PII is injected first (derived
+    from doc_id on BOTH engines) and the scrub is verified by exact
+    string hash-match."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or 555-867-5309 now"),
+        ).alias("text"),
+    )
+    return tx.redact_pii(docs).select("doc_id", "redacted")
+
+
+TEXT_REDACT_ORACLE = """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           text || ' contact user' || doc_id || '@example.com or 555-867-5309 now',
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+', '<EMAIL>', 'g'),
+         '[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}', '<PHONE>', 'g') AS redacted
+FROM documents
+"""
+
+
 def build_registry() -> dict[str, QuerySpec]:
     reg = {
         "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_ORACLE),
@@ -3957,6 +4012,10 @@ def build_registry() -> dict[str, QuerySpec]:
         "q61_recursive_closure": QuerySpec(
             q61_recursive_closure, Q61_RECURSIVE_SQL
         ),
+        "text_contamination": QuerySpec(
+            text_contamination, TEXT_CONTAMINATION_ORACLE
+        ),
+        "text_redact_pii": QuerySpec(text_redact_pii, TEXT_REDACT_ORACLE),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]
     assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"

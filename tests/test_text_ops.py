@@ -92,3 +92,43 @@ def test_packing_bins_respect_budget_shape(spark):
             assert r.bin_id == (cum - 1) // 512
             assert r.bin_id >= prev_bin
             prev_bin = r.bin_id
+
+
+def test_contamination_finds_planted_leak(spark):
+    """A corpus doc that quotes an eval doc's text must surface with
+    the right shared-shingle count."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.text import contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated words about spark and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    got = contamination(corpus, eval_docs, k=3, min_shared=2).collect()
+    assert len(got) == 1
+    row = got[0]
+    # eval doc has 6 distinct trigrams, all present in doc 1
+    assert (row["doc_id"], row["eval_id"], row["n_shared"]) == (1, 100, 6)
+
+
+def test_redact_pii_scrubs_emails_and_phones(spark):
+    from aws_cdk_pipelines_datalake_etl_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+spam@corp.example.org today"),
+            (2, "call 555-867-5309 or 020 7946 0958 ok"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["redacted"] for r in redact_pii(df).collect()}
+    assert got[1] == "mail me at <EMAIL> today"
+    assert got[2].startswith("call <PHONE> or")
+    assert got[3] == "nothing sensitive here"

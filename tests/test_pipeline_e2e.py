@@ -4,6 +4,8 @@ SQL aggregation -> purpose-built parquet (SURVEY §7 step 1)."""
 from __future__ import annotations
 
 import os
+
+from pyspark.sql import functions as F
 from datetime import datetime, timezone
 
 import pytest
@@ -303,3 +305,31 @@ def test_debug_sample_taps_and_validation_query(
     rows = sample.collect()
     assert 0 < len(rows) <= 10
     assert "count" in sample.columns  # the aggregate's output shape
+
+
+def test_corpus_documents_through_pipeline(spark, runner, lake_root):
+    """Tier-E domain through the reference pipeline shape: a documents
+    parquet dropped in the raw zone conforms and rolls up through
+    transforms/documents.sql into a per-(lang, source) quality table."""
+    import shutil
+
+    key = "corpus/documents/batch0.parquet"
+    dst = os.path.join(lake_root, "raw", key)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", dst)
+
+    result = runner.on_file(key)
+    assert result.status == "SUCCEEDED", result.error_message
+
+    pb = spark.table("corpus_purposebuilt.documents")
+    rows = pb.collect()
+    assert len(rows) > 0
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # rollup must account for every conformed document
+    assert sum(r["n_docs"] for r in rows) == src.count()
+    assert sum(r["total_chars"] for r in rows) == (
+        src.agg(F.sum("n_chars")).collect()[0][0]
+    )
+    one = rows[0]
+    assert (one["year"], one["month"], one["day"]) == ("2020", "08", "15")
+    assert one["min_chars"] <= one["avg_chars"] <= one["max_chars"]

@@ -3851,6 +3851,35 @@ FROM documents
 """
 
 
+def sim_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization (operators/similarity.py): the 4x
+    storage/shuffle cut for vector columns.  Codes are engine-exact
+    (floor-based rounding), so the DuckDB lambda oracle hash-matches
+    the full quantized arrays."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.quantize_embeddings(emb)
+    return out.select(
+        "vec_id", pround(F.col("scale"), 8).alias("scale_r"), "q8"
+    )
+
+
+SIM_QUANTIZE_ORACLE = """
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+)
+SELECT e.vec_id,
+       round(s.scale, 8) AS scale_r,
+       CASE WHEN s.scale = 0
+            THEN list_transform(e.embedding, x -> 0)
+            ELSE list_transform(e.embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS INT))
+       END AS q8
+FROM embeddings e JOIN s USING (vec_id)
+"""
+
+
 def build_registry() -> dict[str, QuerySpec]:
     reg = {
         "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_ORACLE),
@@ -4016,6 +4045,9 @@ def build_registry() -> dict[str, QuerySpec]:
             text_contamination, TEXT_CONTAMINATION_ORACLE
         ),
         "text_redact_pii": QuerySpec(text_redact_pii, TEXT_REDACT_ORACLE),
+        "sim_quantize_embeddings": QuerySpec(
+            sim_quantize_embeddings, SIM_QUANTIZE_ORACLE
+        ),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]
     assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"

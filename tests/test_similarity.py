@@ -73,3 +73,32 @@ def test_hyperplane_lsh_equals_exact_pairs(spark, emb):
     }
     assert exact, "threshold 0.35 should produce pairs on test data"
     assert lsh == exact
+
+
+def test_quantize_reconstruction_error_bounded(spark):
+    """int8 round-trip: every component within scale/2 of the
+    original, codes within [-127, 127]."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rt = dequantize_embeddings(quantize_embeddings(emb))
+    bad = rt.select(
+        F.exists(
+            F.zip_with(
+                "embedding",
+                "embedding_hat",
+                lambda a, b: (F.abs(a.cast("double") - b) > F.col("scale") / 2 + 1e-12),
+            ),
+            lambda x: x,
+        ).alias("violated"),
+        F.exists(F.col("q8"), lambda c: F.abs(c) > 127).alias("overflow"),
+    )
+    agg = bad.agg(
+        F.sum(F.col("violated").cast("int")).alias("nv"),
+        F.sum(F.col("overflow").cast("int")).alias("no"),
+    ).collect()[0]
+    assert (agg["nv"], agg["no"]) == (0, 0)

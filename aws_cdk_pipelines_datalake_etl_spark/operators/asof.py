@@ -122,3 +122,64 @@ def asof_join_forward(
         F.col("_l.*"),
         *[F.col(f"_r_{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """:func:`asof_join` semantics via the COGROUP surface:
+    ``left.groupBy(key).cogroup(right.groupBy(key)).applyInPandas``
+    with a per-key ``pandas.merge_asof``.
+
+    Same single co-partitioning shuffle as the union+window plan, but
+    the per-key merge runs in Arrow-fed pandas — the escape hatch for
+    per-key logic Spark expressions can't state.  For plain as-of the
+    union+window operator is preferred (stays in codegen, no state
+    bound to a key's full history); this exists to (a) cover the
+    cogroup API and (b) prove both strategies agree (equality is
+    oracle-checked against the same DuckDB ASOF JOIN).  Keys with
+    many rows bound task memory — at 100 TB shard hot keys upstream.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    out_fields = list(left.schema.fields) + [
+        StructField(f"{c}{suffix}", right.schema[c].dataType)
+        for c in right_cols
+    ]
+    out_schema = StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
+
+    # Same-named NON-KEY columns across the two cogroup sides collide
+    # in the Arrow handoff (the right one is silently dropped), so the
+    # right side ships under private names.
+    r_in = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        l = l.sort_values(left_ts, kind="mergesort")
+        if r.empty:
+            for c in right_cols:
+                l[f"{c}{suffix}"] = None
+            return l[out_cols]
+        r2 = r.drop(columns=[on]).sort_values("__rts", kind="mergesort")
+        m = pd.merge_asof(
+            l, r2, left_on=left_ts, right_on="__rts", direction="backward"
+        )
+        return m[out_cols]
+
+    return (
+        left.groupBy(on)
+        .cogroup(r_in.groupBy(on))
+        .applyInPandas(merge, schema=out_schema)
+    )

@@ -1230,6 +1230,33 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
+def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cogroup surface: same as-of semantics as
+    ``asof_view_to_purchase`` but via ``cogroup().applyInPandas`` with
+    a per-user ``pandas.merge_asof`` (operators/asof.py,
+    asof_join_cogrouped) — proven equal to both the union+window plan
+    and the DuckDB ASOF JOIN oracle."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.asof import (
+        asof_join_cogrouped,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"), "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join_cogrouped(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id"],
+    )
+    return joined.select(
+        "purchase_event_id", "user_id",
+        F.col("event_id_asof").alias("view_event_id"),
+    )
+
+
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
@@ -4048,6 +4075,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "sim_quantize_embeddings": QuerySpec(
             sim_quantize_embeddings, SIM_QUANTIZE_ORACLE
         ),
+        "asof_cogroup_pandas": QuerySpec(asof_cogroup_pandas, ASOF_ORACLE),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]
     assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"

@@ -48,3 +48,32 @@ def test_asof_preserves_left_rowcount(spark):
     out = asof_join(left, right, "k", "lts", "rts", ["v"])
     assert out.count() == 50
     assert out.filter("v_asof = 'x'").count() == 50
+
+
+def test_cogroup_asof_equals_window_asof(spark):
+    """Cogrouped pandas merge_asof (asof_join_cogrouped) returns the
+    same relation as the union+window operator, including keys with
+    no right rows (NULL carry)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.asof import (
+        asof_join,
+        asof_join_cogrouped,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 10, 200.0), (3, 20, 50.0)],
+        "pid long, user_id long, t double",
+    )
+    right = spark.createDataFrame(
+        [(7, 10, 50.0), (8, 10, 150.0), (9, 30, 10.0)],
+        "event_id long, user_id long, t double",
+    )
+    kw = dict(on="user_id", left_ts="t", right_ts="t", right_cols=["event_id"])
+    a = sorted(
+        map(tuple, asof_join(left, right, **kw).collect())
+    )
+    b = sorted(
+        map(tuple, asof_join_cogrouped(left, right, **kw).collect())
+    )
+    assert a == b
+    # user 20 has no views: NULL carry present
+    assert any(r[1] == 20 and r[3] is None for r in b)

@@ -3907,6 +3907,35 @@ FROM embeddings e JOIN s USING (vec_id)
 """
 
 
+def q62_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window distribution functions: percent_rank, cume_dist, and
+    nth_value(2) per nation over customer balances — one shared
+    Window frame like q34."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        pround(F.percent_rank().over(w), 6).alias("pr"),
+        pround(F.cume_dist().over(w), 6).alias("cd"),
+        pround(F.nth_value("c_acctbal", 2).over(wf), 2).alias("second_bal"),
+    )
+
+
+Q62_ORACLE = """
+SELECT c_custkey,
+       c_nationkey,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist()    OVER w, 6) AS cd,
+       round(nth_value(c_acctbal, 2) OVER
+             (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+             2) AS second_bal
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
 def build_registry() -> dict[str, QuerySpec]:
     reg = {
         "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_ORACLE),
@@ -4076,6 +4105,9 @@ def build_registry() -> dict[str, QuerySpec]:
             sim_quantize_embeddings, SIM_QUANTIZE_ORACLE
         ),
         "asof_cogroup_pandas": QuerySpec(asof_cogroup_pandas, ASOF_ORACLE),
+        "q62_distribution_ranks": QuerySpec(
+            q62_distribution_ranks, Q62_ORACLE
+        ),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]
     assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"

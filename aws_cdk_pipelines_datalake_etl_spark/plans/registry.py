@@ -3653,11 +3653,13 @@ FROM nation
 # entries (insertion order; observed cap in CORRECTNESS_r01/r02). This
 # window is therefore curated for BREADTH — every operator family gets
 # driver-verified representatives: reference-parity aggregation, joins
-# (broadcast/semi/anti/range), windows, rollup/cube/grouping-sets,
-# pivot, subqueries, UDFs, sessionization, skew-salting, bucketing,
-# CDC, as-of, time-series, streaming (tumbling/session/stream-stream/
+# (broadcast/anti/range), windows, rollup/grouping-sets, pivot,
+# subqueries, recursive CTE, scalar+grouped-agg pandas UDFs,
+# sessionization, skew-salting, bucketing, CDC, as-of, time-series,
+# Theta-sketch set algebra, streaming (tumbling/session/stream-stream/
 # left-outer/dedup/stateful), dedup (exact/minhash/simhash/jaccard/
-# clusters), text analysis, similarity search, multimodal, sampling.
+# clusters), text analysis (incl. contamination), similarity search,
+# multimodal, sampling.
 # Everything NOT in the window is still in ``queries()`` and is
 # verified locally by scripts/oracle_check.py (full log committed per
 # round).
@@ -3666,10 +3668,8 @@ _DRIVER_WINDOW = [
     "q01_pricing_summary",
     "q02_taxi_shape_agg",
     "q23_sql_transform",
-    "q04_topk_orders",
     "q06_broadcast_dim_join",
     "q07_revenue_top_orders",
-    "q08_semi_join",
     "q09_anti_join",
     "q11_window_topk_per_group",
     "q13_sessionize",
@@ -3677,17 +3677,18 @@ _DRIVER_WINDOW = [
     "q16_rollup",
     "q19_pivot",
     "q21_correlated_subquery",
-    "q22_cube",
     "q24_grouping_sets",
     "q27_percentiles",
     "q29_pandas_udf_score",
     "q30_range_join",
     "q35_trailing_window",
+    "q61_recursive_closure",
+    "udaf_mad",
     # scale / storage ops
+    "sketch_theta_audience",
     "agg_salted_skew",
     "join_salted_skew",
     "bucketed_join",
-    "sample_hash_deterministic",
     "cdc_latest_state",
     "asof_view_to_purchase",
     "incremental_rollup",
@@ -3712,6 +3713,7 @@ _DRIVER_WINDOW = [
     "text_token_count",
     "text_chunk_windows",
     "text_pack_bins",
+    "text_contamination",
     # similarity + multimodal
     "sim_brute_topk",
     "sim_lsh_near_dup",

@@ -31,16 +31,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def _ntz_wall_micros(c: Column) -> Column:
     """Wall-clock microseconds since 1970-01-01 of a TIMESTAMP_NTZ
-    column — pure NTZ arithmetic (NTZ - NTZ -> day-time interval), so
-    the result is identical under ANY session timezone, DST included.
-    Matches DuckDB's ``epoch_us(ts)`` on naive timestamps exactly.
-    (Interval->long truncates toward zero, so the sub-second part is
-    re-attached from ``date_part`` — valid for post-1970 data, which
-    is all the engine's event time.)
+    column — pure field decomposition (days since epoch + time of
+    day), no timezone anywhere, so the result is identical under ANY
+    session timezone, DST included, and correct for pre-1970 values
+    (datediff goes negative while time-of-day stays positive — the
+    floor semantics epoch arithmetic needs).  Matches DuckDB's
+    ``epoch_us(ts)`` on naive timestamps exactly.
     """
-    secs = (c - F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")).cast("long")
-    frac_us = (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("long") % 1_000_000
-    return secs * 1_000_000 + frac_us
+    days = F.datediff(F.to_date(c), F.lit("1970-01-01").cast("date")).cast("long")
+    tod_us = (
+        (F.hour(c).cast("long") * 3600 + F.minute(c).cast("long") * 60)
+        * 1_000_000
+        + (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("long")
+    )
+    return days * 86_400_000_000 + tod_us
 
 
 def fix_nanos_timestamps(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:

@@ -41,16 +41,28 @@ def stream_conform(
     checkpoint_dir: str,
     clock: Callable[[], datetime] | None = None,
     max_files_per_trigger: int | None = None,
+    available_now: bool = False,
+    lineage: bool = False,
 ) -> StreamingQuery:
     """Start the streaming conformance job over a raw CSV directory.
 
     Returns the live ``StreamingQuery``; callers drive it with
-    ``processAllAvailable()`` (tests / drain-and-stop) or let it run.
-    ``max_files_per_trigger`` bounds per-batch work so one giant
-    backlog cannot produce one giant micro-batch (ingest stays
-    incremental at cluster scale).
+    ``processAllAvailable()`` (tests / drain-and-stop), let it run, or
+    pass ``available_now=True`` (Trigger.AvailableNow) to process the
+    current backlog in bounded batches and stop — the modern
+    batch-over-stream pattern: scheduled-job economics with streaming
+    checkpoint/exactly-once semantics.  ``max_files_per_trigger``
+    bounds per-batch work either way, so one giant backlog cannot
+    produce one giant micro-batch.
+
+    ``lineage=True`` stamps each row with its source file from the
+    hidden ``_metadata`` column — row-level provenance at the cost of
+    one low-cardinality string column (the reference keeps file
+    identity only in the audit trail; this carries it into the data).
     """
     clk = clock or (lambda: datetime.now(timezone.utc))
+    import pyspark.sql.functions as F
+
     reader = (
         spark.readStream.schema(schema)
         .option("header", "true")
@@ -59,6 +71,10 @@ def stream_conform(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.csv(raw_dir)
+    if lineage:
+        stream = stream.withColumn(
+            "source_file", F.col("_metadata.file_name")
+        )
 
     def conform_batch(batch: DataFrame, _batch_id: int) -> None:
         now = clk()
@@ -72,8 +88,9 @@ def stream_conform(
             .parquet(conformed_location)
         )
 
-    return (
-        stream.writeStream.foreachBatch(conform_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    writer = stream.writeStream.foreachBatch(conform_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -76,3 +76,25 @@ def test_stream_conform_exactly_once_across_restart(spark, tmp_path):
     assert (
         again.filter(F.col("id") == 4).select("v").collect()[0][0] == 40.5
     )
+
+
+@pytest.mark.streaming
+def test_available_now_with_lineage(spark, tmp_path):
+    """Trigger.AvailableNow drains the backlog in bounded batches and
+    terminates by itself; lineage stamps each row's source file."""
+    raw = str(tmp_path / "raw")
+    out = str(tmp_path / "conformed")
+    ckpt = str(tmp_path / "ckpt")
+    _write_csv(raw, "a.csv", ["1,10.5,x"])
+    _write_csv(raw, "b.csv", ["2,20.5,y", "3,30.5,z"])
+
+    q = stream_conform(
+        spark, raw, out, SCHEMA, ckpt, clock=lambda: FIXED_NOW,
+        max_files_per_trigger=1, available_now=True, lineage=True,
+    )
+    assert q.awaitTermination(120), "AvailableNow query did not finish"
+
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    by_id = {r["id"]: r["source_file"] for r in got.collect()}
+    assert by_id == {1: "a.csv", 2: "b.csv", 3: "b.csv"}

@@ -24,13 +24,18 @@ from datetime import datetime, timezone
 from pathlib import Path
 from typing import Callable
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from aws_cdk_pipelines_datalake_etl_spark.audit import AuditLog
 from aws_cdk_pipelines_datalake_etl_spark.operators.conform import conform
 from aws_cdk_pipelines_datalake_etl_spark.operators.transform import transform
 from aws_cdk_pipelines_datalake_etl_spark.params import JobParams, make_job_params
 from aws_cdk_pipelines_datalake_etl_spark.sources.sql_text import TransformNotFoundError
+
+
+class DataQualityError(RuntimeError):
+    """A conformed table failed the runner's data-quality gate."""
 
 Notifier = Callable[[str, str], None]  # (subject, message)
 
@@ -81,6 +86,15 @@ class PipelineRunner:
     # K8: the reference's df.show(5) console taps
     # (etl_raw_to_conformed.py:196,199,215); 0 = off (production)
     debug_sample_rows: int = 0
+    # Optional data-quality gate between conform and transform: a
+    # callable (conformed DataFrame) -> long-format report with a
+    # boolean `passed` column (operators/quality.py builders compose
+    # into exactly that).  Any failed check fails the run BEFORE the
+    # purpose-built transform: audit FAILED + notify, purpose-built
+    # untouched.  The conformed write has already happened — quarantine
+    # is by audit status, not rollback; a corrected re-run overwrites
+    # idempotently (K1).
+    dq_checks: Callable[[DataFrame], DataFrame] | None = None
 
     def __post_init__(self) -> None:
         self.audit = AuditLog(self.spark, self.layout.audit, clock=self.clock)
@@ -132,6 +146,17 @@ class PipelineRunner:
                 sample_rows=self.debug_sample_rows,
             )
             conformed_rows = conformed.n_rows  # observed during the write
+            if self.dq_checks is not None:
+                report = self.dq_checks(conformed.table)
+                failed = report.filter(~F.col("passed")).collect()
+                if failed:
+                    detail = "; ".join(
+                        f"{r['check_name']}({r['target']})={r['value']}"
+                        for r in failed
+                    )
+                    raise DataQualityError(
+                        f"data quality gate failed: {detail}"
+                    )
             purpose_db = (
                 self.purposebuilt_database
                 or f"{params.source_system_name}_purposebuilt"

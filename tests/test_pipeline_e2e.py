@@ -333,3 +333,59 @@ def test_corpus_documents_through_pipeline(spark, runner, lake_root):
     one = rows[0]
     assert (one["year"], one["month"], one["day"]) == ("2020", "08", "15")
     assert one["min_chars"] <= one["avg_chars"] <= one["max_chars"]
+
+
+def test_dq_gate_blocks_transform_and_audits_failed(spark, lake_root, yellow_csv):
+    """A failing data-quality check fails the run between conform and
+    transform: audit FAILED with the check detail, purpose-built
+    table never created; a passing gate proceeds normally."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.quality import (
+        completeness_and_bounds_report,
+    )
+
+    def impossible_bounds(df):
+        # trip_distance must lie in [-2, -1]: guaranteed failure
+        return completeness_and_bounds_report(
+            df, completeness_cols=[], bounds={"trip_distance": (-2.0, -1.0)}
+        )
+
+    notifications = []
+    r = PipelineRunner(
+        spark=spark,
+        layout=LakeLayout(lake_root),
+        transforms_dir=os.path.join(
+            os.path.dirname(__file__), "..", "transforms"
+        ),
+        notifier=lambda s, m: notifications.append((s, m)),
+        clock=lambda: FIXED_NOW,
+        dq_checks=impossible_bounds,
+    )
+    result = r.on_file(yellow_csv)
+    assert result.status == "FAILED"
+    assert "data quality gate failed" in result.error_message
+    assert "trip_distance" in result.error_message
+    assert notifications[-1][0] == "Job Failed"
+    assert not spark.catalog.tableExists(
+        "tlc_taxi_data_purposebuilt.yellow_taxi_trip_record"
+    )
+    latest = r.audit.latest_status().collect()
+    assert latest[0]["job_latest_status"] == "FAILED"
+
+    # sane bounds: same runner config now succeeds end-to-end
+    r2 = PipelineRunner(
+        spark=spark,
+        layout=LakeLayout(lake_root),
+        transforms_dir=os.path.join(
+            os.path.dirname(__file__), "..", "transforms"
+        ),
+        notifier=lambda s, m: None,
+        clock=lambda: FIXED_NOW,
+        # vendorid is deliberately nullable in the fixture (it
+        # exercises the reference's COALESCE, R6) — gate on columns
+        # the conformance contract does guarantee
+        dq_checks=lambda df: completeness_and_bounds_report(
+            df, completeness_cols=["pulocationid"],
+            bounds={"trip_distance": (0.0, 1e6)},
+        ),
+    )
+    assert r2.on_file(yellow_csv).status == "SUCCEEDED"

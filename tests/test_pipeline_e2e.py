@@ -349,6 +349,12 @@ def test_dq_gate_blocks_transform_and_audits_failed(spark, lake_root, yellow_csv
             df, completeness_cols=[], bounds={"trip_distance": (-2.0, -1.0)}
         )
 
+    # the session catalog is shared across tests: clear any
+    # purpose-built table an earlier e2e test registered so absence
+    # after the gate is meaningful
+    spark.sql(
+        "DROP TABLE IF EXISTS tlc_taxi_data_purposebuilt.yellow_taxi_trip_record"
+    )
     notifications = []
     r = PipelineRunner(
         spark=spark,

@@ -3938,6 +3938,45 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
 """
 
 
+def grouped_apply_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-map surface (``groupBy().applyInPandas``): per-user
+    z-score of event values computed in Arrow-fed pandas (population
+    std, matching ``stddev_pop``).  Semantics ARE window-expressible
+    — that's deliberate: the DuckDB window oracle proves the pandas
+    path exact, the same way the cogroup as-of is proven.  One
+    co-partitioning shuffle; per-key state = the key's rows, so the
+    window twin is the production path for unbounded keys."""
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=0)
+        mean = pdf["value"].mean()
+        z = (pdf["value"] - mean) / std if std > 0 else pdf["value"] * 0.0
+        out = pdf[["event_id", "user_id"]].copy()
+        # floor-based rounding, identical to functions/rounding.pround
+        import numpy as np
+
+        out["z"] = np.floor(z * 1_000_000 + 0.5) / 1_000_000
+        return out
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, schema="event_id long, user_id long, z double"
+    )
+
+
+GROUPED_ZSCORE_ORACLE = """
+SELECT event_id,
+       user_id,
+       CASE WHEN stddev_pop(value) OVER w > 0
+            THEN floor((value - avg(value) OVER w)
+                       / (stddev_pop(value) OVER w) * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS z
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+"""
+
+
 def build_registry() -> dict[str, QuerySpec]:
     reg = {
         "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_ORACLE),
@@ -4109,6 +4148,9 @@ def build_registry() -> dict[str, QuerySpec]:
         "asof_cogroup_pandas": QuerySpec(asof_cogroup_pandas, ASOF_ORACLE),
         "q62_distribution_ranks": QuerySpec(
             q62_distribution_ranks, Q62_ORACLE
+        ),
+        "grouped_apply_zscore": QuerySpec(
+            grouped_apply_zscore, GROUPED_ZSCORE_ORACLE
         ),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]

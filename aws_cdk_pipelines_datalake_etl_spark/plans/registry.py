@@ -3977,6 +3977,27 @@ WINDOW w AS (PARTITION BY user_id)
 """
 
 
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` under a full redelivery (the
+    file set streamed twice): drained result equals ONE copy — the
+    bounded-state dedup for at-least-once upstreams.  Oracle: plain
+    DISTINCT over the single copy."""
+    import os
+
+    from aws_cdk_pipelines_datalake_etl_spark.streaming.windowed import (
+        streaming_dedup_within_watermark,
+    )
+
+    return streaming_dedup_within_watermark(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
+STREAM_DEDUP_WW_ORACLE = """
+SELECT event_id, ts, event_type FROM events
+"""
+
+
 def build_registry() -> dict[str, QuerySpec]:
     reg = {
         "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_ORACLE),
@@ -4151,6 +4172,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "grouped_apply_zscore": QuerySpec(
             grouped_apply_zscore, GROUPED_ZSCORE_ORACLE
+        ),
+        "stream_dedup_within_watermark": QuerySpec(
+            stream_dedup_within_watermark, STREAM_DEDUP_WW_ORACLE
         ),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]

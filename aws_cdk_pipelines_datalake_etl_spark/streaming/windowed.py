@@ -196,3 +196,67 @@ def session_window_agg(
         "n_events",
         "total_value",
     )
+
+
+def streaming_dedup_within_watermark(
+    spark: SparkSession,
+    path: str,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark``: streaming dedup whose state
+    holds a key only until the watermark passes its event time plus
+    the delay — the API for at-least-once upstreams that may redeliver
+    an event within a bounded window, without keying state on a time
+    bucket (contrast :func:`streaming_daily_distinct`).
+
+    To make the run meaningful the source is read TWICE (two glob
+    passes of the same files = a full redelivery); the drained result
+    must equal one copy — which the DISTINCT oracle asserts.  State is
+    O(keys per watermark window) on an unbounded stream.
+    """
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import (
+        fix_nanos_timestamps,
+    )
+
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        glob = os.path.basename(path)
+        stream_dir = os.path.dirname(path)
+    else:
+        glob = "*.parquet"
+        stream_dir = path
+
+    # two deliveries of every file: copy into a temp dir twice
+    import shutil
+    import tempfile
+
+    src_dir = tempfile.mkdtemp(prefix="dedupww_")
+    for i in (0, 1):
+        for f in os.listdir(stream_dir):
+            if f == glob or (glob == "*.parquet" and f.endswith(".parquet")):
+                shutil.copy(
+                    os.path.join(stream_dir, f),
+                    os.path.join(src_dir, f"copy{i}_{f}"),
+                )
+
+    stream = fix_nanos_timestamps(
+        spark.readStream.schema(schema).parquet(src_dir), (ts_col,)
+    )
+    deduped = stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+    name = f"ddww_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return spark.table(name).select(*key_cols, ts_col, "event_type")

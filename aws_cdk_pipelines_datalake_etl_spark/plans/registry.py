@@ -3998,6 +3998,53 @@ SELECT event_id, ts, event_type FROM events
 """
 
 
+def cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/cdc.py table_diff): orders
+    vs a derived snapshot with deterministic removals (key%13==0),
+    changes (key%7==0 price bump), and additions (key%17 re-keyed) —
+    every key classified added/removed/changed/unchanged in one
+    full-outer join on md5 row fingerprints."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.cdc import table_diff
+
+    o = _t(spark, sf_dir, "orders")
+    kept = o.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = o.filter(F.col("o_orderkey") % 17 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 3000000
+    )
+    right = kept.unionByName(added)
+    return table_diff(o, right, key_cols=["o_orderkey"])
+
+
+CDC_TABLE_DIFF_ORACLE = """
+WITH right_t AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey + 3000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 17 = 0
+)
+SELECT coalesce(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+       CASE WHEN l.o_orderkey IS NULL THEN 'added'
+            WHEN r.o_orderkey IS NULL THEN 'removed'
+            WHEN l.o_custkey = r.o_custkey
+             AND l.o_orderstatus = r.o_orderstatus
+             AND l.o_totalprice = r.o_totalprice
+             AND l.o_orderdate = r.o_orderdate
+             AND l.o_orderpriority = r.o_orderpriority THEN 'unchanged'
+            ELSE 'changed' END AS diff_status
+FROM orders l FULL OUTER JOIN right_t r ON l.o_orderkey = r.o_orderkey
+"""
+
+
 def build_registry() -> dict[str, QuerySpec]:
     reg = {
         "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_ORACLE),
@@ -4176,6 +4223,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "stream_dedup_within_watermark": QuerySpec(
             stream_dedup_within_watermark, STREAM_DEDUP_WW_ORACLE
         ),
+        "cdc_table_diff": QuerySpec(cdc_table_diff, CDC_TABLE_DIFF_ORACLE),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]
     assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"

@@ -246,3 +246,24 @@ def test_static_partition_pruning_on_conformed_layout(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "2024-01-05" in m.group(1), plan
+
+
+def test_table_diff_classifies_all_statuses(spark):
+    from aws_cdk_pipelines_datalake_etl_spark.operators.cdc import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (5, "e", 50.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    got = {r["k"]: r["diff_status"] for r in table_diff(left, right, ["k"]).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "unchanged",  # NULL column equal on both sides
+        5: "added",
+    }

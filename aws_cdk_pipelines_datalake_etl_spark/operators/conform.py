@@ -68,6 +68,13 @@ def read_raw(
         return spark.read.parquet(path)
     if lower.endswith(".orc"):
         return spark.read.orc(path)
+    if lower.endswith((".txt", ".log")):
+        # raw corpus lines: one row per line + source-file lineage from
+        # the hidden _metadata column (no schema to infer)
+        return spark.read.text(path).select(
+            F.col("value").alias("text"),
+            F.col("_metadata.file_name").alias("source_file"),
+        )
     return read_raw_csv(spark, path, schema=schema)
 
 

@@ -78,3 +78,38 @@ def test_cli_parser_modes():
     assert a.scan
     a = p.parse_args(["--lake", "/x", "--watch", "3", "--poll-seconds", "0.5"])
     assert a.watch == 3 and a.poll_seconds == 0.5
+
+
+def test_text_raw_file_through_pipeline(spark, lake_root):
+    """Raw corpus lines (.txt): one row per line with source-file
+    lineage, conformed into the partitioned lake like any source."""
+    import os
+
+    from aws_cdk_pipelines_datalake_etl_spark.runner import (
+        LakeLayout,
+        PipelineRunner,
+    )
+
+    key = "corpus/raw_lines/shard0.txt"
+    path = os.path.join(lake_root, "raw", key)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("the first document line\nthe second line\n\nfourth after blank\n")
+
+    from datetime import datetime, timezone
+
+    r = PipelineRunner(
+        spark=spark,
+        layout=LakeLayout(lake_root),
+        transforms_dir=None,
+        notifier=lambda s, m: None,
+        clock=lambda: datetime(2020, 8, 15, tzinfo=timezone.utc),
+    )
+    result = r.on_file(key)
+    assert result.status == "SUCCEEDED", result.error_message
+    t = spark.table("corpus.raw_lines")
+    rows = t.collect()
+    assert len(rows) == 4  # blank line is still a row
+    assert {r["source_file"] for r in rows} == {"shard0.txt"}
+    assert sorted(r["text"] for r in rows)[-1] == "the second line"
+    assert rows[0]["year"] == "2020"

@@ -259,3 +259,20 @@ def test_grouped_agg_pandas_udf_single_exchange(spark):
     assert plan.count("hashpartitioning") == 1
     # only the two touched columns are read
     assert "struct<event_type:string,value:double>" in plan
+
+
+def test_quantize_and_redact_are_pure_scans(spark):
+    """Row-local transforms must stay shuffle-free: zero exchanges,
+    zero Python nodes — a 100 TB pass at scan speed."""
+    for q in (R.sim_quantize_embeddings, R.text_redact_pii):
+        plan = formatted_plan(q(spark, SF_DIR_SMOKE))
+        assert "hashpartitioning" not in plan
+        assert "EvalPython" not in plan
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """The eval shingle set must broadcast — the corpus side of the
+    contamination scan never shuffles before the pair aggregation."""
+    plan = formatted_plan(R.text_contamination(spark, SF_DIR_SMOKE))
+    assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan

@@ -229,3 +229,14 @@ def redact_pii(
         "<PHONE>",
     )
     return df.withColumn(out_col, scrubbed)
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm"
+) -> DataFrame:
+    """Canonical text normalization before hashing/dedup/tokenizing:
+    lowercase, collapse all whitespace runs to single spaces, trim.
+    Pure codegen'd expressions; identical semantics cross-engine (the
+    oracle replays it), so normalized fingerprints are portable."""
+    collapsed = F.regexp_replace(F.lower(F.col(text_col)), "[ \\t\\r\\n]+", " ")
+    return df.withColumn(out_col, F.trim(collapsed))

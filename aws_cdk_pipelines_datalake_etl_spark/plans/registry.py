@@ -3851,6 +3851,25 @@ HAVING count(*) >= 2
 """
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (operators/text.py
+    normalize_text): lowercase + whitespace collapse + trim, with the
+    md5 of the normalized form — the portable fingerprint input.
+    Zero-shuffle scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.normalize_text(docs).select(
+        "doc_id", "norm", F.md5("norm").alias("norm_md5")
+    )
+
+
+TEXT_NORMALIZE_ORACLE = """
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g')) AS norm,
+       md5(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g'))) AS norm_md5
+FROM documents
+"""
+
+
 def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (operators/text.py): emails and phone-shaped
     numbers replaced by typed placeholders.  The testdata corpus
@@ -4224,6 +4243,7 @@ def build_registry() -> dict[str, QuerySpec]:
             stream_dedup_within_watermark, STREAM_DEDUP_WW_ORACLE
         ),
         "cdc_table_diff": QuerySpec(cdc_table_diff, CDC_TABLE_DIFF_ORACLE),
+        "text_normalize": QuerySpec(text_normalize, TEXT_NORMALIZE_ORACLE),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]
     assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"

@@ -58,6 +58,18 @@ SHOWCASE = {
         "SortMergeJoin with ZERO Exchange nodes: both sides are bucketed "
         "on the join key, so co-location is free (SelectedBucketsCount)"
     ),
+    "sim_quantize_embeddings": (
+        "zero Exchange, zero Python nodes: the int8 quantization is a pure "
+        "codegen'd array-expression scan — 100 TB at scan speed"
+    ),
+    "text_contamination": (
+        "BroadcastExchange on the (small) eval shingle set + BroadcastHashJoin: "
+        "the corpus side never shuffles before the tiny pair aggregation"
+    ),
+    "cdc_table_diff": (
+        "one full-outer SortMergeJoin on the key over md5 row fingerprints — "
+        "the reconciliation costs exactly one co-partitioning of each side"
+    ),
 }
 
 

@@ -4064,6 +4064,30 @@ FROM orders l FULL OUTER JOIN right_t r ON l.o_orderkey = r.o_orderkey
 """
 
 
+def q63_array_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth on token lists: distinct + sort + slice
+    + size, all row-local (zero shuffle), list results hash-compared
+    whole against DuckDB's list functions."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    vocab = F.array_sort(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        F.size(vocab).alias("n_distinct_tokens"),
+        F.slice(vocab, 1, 3).alias("first3"),
+        F.element_at(vocab, -1).alias("last_token"),
+    )
+
+
+Q63_ORACLE = """
+SELECT doc_id,
+       len(list_sort(list_distinct(string_split(lower(text), ' ')))) AS n_distinct_tokens,
+       list_sort(list_distinct(string_split(lower(text), ' ')))[1:3] AS first3,
+       list_sort(list_distinct(string_split(lower(text), ' ')))[-1]  AS last_token
+FROM documents
+"""
+
+
 def build_registry() -> dict[str, QuerySpec]:
     reg = {
         "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_ORACLE),
@@ -4244,6 +4268,7 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "cdc_table_diff": QuerySpec(cdc_table_diff, CDC_TABLE_DIFF_ORACLE),
         "text_normalize": QuerySpec(text_normalize, TEXT_NORMALIZE_ORACLE),
+        "q63_array_algebra": QuerySpec(q63_array_algebra, Q63_ORACLE),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]
     assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"

@@ -4064,6 +4064,31 @@ FROM orders l FULL OUTER JOIN right_t r ON l.o_orderkey = r.o_orderkey
 """
 
 
+# One SQL text, both engines (like q23/q61): the standard FILTER
+# clause — per-aggregate predicates in a single grouped pass (one
+# scan + one shuffle for all four conditional measures).
+Q64_FILTER_SQL = """
+SELECT event_type,
+       count(*)                                              AS n_all,
+       count(*)    FILTER (WHERE value > 50)                 AS n_high,
+       round(sum(value) FILTER (WHERE value > 50), 2)        AS sum_high,
+       round(avg(value) FILTER (WHERE user_id % 2 = 0), 6)   AS avg_even_users
+FROM events
+GROUP BY event_type
+"""
+
+
+def q64_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER clause: four conditional measures in ONE
+    grouped pass — identical SQL text runs on DuckDB as the oracle."""
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import (
+        register_testdata_views,
+    )
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(Q64_FILTER_SQL)
+
+
 def q63_array_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function breadth on token lists: distinct + sort + slice
     + size, all row-local (zero shuffle), list results hash-compared
@@ -4269,6 +4294,9 @@ def build_registry() -> dict[str, QuerySpec]:
         "cdc_table_diff": QuerySpec(cdc_table_diff, CDC_TABLE_DIFF_ORACLE),
         "text_normalize": QuerySpec(text_normalize, TEXT_NORMALIZE_ORACLE),
         "q63_array_algebra": QuerySpec(q63_array_algebra, Q63_ORACLE),
+        "q64_filtered_aggregates": QuerySpec(
+            q64_filtered_aggregates, Q64_FILTER_SQL
+        ),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]
     assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"

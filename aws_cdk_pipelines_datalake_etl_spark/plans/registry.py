@@ -4089,6 +4089,25 @@ def q64_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(Q64_FILTER_SQL)
 
 
+def q65_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex capture groups (the extraction twin of redact_pii's
+    replace): first 'th…' word per document, empty-string no-match
+    normalized to NULL identically on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    ext = F.regexp_extract(F.col("text"), "\\b(th[a-z]{2,})", 1)
+    return docs.select(
+        "doc_id",
+        F.nullif(ext, F.lit("")).alias("first_th_word"),
+    )
+
+
+Q65_ORACLE = """
+SELECT doc_id,
+       nullif(regexp_extract(text, '\\b(th[a-z]{2,})', 1), '') AS first_th_word
+FROM documents
+"""
+
+
 def q63_array_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function breadth on token lists: distinct + sort + slice
     + size, all row-local (zero shuffle), list results hash-compared
@@ -4297,6 +4316,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "q64_filtered_aggregates": QuerySpec(
             q64_filtered_aggregates, Q64_FILTER_SQL
         ),
+        "q65_regexp_extract": QuerySpec(q65_regexp_extract, Q65_ORACLE),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]
     assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"

@@ -4089,6 +4089,35 @@ def q64_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(Q64_FILTER_SQL)
 
 
+def q66_mode_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group via Spark's deterministic mode()
+    (ties -> lowest value); the oracle replays the same total order
+    (count desc, value asc) explicitly, so tie-broken results are
+    engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.mode("event_type", True).alias("mode_event"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+Q66_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+), r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT r.user_id, r.event_type AS mode_event, t.n_events
+FROM r JOIN (SELECT user_id, count(*) AS n_events
+             FROM events GROUP BY user_id) t USING (user_id)
+WHERE r.rn = 1
+"""
+
+
 def q65_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex capture groups (the extraction twin of redact_pii's
     replace): first 'th…' word per document, empty-string no-match
@@ -4317,6 +4346,7 @@ def build_registry() -> dict[str, QuerySpec]:
             q64_filtered_aggregates, Q64_FILTER_SQL
         ),
         "q65_regexp_extract": QuerySpec(q65_regexp_extract, Q65_ORACLE),
+        "q66_mode_aggregate": QuerySpec(q66_mode_aggregate, Q66_ORACLE),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]
     assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"

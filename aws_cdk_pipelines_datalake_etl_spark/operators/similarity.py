@@ -142,6 +142,260 @@ def ivf_topk(
     )
 
 
+def _lit_vec(values) -> "F.Column":
+    """A literal array<double> column from a Python float sequence."""
+    return F.array(*[F.lit(float(x)) for x in values])
+
+
+def _dot_lit(col_name: str, values) -> "F.Column":
+    """Sequential-fold dot product of an array<double> column against a
+    literal centroid — same fold shape as :func:`..functions.vector.dot`,
+    fully JVM-side (no UDF, no broadcast join needed for k centroids)."""
+    return F.aggregate(
+        F.zip_with(F.col(col_name), _lit_vec(values), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_lit_centroid(col_name: str, centroids) -> "F.Column":
+    """0-based index of the nearest (max dot) literal centroid; ties
+    break to the lowest index (``array_position`` finds the first max)."""
+    sims = F.array(*[_dot_lit(col_name, c) for c in centroids])
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def train_ivf_codebook(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    max_iter: int = 10,
+    seed: int = 42,
+    init_rounds: int = 3,
+    oversample: int | None = None,
+    sample_fraction: float | None = None,
+    tol: float = 1e-4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed, seeded, deterministic spherical k-means|| training
+    for the IVF codebook that :func:`assign_ivf_buckets` consumes.
+
+    Algorithm (Bahmani et al., *Scalable K-Means++*, VLDB 2012, adapted
+    to cosine/spherical geometry):
+
+    1. **Normalize** — vectors are L2-normalized once (zero vectors are
+       dropped from training), so max-dot == max-cosine and the
+       centroid update is the renormalized mean (spherical k-means).
+    2. **k-means|| init** — the first seed is the row with the minimum
+       ``xxhash64(id, seed)`` (deterministic "random" pick); then
+       ``init_rounds`` rounds each compute the cost
+       ``d(x) = max(0, 1 - max_c cos(x, c))`` distributed, and sample
+       each point with probability ``min(1, l * d(x) / phi)`` using a
+       *hash* uniform (``xxhash64(id, seed + round)``) instead of an
+       RNG, so the oversampled candidate set is identical on every run
+       and every executor.  Candidates are weighted by the size of
+       their Voronoi cell (one distributed count) and reduced to
+       ``n_centroids`` seeds with driver-side weighted spherical
+       k-means over the ~``l * rounds`` candidates (numpy, seeded) —
+       the standard k-means|| final reduction.
+    3. **Lloyd refinement** — ``max_iter`` distributed rounds: assign
+       every vector to its nearest centroid with JVM-side fold
+       expressions (the k centroids ride along as literal arrays — no
+       join, no UDF), then one ``groupBy(cluster)`` computing count +
+       per-dimension sums (map-side partial agg; k output rows).  The
+       k-row result is collected (an O(k·dim) control scalar, same
+       class as the z-order min/max), renormalized, rounded to 9 dp to
+       damp float-sum jitter, and re-broadcast as literals.  Empty
+       clusters keep their previous centroid.  Stops early when the
+       max centroid movement drops below ``tol``.
+
+    Scale: every round is one scan + one k-row shuffle; pass
+    ``sample_fraction`` to train on a deterministic Bernoulli sample
+    (at 100 TB you train the codebook on ~1e6 vectors, not the corpus —
+    IVF quality does not need the full population).
+
+    Returns a DataFrame ``(centroid_id int, embedding array<double>)``
+    ready to feed :func:`assign_ivf_buckets` / :func:`ivf_topk`.
+    """
+    import numpy as np
+
+    spark = vectors.sparkSession
+    if oversample is None:
+        oversample = 2 * n_centroids
+
+    base = vectors
+    if sample_fraction is not None:
+        base = base.sample(fraction=sample_fraction, seed=seed)
+
+    v_dbl = as_double_array(vec_col)
+    nrm = F.sqrt(F.aggregate(v_dbl, F.lit(0.0), lambda acc, x: acc + x * x))
+    train = (
+        base.select(
+            F.col(id_col).alias("id"),
+            F.transform(v_dbl, lambda x: x / nrm).alias("nv"),
+        )
+        .filter(nrm > 0)
+        .cache()
+    )
+    try:
+        dim_row = train.select(F.size("nv").alias("d")).first()
+        if dim_row is None:
+            raise ValueError("train_ivf_codebook: no non-zero vectors to train on")
+        dim = dim_row["d"]
+
+        # --- k-means|| init -------------------------------------------------
+        first = (
+            train.withColumn("h", F.xxhash64(F.col("id"), F.lit(seed)))
+            .orderBy("h", "id")
+            .select("nv")
+            .first()
+        )
+        candidates: list[list[float]] = [list(first["nv"])]
+        for r in range(init_rounds):
+            cost = F.greatest(
+                F.lit(0.0),
+                F.lit(1.0)
+                - F.array_max(F.array(*[_dot_lit("nv", c) for c in candidates])),
+            )
+            phi_row = train.select(F.sum(cost).alias("phi")).first()
+            phi = float(phi_row["phi"] or 0.0)
+            if phi <= 0:
+                break  # every point coincides with a candidate
+            u = (
+                F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 1000 + r)), F.lit(10**9))
+                / F.lit(1e9)
+            )
+            prob = F.least(F.lit(1.0), F.lit(float(oversample)) * cost / F.lit(phi))
+            picked = train.filter(u < prob).select("nv").collect()
+            candidates.extend(list(p["nv"]) for p in picked)
+
+        # weight candidates by Voronoi cell size (one distributed count)
+        wrows = (
+            train.select(_nearest_lit_centroid("nv", candidates).alias("c"))
+            .groupBy("c")
+            .count()
+            .collect()
+        )
+        weights = np.zeros(len(candidates))
+        for row in wrows:
+            weights[row["c"]] = row["count"]
+        C = np.array(candidates, dtype=np.float64)
+
+        # driver-side weighted spherical k-means over the tiny candidate set
+        k = min(n_centroids, len(C))
+        order = np.argsort(-weights, kind="stable")
+        seeds = C[order[:k]].copy()
+        for _ in range(50):
+            a = (C @ seeds.T).argmax(axis=1)
+            new = seeds.copy()
+            for j in range(k):
+                w = weights[a == j]
+                if w.sum() > 0:
+                    m = (C[a == j] * w[:, None]).sum(axis=0) / w.sum()
+                    n2 = np.linalg.norm(m)
+                    if n2 > 0:
+                        new[j] = m / n2
+            if np.abs(new - seeds).max() < 1e-12:
+                seeds = new
+                break
+            seeds = new
+        centroids = [np.round(s, 9).tolist() for s in seeds]
+
+        # --- distributed Lloyd refinement -----------------------------------
+        for _ in range(max_iter):
+            assigned = train.select(
+                _nearest_lit_centroid("nv", centroids).alias("cluster"), "nv"
+            )
+            agg = (
+                assigned.groupBy("cluster")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(F.col("nv")[i]).alias(f"s{i}") for i in range(dim)],
+                )
+                .collect()
+            )
+            new_centroids = [list(c) for c in centroids]
+            moved = 0.0
+            for row in agg:
+                s = np.array([row[f"s{i}"] for i in range(dim)], dtype=np.float64)
+                n2 = np.linalg.norm(s)
+                if row["n"] > 0 and n2 > 0:
+                    c_new = np.round(s / n2, 9)
+                    moved = max(
+                        moved,
+                        float(
+                            np.abs(
+                                c_new - np.array(centroids[row["cluster"]])
+                            ).max()
+                        ),
+                    )
+                    new_centroids[row["cluster"]] = c_new.tolist()
+            centroids = new_centroids
+            if moved < tol:
+                break
+    finally:
+        train.unpersist()
+
+    return spark.createDataFrame(
+        [(j, c) for j, c in enumerate(centroids)],
+        "centroid_id int, embedding array<double>",
+    )
+
+
+def ann_recall_at_k(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measured recall@k of the IVF probe vs the exact brute-force
+    ground truth, per query: ``(query_id, hits, recall)``.
+
+    This is the gate that makes an approximate index trustworthy —
+    an IVF layout without a measured recall is an unknown, not an
+    optimization."""
+    truth = brute_force_topk(vectors, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(vectors, queries, centroids, k, nprobe, id_col, vec_col).select(
+        "query_id", F.col("neighbor_id").alias("approx_id")
+    )
+    hits = truth.join(
+        approx,
+        (truth["query_id"] == approx["query_id"])
+        & (truth["neighbor_id"] == approx["approx_id"]),
+        "left",
+    ).select(truth["query_id"], F.col("approx_id").isNotNull().alias("hit"))
+    return (
+        hits.groupBy("query_id")
+        .agg(F.sum(F.col("hit").cast("int")).alias("hits"))
+        .withColumn("recall", pround(F.col("hits") / F.lit(float(k)), 6))
+        .select("query_id", "hits", "recall")
+    )
+
+
+def ann_recall_summary(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row corpus summary of :func:`ann_recall_at_k`:
+    ``(n_queries, mean_recall, min_recall)``."""
+    per_q = ann_recall_at_k(vectors, queries, centroids, k, nprobe, id_col, vec_col)
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        pround(F.avg("recall"), 6).alias("mean_recall"),
+        pround(F.min("recall"), 6).alias("min_recall"),
+    )
+
+
 def hyperplane_lsh_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.4,

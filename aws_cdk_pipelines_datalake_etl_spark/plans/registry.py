@@ -1200,6 +1200,31 @@ def sim_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over a k-means||-TRAINED codebook
+    (operators/similarity.py train_ivf_codebook): distributed seeded
+    spherical k-means|| produces the centroids, then the nprobe=2
+    probe runs the scale path.  Approximate — no SQL oracle (k-means
+    is not SQL-expressible); the recall gate lives in
+    tests/test_similarity.py and ``sim_ann_recall_trained``."""
+    e = _t(spark, sf_dir, "embeddings")
+    cb = sim.train_ivf_codebook(e, n_centroids=8, max_iter=3, seed=42)
+    return sim.ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), cb, k=5, nprobe=2
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+def sim_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the trained-codebook IVF probe vs exact
+    brute force — the number that makes the approximate index
+    trustworthy.  One row: (n_queries, mean_recall, min_recall)."""
+    e = _t(spark, sf_dir, "embeddings")
+    cb = sim.train_ivf_codebook(e, n_centroids=8, max_iter=3, seed=42)
+    return sim.ann_recall_summary(
+        e, e.filter(F.col("vec_id") < 10), cb, k=5, nprobe=2
+    )
+
+
 def asof_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for every purchase event, the latest prior (or
     simultaneous) view event of the same user."""
@@ -4296,6 +4321,8 @@ def build_registry() -> dict[str, QuerySpec]:
         "sim_lsh_near_dup": QuerySpec(sim_lsh_near_dup, SIM_NEAR_DUP_ORACLE),
         "sim_ivf_topk": QuerySpec(sim_ivf_topk, None),
         "sim_ivf_full_probe": QuerySpec(sim_ivf_full_probe, SIM_BRUTE_TOPK_ORACLE),
+        "sim_ivf_trained": QuerySpec(sim_ivf_trained, None),
+        "sim_ann_recall_trained": QuerySpec(sim_ann_recall_trained, None),
         "asof_forward_next_purchase": QuerySpec(
             asof_forward_next_purchase, ASOF_FORWARD_ORACLE
         ),

@@ -75,6 +75,76 @@ def test_hyperplane_lsh_equals_exact_pairs(spark, emb):
     assert lsh == exact
 
 
+def _planted_clusters(spark, n_clusters=10, per_cluster=50, dim=64, sigma=0.12):
+    """Deterministic planted-cluster corpus: unit centers + Gaussian
+    noise small enough that nearest neighbors live in-cluster — the
+    regime where an IVF layout is actually meaningful (the sf testdata
+    embeddings are near-uniform, which caps any partition-pruning ANN's
+    recall regardless of codebook quality)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    noise = np.random.RandomState(11).standard_normal((n_clusters * per_cluster, dim))
+    X = np.repeat(centers, per_cluster, axis=0) + sigma * noise
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_trained_ivf_recall_gate_on_clustered_data(spark):
+    """The round-3 verdict gate: k-means||-trained codebook + nprobe=2
+    probe must reach recall@5 >= 0.9 vs brute force on clustered data."""
+    vectors = _planted_clusters(spark).cache()
+    cb = sim.train_ivf_codebook(vectors, n_centroids=10, max_iter=5, seed=42)
+    q = vectors.filter(F.col("vec_id") % 50 == 0)  # one query per cluster
+    summ = sim.ann_recall_summary(vectors, q, cb, k=5, nprobe=2).collect()[0]
+    assert summ["n_queries"] == 10
+    assert summ["mean_recall"] >= 0.9, f"recall@5 {summ['mean_recall']}"
+    vectors.unpersist()
+
+
+def test_trained_full_probe_equals_brute_force(spark, emb):
+    """Probing every trained bucket makes IVF exact — the machinery
+    check that holds regardless of data structure."""
+    cb = sim.train_ivf_codebook(emb, n_centroids=4, max_iter=3, seed=42)
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in sim.brute_force_topk(emb, q, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in sim.ivf_topk(emb, q, cb, k=5, nprobe=4).collect()
+    }
+    assert full == exact
+
+
+def test_train_ivf_codebook_deterministic(spark, emb):
+    a = sim.train_ivf_codebook(emb, n_centroids=4, max_iter=2, seed=1).collect()
+    b = sim.train_ivf_codebook(emb, n_centroids=4, max_iter=2, seed=1).collect()
+    key = lambda r: r["centroid_id"]
+    assert [r["embedding"] for r in sorted(a, key=key)] == [
+        r["embedding"] for r in sorted(b, key=key)
+    ]
+    # centroids are unit vectors
+    import numpy as np
+
+    norms = [float(np.linalg.norm(r["embedding"])) for r in a]
+    assert all(abs(n - 1.0) < 1e-6 for n in norms)
+
+
+def test_trained_ivf_beats_random_scan_fraction(spark, emb):
+    """Even on near-uniform vectors, a trained assignment must beat
+    the blind baseline: probing 2 of 8 buckets scans ~25% of the
+    corpus, so recall must exceed 0.25 by a clear margin if bucket
+    assignment correlates with cosine similarity at all."""
+    cb = sim.train_ivf_codebook(emb, n_centroids=8, max_iter=5, seed=42)
+    q = emb.filter(F.col("vec_id") < 10)
+    summ = sim.ann_recall_summary(emb, q, cb, k=5, nprobe=2).collect()[0]
+    assert summ["mean_recall"] >= 0.3, f"recall@5 {summ['mean_recall']}"
+
+
 def test_quantize_reconstruction_error_bounded(spark):
     """int8 round-trip: every component within scale/2 of the
     original, codes within [-127, 127]."""

@@ -176,37 +176,7 @@ def minhash_lsh_pairs(
     strings per doc are exploded and equi-joined — a shuffle keyed on
     (band, signature), which is how this stays linear-ish at 100 TB.
     """
-    if num_perm % bands:
-        raise ValueError("num_perm must be divisible by bands")
-    rows_per_band = num_perm // bands
-    coeffs = minhash_coefficients(num_perm, seed)
-
-    # signature path: raw hashes, NO distinct — min() tolerates dupes,
-    # and the partial (map-side) min aggregation means the only rows
-    # that ever shuffle are num_perm longs per (doc x partition)
-    hmod = (F.col("h") % MINHASH_PRIME).cast("long")
-    mins = [
-        F.min((hmod * F.lit(a) + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    sig = shingle_hashes(df, id_col, text_col, k).groupBy("id").agg(*mins)
-
-    # band signatures are hashed to a long (xxhash64): the LSH bucket
-    # key shuffles as 8 bytes instead of a ~40-char string.  Hash
-    # collisions can only ADD candidates (equal sigs stay equal), and
-    # every candidate is exact-verified below, so correctness holds.
-    band_structs = ", ".join(
-        "named_struct('band', {b}, 'bsig', xxhash64(concat_ws(',', {vals})))".format(
-            b=b,
-            vals=", ".join(
-                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
-            ),
-        )
-        for b in range(bands)
-    )
-    banded = sig.select(
-        "id", F.explode(F.expr(f"array({band_structs})")).alias("bs")
-    ).select("id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+    banded = minhash_band_index(df, id_col, text_col, k, num_perm, bands, seed)
 
     # pair-gen as ONE shuffle: group ids per LSH bucket, expand pairs
     # inside the bucket (vs. a self-join, whose two map sides each
@@ -234,6 +204,162 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sh = shingle_set(df, id_col, text_col, k)
+    return _verified_jaccard(candidates, sh, threshold)
+
+
+def incremental_fingerprint_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-run dedup for an ingest batch against the existing corpus
+    — the operator a real pipeline needs (the whole-corpus operators
+    above recompute everything per run).
+
+    Semantics are **first-seen-wins**: a batch row whose normalized
+    fingerprint already exists in the corpus is dropped (the corpus
+    representative was already published and cannot be retroactively
+    swapped); surviving fingerprints are deduped *within* the batch
+    (min id representative, ``n_copies`` counting batch copies).  The
+    invariant proven by the tests: corpus representatives plus the
+    incremental survivors cover every fingerprint of corpus+batch
+    exactly once — i.e. repeated incremental runs compose to the full
+    recompute under corpus-precedence.
+
+    Scale: the corpus side is pruned to its fingerprint column (in a
+    real deployment the conformed zone stores ``fp`` at ingest, so
+    this reads a single column — or a bloom-filter index — not the
+    text), and the left-anti join shuffles only fingerprints.  Cost is
+    O(|batch| + |corpus fp column|) per run instead of the
+    whole-corpus O(|C| + |B|) recompute."""
+    corpus_fps = fingerprint(corpus, text_col).select("fp").distinct()
+    batch_fps = fingerprint(batch, text_col).select(id_col, "fp")
+    fresh = batch_fps.join(corpus_fps, "fp", "left_anti")
+    return exact_dedup(fresh, ["fp"], id_col)
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """The persisted LSH index: ``(id, band, bsig)`` band signatures.
+    Written once at ingest (bucketed by (band, bsig) at scale), it lets
+    :func:`incremental_minhash_pairs` probe a new batch against the
+    corpus without recomputing corpus signatures."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
+    coeffs = minhash_coefficients(num_perm, seed)
+    # signature path: raw hashes, NO distinct — min() tolerates dupes,
+    # and the partial (map-side) min aggregation means the only rows
+    # that ever shuffle are num_perm longs per (doc x partition)
+    hmod = (F.col("h") % MINHASH_PRIME).cast("long")
+    mins = [
+        F.min((hmod * F.lit(a) + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = shingle_hashes(df, id_col, text_col, k).groupBy("id").agg(*mins)
+    # band signatures are hashed to a long (xxhash64): the LSH bucket
+    # key shuffles as 8 bytes instead of a ~40-char string.  Hash
+    # collisions can only ADD candidates (equal sigs stay equal), and
+    # every candidate is exact-verified downstream, so correctness holds.
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bsig', xxhash64(concat_ws(',', {vals})))".format(
+            b=b,
+            vals=", ".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return sig.select(
+        "id", F.explode(F.expr(f"array({band_structs})")).alias("bs")
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+
+
+def incremental_minhash_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    corpus_bands: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs *touching a new ingest batch*: batch-vs-corpus
+    and batch-vs-batch, never corpus-vs-corpus — the incremental
+    complement of :func:`minhash_lsh_pairs`.
+
+    Candidate generation probes the batch's band signatures against
+    the (pre-computed, persisted) corpus band index plus the batch's
+    own buckets; exact-Jaccard verification then reads the text of the
+    batch and ONLY the corpus docs that appear in some candidate pair
+    (a semi-join prune — at 100 TB the verification scan touches a
+    candidate-sized sliver of the corpus, not the corpus).
+
+    Equals ``minhash_lsh_pairs(corpus UNION batch)`` restricted to
+    pairs with at least one batch id (the oracle claim; at the default
+    parameters LSH == exact-Jaccard at test scale)."""
+    batch_bands = minhash_band_index(
+        batch, id_col, text_col, k, num_perm, bands, seed
+    )
+    if corpus_bands is None:
+        corpus_bands = minhash_band_index(
+            corpus, id_col, text_col, k, num_perm, bands, seed
+        )
+
+    # batch-vs-corpus candidates: equi-join on the (band, bsig) bucket
+    cross = (
+        batch_bands.select("band", "bsig", F.col("id").alias("bid"))
+        .join(
+            corpus_bands.select("band", "bsig", F.col("id").alias("cid")),
+            ["band", "bsig"],
+        )
+        .select(
+            F.least("bid", "cid").alias("id1"),
+            F.greatest("bid", "cid").alias("id2"),
+        )
+    )
+    # batch-vs-batch candidates: bucket-local pair expansion
+    buckets = (
+        batch_bands.groupBy("band", "bsig")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    self_pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> named_struct('id1', least(x, y), 'id2', greatest(x, y)))))"
+                )
+            ).alias("p")
+        ).select("p.id1", "p.id2")
+    )
+    candidates = cross.unionByName(self_pairs).distinct()
+
+    # verification corpus: batch docs + only the corpus docs that
+    # appear in a candidate pair (semi-join prune)
+    cand_ids = candidates.select(F.col("id1").alias("id")).unionByName(
+        candidates.select(F.col("id2").alias("id"))
+    )
+    corpus_needed = corpus.join(
+        cand_ids, corpus[id_col] == cand_ids["id"], "left_semi"
+    )
+    verify_docs = batch.select(id_col, text_col).unionByName(
+        corpus_needed.select(id_col, text_col)
+    )
+    sh = shingle_set(verify_docs, id_col, text_col, k)
     return _verified_jaccard(candidates, sh, threshold)
 
 

@@ -947,15 +947,56 @@ SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'
 FROM documents GROUP BY 1
 """
 
+def dedup_incremental_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run dedup (operators/dedup.py incremental_fingerprint_dedup):
+    the ingest batch (doc_id % 5 == 0) is deduped against the already-
+    published corpus (the rest) by fingerprint anti-join — first-seen
+    wins, so only never-seen fingerprints survive, deduped within the
+    batch.  O(batch + corpus-fp-column), not a whole-corpus recompute."""
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    return dd.incremental_fingerprint_dedup(batch, corpus)
+
+
+DEDUP_INCREMENTAL_FP_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS fp
+  FROM documents
+), batch AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+   corpus AS (SELECT * FROM fp WHERE doc_id % 5 != 0)
+SELECT fp, min(doc_id) AS doc_id, count(*) AS n_copies
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+GROUP BY fp
+"""
+
+
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup pairs (operators/dedup.py
+    incremental_minhash_pairs): batch band signatures probe the
+    persisted corpus LSH index — batch-vs-corpus and batch-vs-batch
+    pairs only, never corpus-vs-corpus; verification reads just the
+    candidate corpus docs (semi-join prune).  Oracle: exact Jaccard
+    over corpus+batch restricted to pairs touching the batch."""
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    return dd.incremental_minhash_pairs(batch, corpus, threshold=0.8)
+
+
 # Exact jaccard pairs — shared oracle for the exact and LSH paths (the
 # LSH miss probability at these parameters is ~5e-8 per true pair).
+# Shingle positions are generated from each document's own token count
+# (per-row unnest), so arbitrarily long documents are never truncated.
 _JACCARD_ORACLE = """
 WITH toks AS (
   SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
 ), sh AS (
   SELECT DISTINCT id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-  FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) g
-  WHERE i <= len(w) - 2
+  FROM (SELECT id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks)
 ), sizes AS (
   SELECT id, count(*) AS n FROM sh GROUP BY id
 ), pair AS (
@@ -969,6 +1010,30 @@ FROM pair
 JOIN sizes sa ON sa.id = id1
 JOIN sizes sb ON sb.id = id2
 WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+"""
+
+# The incremental restriction of _JACCARD_ORACLE: only pairs touching
+# the ingest batch (doc_id % 5 == 0) — corpus-vs-corpus pairs excluded.
+DEDUP_INCREMENTAL_LSH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM (SELECT id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks)
+), sizes AS (
+  SELECT id, count(*) AS n FROM sh GROUP BY id
+), pair AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id1, id2,
+       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pair
+JOIN sizes sa ON sa.id = id1
+JOIN sizes sb ON sb.id = id2
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+  AND (id1 % 5 = 0 OR id2 % 5 = 0)
 """
 
 
@@ -999,8 +1064,7 @@ WITH RECURSIVE toks AS (
   SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
 ), sh AS (
   SELECT DISTINCT id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-  FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) g
-  WHERE i <= len(w) - 2
+  FROM (SELECT id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks)
 ), sizes AS (
   SELECT id, count(*) AS n FROM sh GROUP BY id
 ), pair AS (
@@ -2638,8 +2702,7 @@ WITH d AS (
 ),
 bg AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS bigram
-  FROM d, (SELECT unnest(generate_series(1, 4000)) AS i) g
-  WHERE i <= len(w) - 1
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM d)
 )
 SELECT bigram, count(*) AS doc_freq
 FROM bg
@@ -3226,8 +3289,7 @@ WITH RECURSIVE toks AS (
   SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
 ), sh AS (
   SELECT DISTINCT id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-  FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) g
-  WHERE i <= len(w) - 2
+  FROM (SELECT id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks)
 ), sizes AS (
   SELECT id, count(*) AS n FROM sh GROUP BY id
 ), pair AS (
@@ -3865,8 +3927,7 @@ WITH toks AS (
   SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
 ), sh AS (
   SELECT DISTINCT id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-  FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) g
-  WHERE i <= len(w) - 2
+  FROM (SELECT id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks)
 )
 SELECT c.id AS doc_id, e.id AS eval_id, count(*) AS n_shared
 FROM sh c JOIN sh e ON c.s = e.s AND c.id <> e.id
@@ -4306,6 +4367,12 @@ def build_registry() -> dict[str, QuerySpec]:
         "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, _JACCARD_ORACLE),
         "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _JACCARD_ORACLE),
         "dedup_simhash": QuerySpec(dedup_simhash, _simhash_oracle()),
+        "dedup_incremental_fingerprint": QuerySpec(
+            dedup_incremental_fingerprint, DEDUP_INCREMENTAL_FP_ORACLE
+        ),
+        "dedup_incremental_lsh": QuerySpec(
+            dedup_incremental_lsh, DEDUP_INCREMENTAL_LSH_ORACLE
+        ),
         "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_ORACLE),
         "corpus_dedup_survivors": QuerySpec(
             corpus_dedup_survivors, CORPUS_SURVIVORS_ORACLE

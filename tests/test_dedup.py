@@ -94,3 +94,63 @@ def test_connected_components_known_graph(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20,
     }
+
+
+def test_incremental_fingerprint_composes_to_full(spark, docs):
+    """Corpus representatives + incremental batch survivors must cover
+    every fingerprint of corpus+batch exactly once (first-seen-wins),
+    i.e. incremental runs compose to the corpus-precedence recompute."""
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = dd.incremental_fingerprint_dedup(batch, corpus)
+    corpus_reps = dd.fingerprint_dedup(corpus)
+    combined = {r.fp for r in inc.collect()} | {
+        r.fp for r in corpus_reps.collect()
+    }
+    full_fps = {r.fp for r in dd.fingerprint(docs).select("fp").distinct().collect()}
+    assert combined == full_fps
+    # no overlap: a batch survivor's fp must be new
+    assert not ({r.fp for r in inc.collect()} & {r.fp for r in corpus_reps.collect()})
+
+
+def test_incremental_fingerprint_two_sequential_batches(spark, docs):
+    """Ingesting two batches sequentially covers the same fingerprints
+    as one combined recompute, with zero double-published fps."""
+    b1 = docs.filter(F.col("doc_id") % 5 == 0)
+    b2 = docs.filter(F.col("doc_id") % 5 == 1)
+    corpus0 = docs.filter((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 5 != 1))
+    s1 = dd.incremental_fingerprint_dedup(b1, corpus0)
+    corpus1 = corpus0.unionByName(b1)
+    s2 = dd.incremental_fingerprint_dedup(b2, corpus1)
+    fps0 = {r.fp for r in dd.fingerprint_dedup(corpus0).collect()}
+    fps1 = {r.fp for r in s1.collect()}
+    fps2 = {r.fp for r in s2.collect()}
+    assert not (fps1 & fps0) and not (fps2 & (fps0 | fps1))
+    full = {r.fp for r in dd.fingerprint(docs).select("fp").distinct().collect()}
+    assert fps0 | fps1 | fps2 == full
+
+
+def test_incremental_lsh_equals_full_restricted(spark, docs):
+    """Incremental pairs == whole-corpus LSH pairs restricted to pairs
+    touching the batch — and reusing a precomputed corpus band index
+    gives the identical result."""
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    full = {
+        (r.id1, r.id2, r.jaccard)
+        for r in dd.minhash_lsh_pairs(docs, threshold=0.8).collect()
+        if r.id1 % 5 == 0 or r.id2 % 5 == 0
+    }
+    inc = {
+        (r.id1, r.id2, r.jaccard)
+        for r in dd.incremental_minhash_pairs(batch, corpus, threshold=0.8).collect()
+    }
+    assert inc == full
+    idx = dd.minhash_band_index(corpus)
+    via_index = {
+        (r.id1, r.id2, r.jaccard)
+        for r in dd.incremental_minhash_pairs(
+            batch, corpus, corpus_bands=idx, threshold=0.8
+        ).collect()
+    }
+    assert via_index == full

@@ -4,11 +4,14 @@ Convention: a modality column is ``binary`` (the raw bytes) paired
 with a metadata struct (``media_type``, ``byte_len``, ``sha`` plus
 modality-specific fields).  The Spark-side plumbing — schema,
 Arrow-batched pandas UDFs over ``mapInPandas``, partition-friendly
-batch shapes — is real and tested; the actual codec work (image
-decode, audio resample, video frame-sample) is STUBBED because the
-media libraries are not in this environment:
-``decode_image_batch`` raises ``NotImplementedError`` unless handed a
-deterministic fake decoder, which the tests use.
+batch shapes — is real and tested.
+
+Codecs: image decode and resize have a REAL zero-dependency default
+path for PPM/PGM/BMP bytes (:mod:`..functions.imagecodec`); richer
+formats (PNG/JPEG), audio resample, and video frame-sample raise
+``NotImplementedError`` unless a decoder/sampler is injected (the
+media libraries are not in this environment; tests cover both the
+real path on real bytes and the injectable seam).
 
 At 100 TB: binaries ride in parquet as-is (no re-encoding), metadata
 extraction is a narrow map, and ``mapInPandas`` processes each file
@@ -73,11 +76,11 @@ def attach_binary_column(
 
 
 def _default_decoder(payload: bytes) -> dict:
-    raise NotImplementedError(
-        "image/audio codecs are not available in this environment; "
-        "pass a decoder (e.g. the deterministic fake in tests) or run "
-        "where pillow/ffmpeg are installed"
-    )
+    """Real decode for PPM/PGM/BMP bytes; NotImplementedError for
+    formats needing external codec libraries (PNG/JPEG)."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.imagecodec import decode_image
+
+    return decode_image(bytes(payload))
 
 
 def decode_image_batch(
@@ -90,9 +93,9 @@ def decode_image_batch(
     """Feature-extract image blobs via ``mapInPandas``.
 
     ``decoder(payload) -> {"width", "height", "n_channels",
-    "mean_luma"}``.  The default decoder raises NotImplementedError
-    (codec libs absent); the Spark-side batching, schema and
-    partitioning are the production shape either way.
+    "mean_luma"}``.  The default decoder handles PPM/PGM/BMP natively
+    (:mod:`..functions.imagecodec`) and raises NotImplementedError for
+    formats needing external libs; inject ``decoder=`` for those.
     """
     dec = decoder or _default_decoder
     spark = df.sparkSession
@@ -136,17 +139,19 @@ def resize_image_batch(
 ) -> DataFrame:
     """Resize image blobs via ``mapInPandas`` — binary in, binary out
     through Arrow.  ``resizer(payload, w, h) -> bytes``; the default
-    raises (codec libs absent), tests inject a deterministic fake.
+    nearest-neighbor-resizes PPM/PGM/BMP natively (output re-encoded
+    as PGM/PPM) and raises NotImplementedError for other formats.
     The output schema carries the new dimensions so downstream ops
     never re-decode just to learn them."""
 
-    def _stub(payload: bytes, w: int, h: int) -> bytes:
-        raise NotImplementedError(
-            "image codecs are not available in this environment; pass a "
-            "resizer or run where pillow is installed"
+    def _default_resizer(payload: bytes, w: int, h: int) -> bytes:
+        from aws_cdk_pipelines_datalake_etl_spark.functions.imagecodec import (
+            resize_image,
         )
 
-    rs = resizer or _stub
+        return resize_image(bytes(payload), w, h)
+
+    rs = resizer or _default_resizer
     spark = df.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
 

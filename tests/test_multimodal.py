@@ -156,3 +156,102 @@ def test_extract_embedding_default_raises(spark):
         raise AssertionError("expected NotImplementedError via Spark task")
     except Exception as exc:  # Py4J wraps the worker exception
         assert "NotImplementedError" in str(exc) or "no feature extractor" in str(exc)
+
+
+def _ppm_p6(w, h, rgb_rows):
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(
+        v for row in rgb_rows for px in row for v in px
+    )
+
+
+def _bmp24(w, h, rgb_rows, top_down=False):
+    """Minimal BI_RGB 24-bpp BMP; rgb_rows is row-major top-to-bottom."""
+    stride = (w * 3 + 3) & ~3
+    rows = rgb_rows if top_down else rgb_rows[::-1]
+    raster = b"".join(
+        b"".join(bytes((b_, g, r)) for (r, g, b_) in row) + b"\x00" * (stride - w * 3)
+        for row in rows
+    )
+    dib = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (-h if top_down else h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    off = 14 + len(dib)
+    hdr = b"BM" + (off + len(raster)).to_bytes(4, "little") + b"\x00\x00\x00\x00" + off.to_bytes(4, "little")
+    return hdr + dib + raster
+
+
+_RGB_3x2 = [
+    [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+    [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+]
+
+
+def test_real_codec_decodes_ppm_and_bmp(spark):
+    """The de-stubbed default path: real PPM and BMP bytes through
+    decode_image_batch with NO injected decoder."""
+    ppm = _ppm_p6(3, 2, _RGB_3x2)
+    bmp = _bmp24(3, 2, _RGB_3x2)
+    bmp_td = _bmp24(3, 2, _RGB_3x2, top_down=True)
+    pgm = b"P5\n2 2\n255\n" + bytes([0, 100, 200, 255])
+    df = spark.createDataFrame(
+        [(1, ppm), (2, bmp), (3, bmp_td), (4, pgm)], ["doc_id", "blob"]
+    )
+    feats = {r.doc_id: r for r in decode_image_batch(df).collect()}
+    assert (feats[1].width, feats[1].height, feats[1].n_channels) == (3, 2, 3)
+    # identical pixels => identical luma regardless of container/layout
+    assert feats[1].mean_luma == feats[2].mean_luma == feats[3].mean_luma
+    assert (feats[4].width, feats[4].height, feats[4].n_channels) == (2, 2, 1)
+    assert feats[4].mean_luma == f"{(0 + 100 + 200 + 255) / 4:.4f}"
+    # BT.601 luma check on the first pixel row sums
+    total = sum(299 * r + 587 * g + 114 * b for row in _RGB_3x2 for (r, g, b) in row)
+    assert feats[1].mean_luma == f"{total / (1000 * 6):.4f}"
+
+
+def test_real_codec_resize_roundtrip(spark):
+    """Default resizer: BMP in -> PPM out, nearest-neighbor, then the
+    decoder reads back the new dims (full real-bytes round trip)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        resize_image_batch,
+    )
+
+    bmp = _bmp24(3, 2, _RGB_3x2)
+    df = spark.createDataFrame([(1, bmp)], ["doc_id", "blob"])
+    out = resize_image_batch(df, 6, 4).collect()[0]
+    assert (out.width, out.height) == (6, 4)
+    feats = decode_image_batch(
+        spark.createDataFrame([(1, bytes(out.blob))], ["doc_id", "blob"])
+    ).collect()[0]
+    assert (feats.width, feats.height, feats.n_channels) == (6, 4, 3)
+    # 2x nearest-neighbor upscale preserves the mean exactly
+    src = decode_image_batch(df).collect()[0]
+    assert feats.mean_luma == src.mean_luma
+
+
+def test_codec_unit_roundtrip_no_spark():
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.imagecodec import (
+        decode_bmp,
+        decode_ppm,
+        resize_image,
+    )
+
+    ppm = _ppm_p6(3, 2, _RGB_3x2)
+    w, h, c, px = decode_ppm(ppm)
+    assert (w, h, c) == (3, 2, 3)
+    assert px[0, 0].tolist() == [255, 0, 0] and px[1, 2].tolist() == [70, 80, 90]
+    for td in (False, True):
+        wb, hb, cb, pb = decode_bmp(_bmp24(3, 2, _RGB_3x2, top_down=td))
+        assert (wb, hb, cb) == (3, 2, 3)
+        assert np.array_equal(pb, px), f"top_down={td}"
+    # downscale to 1x1 picks the nearest source pixel (top-left here)
+    tiny = resize_image(ppm, 1, 1)
+    _, _, _, tp = decode_ppm(tiny)
+    assert tp[0, 0].tolist() == [255, 0, 0]

@@ -42,7 +42,17 @@ def zorder_key(
     """Morton key over ``cols`` (numeric/date/timestamp).  One
     min/max aggregate per column (driver-side, single reduced row),
     then a pure bit-interleave expression: bit i of column d lands at
-    position ``i*D + d``."""
+    position ``i*D + d``.
+
+    ``bits`` auto-shrinks so the interleave fits a signed long: with
+    the default 8 bits, 8+ columns would shift a bit into the sign
+    position and break the clustering order (ADVICE r3)."""
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * len(cols) > 63:
+        bits = 63 // len(cols)
+        if bits < 1:
+            raise ValueError(f"too many z-order columns ({len(cols)} > 63)")
     aggs = []
     for c in cols:
         aggs += [F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))]

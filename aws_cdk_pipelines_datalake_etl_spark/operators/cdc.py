@@ -66,25 +66,21 @@ def table_diff(
     or CDC replay (does the rebuilt table equal the source?).
 
     One full outer join on the key; non-key columns are compared via a
-    single md5 over their canonical string forms, so the comparison
-    cost per row is O(row width) with no per-column join conditions.
-    At 100 TB both sides shuffle once on the key — same cost as any
-    big-big join, AQE handles skew.
+    single md5 over the row's JSON form — ``md5(to_json(struct(...)))``
+    keys each value by its field name with JSON escaping, so NULL vs a
+    real ``'\\x00'`` string, and values containing any would-be
+    separator, can never collide (ADVICE r3: the previous concat_ws
+    fingerprint was ambiguous on both).  Comparison cost per row stays
+    O(row width) with no per-column join conditions.  At 100 TB both
+    sides shuffle once on the key — same cost as any big-big join, AQE
+    handles skew.
     """
     compare = compare_cols or [
         c for c in left.columns if c not in key_cols
     ]
 
     def fingerprint(df: DataFrame) -> DataFrame:
-        sig = F.md5(
-            F.concat_ws(
-                "\x1f",
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                    for c in compare
-                ],
-            )
-        )
+        sig = F.md5(F.to_json(F.struct(*[F.col(c) for c in compare])))
         return df.select(*key_cols, sig.alias("_sig"))
 
     lf = fingerprint(left).withColumnRenamed("_sig", "_lsig")

@@ -99,9 +99,38 @@ class PipelineRunner:
     def __post_init__(self) -> None:
         self.audit = AuditLog(self.spark, self.layout.audit, clock=self.clock)
 
-    def _notify(self, subject: str, message: str) -> None:
+    def _notify(self, subject: str, payload: dict) -> None:
+        """Publish the FULL state payload, not a one-liner — parity
+        with the reference's SNS publish of the whole Step Functions
+        state (`'$'`, step_functions_stack.py:125-131).  The message is
+        one JSON document; the Notifier signature stays (subject,
+        message-string) so any transport plugs in."""
         if self.notifier:
-            self.notifier(subject, message)
+            self.notifier(subject, json.dumps(payload, sort_keys=True))
+
+    def _payload(
+        self,
+        params: JobParams,
+        status: str,
+        error_message: str | None = None,
+        conformed_rows: int | None = None,
+        purposebuilt_rows: int | None = None,
+    ) -> dict:
+        return {
+            "execution_id": params.execution_id,
+            "source_system_name": params.source_system_name,
+            "table_name": params.table_name,
+            "base_file_name": params.base_file_name,
+            "source_path": params.source_path,
+            "target_database_name": params.target_database_name,
+            "p_year": params.p_year,
+            "p_month": params.p_month,
+            "p_day": params.p_day,
+            "status": status,
+            "error_message": error_message,
+            "conformed_rows": conformed_rows,
+            "purposebuilt_rows": purposebuilt_rows,
+        }
 
     def on_file(self, key: str, execution_id: str | None = None) -> RunResult:
         """O1/O2: a file arrived in the raw zone at ``<raw>/<key>``.
@@ -175,7 +204,15 @@ class PipelineRunner:
                 # alone is a valid pipeline outcome.
                 purposebuilt_rows = None
             self.audit.update_status(params.execution_id, "SUCCEEDED")
-            self._notify("Job Completed", f"execution {params.execution_id} succeeded")
+            self._notify(
+                "Job Completed",
+                self._payload(
+                    params,
+                    "SUCCEEDED",
+                    conformed_rows=conformed_rows,
+                    purposebuilt_rows=purposebuilt_rows,
+                ),
+            )
             return RunResult(
                 params,
                 "SUCCEEDED",
@@ -187,7 +224,9 @@ class PipelineRunner:
                 traceback.format_exception_only(type(exc), exc)
             ).strip()
             self.audit.update_status(params.execution_id, "FAILED", error_message=msg)
-            self._notify("Job Failed", f"execution {params.execution_id} failed: {msg}")
+            self._notify(
+                "Job Failed", self._payload(params, "FAILED", error_message=msg)
+            )
             return RunResult(params, "FAILED", error_message=msg)
 
     def scan_raw_zone(self) -> list[RunResult]:

@@ -38,11 +38,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def main() -> int:
+def main(argv: list[str] | None = None, spark=None) -> int:
     from aws_cdk_pipelines_datalake_etl_spark.session import get_spark
     from __spark_entry__ import oracle_sql, queries
 
-    spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
+    if spark is None:
+        spark = get_spark(
+            app_name="oracle-check", master="local[8]", shuffle_partitions=8
+        )
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
@@ -50,7 +53,7 @@ def main() -> int:
         )
 
     qs, oracles = queries(), oracle_sql()
-    only = set(sys.argv[1:])
+    only = set(sys.argv[1:] if argv is None else argv)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -63,6 +63,22 @@ def test_yellow_end_to_end(spark, runner, yellow_csv, lake_root):
     assert latest[0].job_latest_status == "SUCCEEDED"
     # notification subject is correct (reference swaps these; §1.5-2)
     assert runner.notifications[-1][0] == "Job Completed"
+    # payload parity: the full state rides in the message like the
+    # reference's SNS publish of '$' (step_functions_stack.py:125-131)
+    import json as _json
+
+    payload = _json.loads(runner.notifications[-1][1])
+    assert payload["status"] == "SUCCEEDED"
+    assert payload["table_name"] == "yellow_taxi_trip_record"
+    assert payload["source_system_name"] == "tlc_taxi_data"
+    assert payload["base_file_name"] == "yellow_tripdata_2020-08.csv"
+    assert (payload["p_year"], payload["p_month"], payload["p_day"]) == (
+        "2020", "08", "15"
+    )
+    assert payload["conformed_rows"] == 4
+    assert payload["purposebuilt_rows"] == 3
+    assert payload["error_message"] is None
+    assert payload["execution_id"] == result.params.execution_id
 
 
 def test_rerun_is_idempotent_dynamic_overwrite(spark, runner, yellow_csv):
@@ -82,6 +98,12 @@ def test_failure_edge_audits_and_notifies(spark, runner, lake_root):
     assert latest[0].job_latest_status == "FAILED"
     assert latest[0].error_message
     assert runner.notifications[-1][0] == "Job Failed"
+    import json as _json
+
+    payload = _json.loads(runner.notifications[-1][1])
+    assert payload["status"] == "FAILED"
+    assert payload["error_message"]
+    assert payload["table_name"] == "missing_table"
 
 
 def test_watch_processes_files_as_they_arrive(spark, lake_root):
@@ -395,3 +417,57 @@ def test_dq_gate_blocks_transform_and_audits_failed(spark, lake_root, yellow_csv
         ),
     )
     assert r2.on_file(yellow_csv).status == "SUCCEEDED"
+
+
+def test_schema_drift_widening_ok_narrowing_poisons(spark, lake_root):
+    """SURVEY §7 risk register: per-file CSV inference + last-writer-
+    wins catalog upsert.  Pins the actual engine behavior so the
+    policy is documented, not folklore:
+
+    - WIDENING drift (int -> double) is benign through the catalog:
+      the second file's inferred schema wins the catalog, and Spark's
+      parquet reader widens the older int32 files on read.
+    - NARROWING drift (double -> int) poisons reads: the catalog now
+      declares int but older files are physically double, which the
+      reader refuses to narrow.  The fix is operational (re-conform or
+      correct the catalog type), same as the reference's Glue behavior.
+    """
+    import json as _json
+
+    from datetime import datetime, timezone
+
+    clock_value = [datetime(2020, 8, 15, tzinfo=timezone.utc)]
+    r = PipelineRunner(
+        spark=spark,
+        layout=LakeLayout(lake_root),
+        transforms_dir=os.path.join(os.path.dirname(__file__), "..", "transforms"),
+        notifier=lambda s, m: None,
+        clock=lambda: clock_value[0],
+    )
+
+    def write_raw(key: str, content: str) -> None:
+        path = os.path.join(lake_root, "raw", key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(content)
+
+    write_raw("shop/drifty/a.csv", "id,v\n1,10\n2,20\n")
+    assert r.on_file("shop/drifty/a.csv").status == "SUCCEEDED"
+    assert dict(spark.table("shop.drifty").dtypes)["v"] == "int"
+
+    # widening drift lands in a NEW ingest-date partition
+    clock_value[0] = datetime(2020, 8, 16, tzinfo=timezone.utc)
+    write_raw("shop/drifty/b.csv", "id,v\n3,3.5\n4,4.25\n")
+    assert r.on_file("shop/drifty/b.csv").status == "SUCCEEDED"
+    # last writer won the catalog; reads widen the old int32 files
+    assert dict(spark.table("shop.drifty").dtypes)["v"] == "double"
+    got = {(row.id, row.v) for row in spark.table("shop.drifty").collect()}
+    assert got == {(1, 10.0), (2, 20.0), (3, 3.5), (4, 4.25)}
+
+    # narrowing drift: catalog says int again, old double files remain
+    clock_value[0] = datetime(2020, 8, 17, tzinfo=timezone.utc)
+    write_raw("shop/drifty/c.csv", "id,v\n5,7\n6,8\n")
+    assert r.on_file("shop/drifty/c.csv").status == "SUCCEEDED"
+    assert dict(spark.table("shop.drifty").dtypes)["v"] == "int"
+    with pytest.raises(Exception, match="PARQUET_COLUMN_DATA_TYPE_MISMATCH"):
+        spark.table("shop.drifty").collect()

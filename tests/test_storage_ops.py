@@ -267,3 +267,21 @@ def test_table_diff_classifies_all_statuses(spark):
         4: "unchanged",  # NULL column equal on both sides
         5: "added",
     }
+
+
+def test_table_diff_null_vs_separator_values_not_confused(spark):
+    """ADVICE r3 regression: NULL vs a literal '\\x00' string, and
+    values containing the old '\\x1f' separator shifted across column
+    boundaries, must classify as changed — not unchanged."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.cdc import table_diff
+
+    left = spark.createDataFrame(
+        [(1, None, "x"), (2, "a\x1fb", "c"), (3, "v", "w")],
+        ["k", "a", "b"],
+    )
+    right = spark.createDataFrame(
+        [(1, "\x00", "x"), (2, "a", "b\x1fc"), (3, "v", "w")],
+        ["k", "a", "b"],
+    )
+    got = {r.k: r.diff_status for r in table_diff(left, right, ["k"]).collect()}
+    assert got == {1: "changed", 2: "changed", 3: "unchanged"}

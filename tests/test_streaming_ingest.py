@@ -98,3 +98,41 @@ def test_available_now_with_lineage(spark, tmp_path):
     assert got.count() == 3
     by_id = {r["id"]: r["source_file"] for r in got.collect()}
     assert by_id == {1: "a.csv", 2: "b.csv", 3: "b.csv"}
+
+
+@pytest.mark.streaming
+def test_replayed_batch_is_idempotent_even_across_midnight(spark, tmp_path):
+    """foreachBatch is at-least-once: simulate the crash-after-write-
+    before-checkpoint-commit replay by invoking the batch function
+    twice with the SAME batch id — the second run must replace, not
+    duplicate, and must reuse the durably recorded ingest-date stamp
+    even though the clock has crossed midnight in between."""
+    from aws_cdk_pipelines_datalake_etl_spark.streaming.ingest import (
+        make_conform_batch,
+    )
+
+    out = str(tmp_path / "conformed")
+    ckpt = str(tmp_path / "ckpt")
+    clock_value = [datetime(2020, 8, 15, 23, 59, tzinfo=timezone.utc)]
+    fn = make_conform_batch(out, ckpt, clock=lambda: clock_value[0])
+
+    batch = spark.createDataFrame([(1, 10.5, "x"), (2, 20.5, "y")], SCHEMA)
+    fn(batch, 7)
+    # crash happened after the write; replay arrives after midnight
+    clock_value[0] = datetime(2020, 8, 16, 0, 1, tzinfo=timezone.utc)
+    fn(batch, 7)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 2, "replay duplicated rows"
+    # partition-value inference reads the dirs back as ints
+    days = {(int(r["year"]), int(r["month"]), int(r["day"])) for r in got.collect()}
+    assert days == {(2020, 8, 15)}, "replay re-stamped a new partition"
+    assert not os.path.isdir(os.path.join(out, "year=2020", "month=08", "day=16"))
+
+    # a DIFFERENT batch id appends alongside, untouched by replays
+    fn(spark.createDataFrame([(3, 30.5, "z")], SCHEMA), 8)
+    assert spark.read.parquet(out).count() == 3
+    fn(batch, 7)  # yet another replay of batch 7
+    final = spark.read.parquet(out)
+    assert final.count() == 3
+    assert sorted(r["id"] for r in final.collect()) == [1, 2, 3]

@@ -82,3 +82,23 @@ def test_zorder_narrows_every_dimension(spark, src, tmp_path):
         z.agg(F.sum("event_id"), F.sum("user_id")).collect()
         == df.agg(F.sum("event_id"), F.sum("user_id")).collect()
     )
+
+
+def test_zorder_key_fits_signed_long_with_many_columns(spark):
+    """8+ columns at default 8 bits would shift into the sign bit;
+    bits must auto-shrink so every key stays non-negative (ADVICE r3)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.zorder import zorder_key
+
+    cols = [f"c{i}" for i in range(9)]
+    df = spark.range(100).select(
+        "id", *[(F.col("id") * (i + 3) % 97).alias(c) for i, c in enumerate(cols)]
+    )
+    keyed = df.withColumn("zk", zorder_key(df, cols))
+    assert keyed.filter(F.col("zk") < 0).count() == 0
+    # still a useful clustering key: more than one distinct value
+    assert keyed.select("zk").distinct().count() > 1
+    with pytest.raises(ValueError):
+        zorder_key(df, [])

@@ -1,0 +1,126 @@
+"""Generate an sf1-equivalent dataset by 10x-replicating sf0.1 into
+disjoint key shards — the 10x probe data for BENCH_SCALE (judge r3 #5).
+
+Shape-preserving scaling rules:
+
+- fixed-cardinality dims (region, nation) stay as-is — TPC-H semantics;
+- every other table is replicated ``COPIES`` times with all key columns
+  shifted by ``copy * (max_key + 1)`` per key domain, so each copy is a
+  disjoint shard with identical internal structure (joins fan out
+  linearly, group counts scale linearly);
+- ``documents.text`` gets a copy-specific salt token spliced after
+  every 3rd word: every 3-gram shingle then contains a per-copy token,
+  so shingle sets are DISJOINT across copies — within-copy near-dup
+  structure is preserved exactly while cross-copy accidental near-dups
+  (an artifact of naive replication that would grow pair counts
+  quadratically) cannot occur;
+- ``embeddings.embedding`` gets a tiny copy-dependent perturbation on
+  component 0 (copy * 1e-3) so replicated vectors are not bitwise-equal
+  (which would make every top-k a pathological tie).
+
+Usage:
+    python scripts/gen_scale_data.py [out_dir] [copies]
+defaults: out_dir=.scale/sf1 (gitignored), copies=10,
+source=$SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+# key columns to shift, grouped by key domain (same domain -> same offset)
+KEYS: dict[str, list[tuple[str, str]]] = {
+    "customer": [("c_custkey", "custkey")],
+    "supplier": [("s_suppkey", "suppkey")],
+    "part": [("p_partkey", "partkey")],
+    "orders": [("o_orderkey", "orderkey"), ("o_custkey", "custkey")],
+    "lineitem": [
+        ("l_orderkey", "orderkey"),
+        ("l_partkey", "partkey"),
+        ("l_suppkey", "suppkey"),
+    ],
+    "events": [("event_id", "event_id"), ("user_id", "user_id")],
+    "documents": [("doc_id", "doc_id")],
+    "embeddings": [("vec_id", "vec_id")],
+}
+# where each key domain's max is measured: (table, column)
+DOMAIN_SOURCE = {
+    "custkey": ("customer", "c_custkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "partkey": ("part", "p_partkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
+PASSTHROUGH = ["region", "nation"]
+
+
+def main() -> None:
+    from aws_cdk_pipelines_datalake_etl_spark.session import get_spark
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import load_table
+
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(repo, ".scale", "sf1")
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_spark(
+        app_name="gen-scale-data", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    offsets = {
+        dom: load_table(spark, src, t).agg(F.max(c)).first()[0] + 1
+        for dom, (t, c) in DOMAIN_SOURCE.items()
+    }
+    print(f"domains: {offsets}", file=sys.stderr)
+
+    for t in PASSTHROUGH:
+        load_table(spark, src, t).write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
+
+    for t, keycols in KEYS.items():
+        t0 = time.time()
+        df = load_table(spark, src, t).select(
+            F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("_copy"), "*"
+        )
+        for col, dom in keycols:
+            df = df.withColumn(
+                col, (F.col(col) + F.col("_copy") * F.lit(offsets[dom])).cast("long")
+            )
+        if t == "documents":
+            df = df.withColumn(
+                "text",
+                F.expr(
+                    "array_join(transform(split(text, ' '), (w, i) ->"
+                    " IF(i % 3 = 2, concat(w, ' _s', _copy), w)), ' ')"
+                ),
+            )
+        if t == "embeddings":
+            df = df.withColumn(
+                "embedding",
+                F.expr(
+                    "transform(embedding, (x, i) -> IF(i = 0,"
+                    " cast(x + _copy * 0.001 as float), x))"
+                ),
+            )
+        df.drop("_copy").write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
+        print(f"{t}: x{copies} written [{time.time() - t0:.1f}s]", file=sys.stderr)
+    spark.stop()
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

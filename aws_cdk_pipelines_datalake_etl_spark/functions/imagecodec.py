@@ -139,6 +139,55 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + pixels.tobytes()
 
 
+def split_ppm_stream(payload: bytes) -> list[bytes]:
+    """Split a concatenated-PNM video stream into per-frame byte
+    strings.
+
+    The zero-dependency video container for this environment: a
+    "video" is binary P5/P6 frames laid head-to-tail (each frame is
+    self-describing, so boundaries are recovered by walking headers —
+    no index needed).  Real containers (MP4/WebM) raise
+    ``NotImplementedError``; inject a sampler for those."""
+    frames: list[bytes] = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 2] not in _MAGIC_PPM:
+            raise NotImplementedError(
+                "unrecognized video container (concatenated PNM streams "
+                "split natively; for MP4/WebM inject a sampler= or run "
+                "where ffmpeg is installed)"
+            )
+        magic, (w, h, maxval), off = _ppm_header(payload[pos:])
+        c = 1 if magic == b"P5" else 3
+        end = pos + off + w * h * c
+        frames.append(payload[pos:end])
+        pos = end
+    return frames
+
+
+def sample_ppm_stream(payload: bytes, every_nth: int) -> list[bytes]:
+    """Default video frame sampler: every n-th frame of a
+    concatenated-PNM stream (always includes frame 0)."""
+    return split_ppm_stream(payload)[::every_nth]
+
+
+def synth_ppm_video(doc_id: int) -> tuple[bytes, int]:
+    """Deterministic concatenated-P6 "video" for a document id — the
+    synthesis shared by the registry query and unit tests, chosen so
+    every sampled frame has a closed form the DuckDB oracle replays:
+    ``3 + doc_id % 4`` frames of 4x4 pixels, frame ``i`` filled with
+    the constant byte ``32 + (doc_id*7 + i*13) % 96`` (printable ASCII
+    so the oracle can rebuild the exact bytes with ``repeat(chr(v))``).
+    Returns (payload, n_frames)."""
+    n_frames = 3 + doc_id % 4
+    frames = []
+    for i in range(n_frames):
+        v = 32 + (doc_id * 7 + i * 13) % 96
+        frames.append(encode_ppm(np.full((4, 4, 3), v, dtype=np.uint8)))
+    return b"".join(frames), n_frames
+
+
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Nearest-neighbor resize of recognized bytes; output is always
     PGM/PPM (same channel count as the input — BMP comes back as P6).

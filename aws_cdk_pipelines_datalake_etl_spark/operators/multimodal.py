@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -169,6 +170,82 @@ def resize_image_batch(
     return df.select(id_col, blob_col).mapInPandas(run, RESIZED_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", IntegerType(), True),
+        StructField("zero_crossings", LongType(), True),
+    ]
+)
+
+
+def decode_audio_batch(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    decoder: Callable[[bytes], dict] | None = None,
+    batch_size: int = 64,
+) -> DataFrame:
+    """Feature-extract audio blobs via ``mapInPandas`` — the audio
+    analogue of :func:`decode_image_batch`.
+
+    ``decoder(payload) -> {"sample_rate", "n_channels", "n_frames",
+    "duration_ms", "rms", "peak", "zero_crossings"}``.  The default
+    decodes PCM WAV natively (:mod:`..functions.audiocodec`) and
+    raises NotImplementedError for compressed codecs (MP3/FLAC);
+    inject ``decoder=`` for those.  Same scale posture as images:
+    blobs ride parquet untouched, Arrow batch size bounds executor
+    memory, output inherits input partitioning (no shuffle)."""
+
+    def _default(payload: bytes) -> dict:
+        from aws_cdk_pipelines_datalake_etl_spark.functions.audiocodec import (
+            audio_features,
+        )
+
+        return audio_features(bytes(payload))
+
+    dec = decoder or _default
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [dec(p) for p in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "sample_rate": pd.Series(
+                        [f.get("sample_rate") for f in feats], dtype="int32"
+                    ),
+                    "n_channels": pd.Series(
+                        [f.get("n_channels") for f in feats], dtype="int32"
+                    ),
+                    "n_frames": pd.Series(
+                        [f.get("n_frames") for f in feats], dtype="int64"
+                    ),
+                    "duration_ms": pd.Series(
+                        [f.get("duration_ms") for f in feats], dtype="int64"
+                    ),
+                    "rms": pd.Series(
+                        [f.get("rms") for f in feats], dtype="float64"
+                    ),
+                    "peak": pd.Series(
+                        [f.get("peak") for f in feats], dtype="int32"
+                    ),
+                    "zero_crossings": pd.Series(
+                        [f.get("zero_crossings") for f in feats], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
@@ -188,19 +265,23 @@ def sample_video_frames(
 ) -> DataFrame:
     """Frame-sample video blobs via ``mapInPandas`` — the 1→N fan-out
     batch shape (one input row yields a row per sampled frame).
-    ``sampler(payload, every_nth) -> [frame_bytes, ...]``; default
-    raises (no ffmpeg here).  At scale the fan-out happens inside each
+    ``sampler(payload, every_nth) -> [frame_bytes, ...]``; the default
+    REALLY splits concatenated-PNM streams
+    (:func:`..functions.imagecodec.split_ppm_stream`) and raises
+    NotImplementedError for real containers (MP4/WebM — no ffmpeg
+    here; inject a sampler).  At scale the fan-out happens inside each
     Arrow batch, so executor memory is bounded by
     ``batch_size * frames_per_video``, and the output inherits the
     input partitioning (no shuffle)."""
 
-    def _stub(payload: bytes, n: int) -> list[bytes]:
-        raise NotImplementedError(
-            "video codecs are not available in this environment; pass a "
-            "sampler or run where ffmpeg is installed"
+    def _default(payload: bytes, n: int) -> list[bytes]:
+        from aws_cdk_pipelines_datalake_etl_spark.functions.imagecodec import (
+            sample_ppm_stream,
         )
 
-    sp = sampler or _stub
+        return sample_ppm_stream(bytes(payload), n)
+
+    sp = sampler or _default
     spark = df.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
 
@@ -245,17 +326,22 @@ def extract_embedding_batch(
     multimodal blobs to the similarity/ANN operators
     (:mod:`.similarity` consumes exactly this column shape).
 
-    ``extractor(payload) -> list[float]``.  The default raises
-    NotImplementedError (model/codec libs absent in this
-    environment); tests inject a deterministic fake to prove the
-    plumbing end-to-end (blob -> embedding -> cosine search).
+    ``extractor(payload) -> list[float]``.  The default is a REAL
+    zero-dependency extractor: the 256-bin byte histogram (raw counts,
+    exact in float32 — callers normalize if they want unit vectors).
+    A crude content signature, but a genuine one: near-identical
+    payloads land near each other in cosine space, which is enough to
+    drive the downstream ANN/near-dup operators end-to-end.  Inject
+    ``extractor=`` for learned embeddings (CLIP/audio models are not
+    in this environment).
     """
 
     def _default(payload: bytes) -> list:
-        raise NotImplementedError(
-            "no feature extractor available in this environment; "
-            "inject extractor= (e.g. a CLIP/audio embedding fn)"
-        )
+        import numpy as np
+
+        return np.bincount(
+            np.frombuffer(bytes(payload), dtype=np.uint8), minlength=256
+        ).astype("float32")
 
     ext = extractor or _default
     spark = df.sparkSession

@@ -21,6 +21,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1049,6 +1050,39 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
 """
 
 
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup through a broadcast Bloom bitmap
+    (operators/bloom.py bloom_prefilter_anti_join): the corpus is
+    touched only via its 2^20-bit packed bitmap (broadcast, zero
+    corpus shuffle at probe time); bloom-negative batch keys skip the
+    exact join entirely and only bloom-positives are verified — the
+    result is EXACTLY the fingerprint anti-join (no false negatives,
+    positives verified), so the oracle is the plain anti-join."""
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 7 == 0)
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    from aws_cdk_pipelines_datalake_etl_spark.operators.bloom import (
+        bloom_prefilter_anti_join,
+    )
+
+    return bloom_prefilter_anti_join(batch, corpus)
+
+
+DEDUP_BLOOM_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS fp
+  FROM documents
+), batch AS (SELECT * FROM fp WHERE doc_id % 7 = 0),
+   corpus AS (SELECT * FROM fp WHERE doc_id % 7 != 0)
+SELECT fp, min(doc_id) AS doc_id, count(*) AS n_copies
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+GROUP BY fp
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs at >= 0.8 via shingle
     equi-join (operators/dedup.py ngram_jaccard_pairs) — the
@@ -1554,6 +1588,169 @@ SELECT doc_id,
        CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,
        sha256(text)                          AS sha
 FROM documents
+"""
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio path end-to-end: per-doc square-wave WAVs are
+    synthesized (functions/audiocodec.py synth_square_wave — rate,
+    channels, amplitude, period all closed-form in doc_id), then
+    decoded + feature-extracted by decode_audio_batch's DEFAULT PCM
+    codec over mapInPandas.  The oracle replays the closed forms, so a
+    hash match proves the encoder, the chunk-walking decoder, and
+    every feature (floor-ms duration, integer-exact RMS, carried-sign
+    zero crossings) simultaneously."""
+    from pyspark.sql.types import BinaryType
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.audiocodec import (
+        synth_square_wave,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        decode_audio_batch,
+    )
+
+    @F.pandas_udf(BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_square_wave(int(i))[0])
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("blob", synth("doc_id"))
+    )
+    feats = decode_audio_batch(d)
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        "duration_ms",
+        pround(F.col("rms"), 4).alias("rms"),
+        "peak",
+        "zero_crossings",
+    )
+
+
+# Closed forms of the synth parameters: rate 8000+(id%3)*4000,
+# channels 1+id%2, amplitude 1000+(id%20)*500, half-period 1+id%5,
+# frames 800+(id%7)*160.  Square wave => RMS == amplitude exactly,
+# peak == amplitude, one sign flip per half-period boundary.
+MULTIMODAL_AUDIO_ORACLE = """
+SELECT doc_id,
+       CAST(8000 + (doc_id % 3) * 4000 AS INT)          AS sample_rate,
+       CAST(1 + doc_id % 2 AS INT)                      AS n_channels,
+       CAST(800 + (doc_id % 7) * 160 AS BIGINT)         AS n_frames,
+       CAST(((800 + (doc_id % 7) * 160) * 1000)
+            // (8000 + (doc_id % 3) * 4000) AS BIGINT)  AS duration_ms,
+       round(CAST(1000 + (doc_id % 20) * 500 AS DOUBLE), 4) AS rms,
+       CAST(1000 + (doc_id % 20) * 500 AS INT)          AS peak,
+       CAST((800 + (doc_id % 7) * 160 - 1)
+            // (1 + doc_id % 5) AS BIGINT)              AS zero_crossings
+FROM documents
+"""
+
+
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video path end-to-end: per-doc concatenated-P6 streams
+    (functions/imagecodec.py synth_ppm_video) are frame-sampled every
+    2nd frame by sample_video_frames' DEFAULT header-walking splitter
+    — the 1→N fan-out mapInPandas shape.  Returned sha256 of each
+    sampled frame's exact bytes is rebuilt by the oracle (frames are
+    printable-ASCII constant fill), so a hash match proves boundary
+    recovery byte-for-byte."""
+    from pyspark.sql.types import BinaryType
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.imagecodec import (
+        synth_ppm_video,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    @F.pandas_udf(BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_ppm_video(int(i))[0])
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("blob", synth("doc_id"))
+    )
+    frames = sample_video_frames(d, every_nth=2)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").cast("bigint").alias("byte_len"),
+        F.sha2("frame", 256).alias("sha"),
+    )
+
+
+# Sampled frame j is original frame 2*j (j = 0..(n_frames-1)//2);
+# each frame is the 11-byte P6 header + 48 constant bytes
+# 32 + (doc_id*7 + (2*j)*13) % 96 (printable ASCII, so chr/repeat
+# rebuilds the exact byte string DuckDB-side).
+MULTIMODAL_VIDEO_ORACLE = """
+WITH base AS (
+  SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents
+), j AS (
+  SELECT doc_id, unnest(generate_series(0, (nf - 1) // 2)) AS j FROM base
+)
+SELECT doc_id,
+       CAST(j AS INT)      AS frame_idx,
+       CAST(59 AS BIGINT)  AS byte_len,
+       sha256('P6' || chr(10) || '4 4' || chr(10) || '255' || chr(10)
+              || repeat(chr(CAST(32 + (doc_id * 7 + (2 * j) * 13) % 96 AS INT)),
+                        48)) AS sha
+FROM j
+"""
+
+
+def multimodal_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob → embedding bridge with the DEFAULT extractor: the 256-bin
+    byte histogram (raw counts, exact in float32) of each document's
+    text bytes, reduced JVM-side (fold expressions, no second UDF) to
+    its L2 norm and cosine against a fixed ramp query vector
+    q[b] = b+1.  All sums are exact integers in double, so both
+    engines agree bit-for-bit before the 6-dp rounding."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions import vector as vec
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        extract_embedding_batch,
+    )
+
+    d = attach_binary_column(_t(spark, sf_dir, "documents"), "text", "text/plain")
+    emb = extract_embedding_batch(d).withColumn(
+        "qvec", F.array(*[F.lit(float(b + 1)) for b in range(256)])
+    )
+    return emb.select(
+        "doc_id",
+        pround(vec.norm("embedding"), 6).alias("l2_norm"),
+        pround(vec.cosine("embedding", "qvec"), 6).alias("cos_ramp"),
+    )
+
+
+# Text is ASCII (verified by the langid/token oracles), so per-char
+# unicode() == byte value and the histogram is a char-frequency table.
+MULTIMODAL_EMBED_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, unicode(substring(text, i, 1)) AS code
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text))) AS i
+        FROM documents)
+), hist AS (
+  SELECT doc_id, code, CAST(count(*) AS DOUBLE) AS c
+  FROM pos GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id,
+         sum(c * (code + 1)) AS dot,
+         sqrt(sum(c * c))    AS hn
+  FROM hist GROUP BY doc_id
+)
+SELECT doc_id,
+       round(hn, 6) AS l2_norm,
+       round(dot / (hn * (SELECT sqrt(sum(CAST((v + 1) * (v + 1) AS DOUBLE)))
+                          FROM (SELECT unnest(generate_series(0, 255)) AS v))),
+             6) AS cos_ramp
+FROM agg
 """
 
 
@@ -3821,28 +4018,34 @@ _DRIVER_WINDOW = [
     "q64_filtered_aggregates",
     "q65_regexp_extract",
     "q66_mode_aggregate",
-    # samplers / curation
+    # samplers / curation (quality-weighted stays local-only — the
+    # family shares the deterministic-hash predicate surface)
     "sample_train_val_test",
     "sample_cap_per_class",
-    "sample_quality_weighted",
     "sample_source_rebalance",
-    # dedup (round-4 incremental ops front and center)
-    "dedup_fingerprint",
+    # dedup (round-4 incremental ops front and center; dedup_fingerprint
+    # itself stays local-oracle-covered — the same normalized-md5 fp is
+    # driver-verified through both incremental entries)
+    "dedup_bloom_prefilter",
     "dedup_incremental_fingerprint",
     "dedup_incremental_lsh",
     "corpus_dedup_survivors",
-    # text
+    # text (text_normalize stays local-only: the same normalize+md5
+    # chain is driver-verified through the incremental dedup entries)
     "text_repetition_removal",
     "text_quality_gate",
     "text_top_bigrams",
     "text_redact_pii",
-    "text_normalize",
+    # multimodal codecs (round-4 de-stubbed real paths: WAV decode,
+    # PNM-stream frame split, byte-histogram embedding)
+    "multimodal_audio_features",
+    "multimodal_video_frames",
+    "multimodal_embed_cosine",
     # similarity (incl. round-4 trained-IVF; rows-only entries give
     # the driver at least schema/row evidence for the ANN path)
     "sim_near_dup_pairs",
     "sim_ivf_full_probe",
     "sim_quantize_embeddings",
-    "sim_ivf_trained",
     "sim_ann_recall_trained",
     # as-of / CDC / DQ
     "asof_forward_next_purchase",
@@ -4415,6 +4618,9 @@ def build_registry() -> dict[str, QuerySpec]:
         "dedup_incremental_lsh": QuerySpec(
             dedup_incremental_lsh, DEDUP_INCREMENTAL_LSH_ORACLE
         ),
+        "dedup_bloom_prefilter": QuerySpec(
+            dedup_bloom_prefilter, DEDUP_BLOOM_ORACLE
+        ),
         "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_ORACLE),
         "corpus_dedup_survivors": QuerySpec(
             corpus_dedup_survivors, CORPUS_SURVIVORS_ORACLE
@@ -4449,6 +4655,15 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "stream_late_drop": QuerySpec(stream_late_drop, STREAM_LATE_DROP_ORACLE),
         "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_ORACLE),
+        "multimodal_audio_features": QuerySpec(
+            multimodal_audio_features, MULTIMODAL_AUDIO_ORACLE
+        ),
+        "multimodal_video_frames": QuerySpec(
+            multimodal_video_frames, MULTIMODAL_VIDEO_ORACLE
+        ),
+        "multimodal_embed_cosine": QuerySpec(
+            multimodal_embed_cosine, MULTIMODAL_EMBED_ORACLE
+        ),
         "sketch_distinct_rollup": QuerySpec(sketch_distinct_rollup, None),
         "udaf_mad": QuerySpec(udaf_mad, UDAF_MAD_ORACLE),
         "sketch_theta_audience": QuerySpec(

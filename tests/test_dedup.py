@@ -154,3 +154,86 @@ def test_incremental_lsh_equals_full_restricted(spark, docs):
         ).collect()
     }
     assert via_index == full
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter prefiltered incremental dedup (operators/bloom.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_prefilter_equals_plain_anti_join(spark, docs):
+    """The bloom-routed operator is EXACT: identical relation to
+    incremental_fingerprint_dedup on the same batch/corpus split."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.bloom import (
+        bloom_prefilter_anti_join,
+    )
+
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    plain = {
+        (r.fp, r.doc_id, r.n_copies)
+        for r in dd.incremental_fingerprint_dedup(batch, corpus).collect()
+    }
+    bloom = {
+        (r.fp, r.doc_id, r.n_copies)
+        for r in bloom_prefilter_anti_join(batch, corpus).collect()
+    }
+    assert plain, "batch should have surviving fingerprints"
+    assert bloom == plain
+
+
+def test_bloom_no_false_negatives_and_bitmap_bound(spark):
+    """Every key actually in the set must probe maybe_in_set=True (no
+    false negatives — the property the exactness proof rests on); the
+    bitmap relation is bounded by m_bits/64 words regardless of key
+    count."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.bloom import (
+        bloom_bitmap,
+        bloom_maybe_contains,
+    )
+
+    keys = spark.range(2000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    m_bits = 1 << 14
+    bitmap = bloom_bitmap(keys, "k", m_bits=m_bits, k=5)
+    assert bitmap.count() <= m_bits // 64
+    tagged = bloom_maybe_contains(keys, bitmap, "k", m_bits=m_bits, k=5)
+    assert tagged.filter(~F.col("maybe_in_set")).count() == 0
+
+
+def test_bloom_filters_out_most_absent_keys(spark):
+    """Disjoint probe keys should be overwhelmingly bloom-negative at
+    ~8 bits/key (FPP ~2%) — the prefilter actually prunes."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.bloom import (
+        bloom_bitmap,
+        bloom_maybe_contains,
+    )
+
+    corpus = spark.range(2000).select(
+        F.concat(F.lit("in-"), F.col("id")).alias("k")
+    )
+    probes = spark.range(1000).select(
+        F.concat(F.lit("out-"), F.col("id")).alias("k")
+    )
+    bitmap = bloom_bitmap(corpus, "k", m_bits=1 << 14, k=5)
+    tagged = bloom_maybe_contains(probes, bitmap, "k", m_bits=1 << 14, k=5)
+    n_pos = tagged.filter(F.col("maybe_in_set")).count()
+    assert n_pos < 100  # <10% false positives at these parameters
+
+
+def test_bloom_probe_plan_broadcasts_bitmap_no_corpus_shuffle(spark, docs):
+    """The probe side must join the bitmap via BroadcastHashJoin — the
+    whole point is zero corpus shuffle at probe time."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.bloom import (
+        bloom_bitmap,
+        bloom_maybe_contains,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.plans.explain import formatted_plan
+
+    keys = dd.fingerprint(docs).select("fp")
+    plan = formatted_plan(
+        bloom_maybe_contains(keys, bloom_bitmap(keys, "fp"), "fp")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

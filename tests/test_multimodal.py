@@ -255,3 +255,185 @@ def test_codec_unit_roundtrip_no_spark():
     tiny = resize_image(ppm, 1, 1)
     _, _, _, tp = decode_ppm(tiny)
     assert tp[0, 0].tolist() == [255, 0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Audio: real WAV codec path (functions/audiocodec.py)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_and_features():
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.audiocodec import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    samples = rng.integers(-3000, 3000, size=(480, 2)).astype(np.int16)
+    payload = encode_wav(samples, 16000)
+    d = decode_wav(payload)
+    assert d["sample_rate"] == 16000
+    assert d["n_channels"] == 2
+    assert d["bits_per_sample"] == 16
+    assert (d["samples"] == samples).all()
+
+    f = audio_features(payload)
+    ch0 = samples[:, 0].astype(np.int64)
+    assert f["n_frames"] == 480
+    assert f["duration_ms"] == 480 * 1000 // 16000
+    assert f["peak"] == int(np.abs(ch0).max())
+    assert abs(f["rms"] - float(np.sqrt((ch0.astype(float) ** 2).mean()))) < 1e-9
+
+
+def test_wav_chunk_walk_skips_unknown_chunks():
+    """fmt/data found even with a LIST chunk in between (real WAV
+    writers emit those); odd-size chunks are word-aligned."""
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.audiocodec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    base = encode_wav(np.array([[100], [-100], [50]], dtype=np.int16), 8000)
+    # splice an odd-sized junk chunk between WAVE header and fmt
+    junk = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    spliced = base[:12] + junk + base[12:]
+    spliced = spliced[:4] + (len(spliced) - 8).to_bytes(4, "little") + spliced[8:]
+    d = decode_wav(spliced)
+    assert d["samples"].tolist() == [[100], [-100], [50]]
+
+
+def test_wav_zero_crossings_carry_through_zero():
+    """+A, 0, -A is ONE crossing (zero keeps the previous sign), and
+    8-bit PCM is recentred from unsigned."""
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.audiocodec import (
+        audio_features,
+        encode_wav,
+    )
+
+    payload = encode_wav(
+        np.array([[500], [0], [-500], [-200], [300]], dtype=np.int16), 8000
+    )
+    assert audio_features(payload)["zero_crossings"] == 2
+
+
+def test_decode_audio_batch_default_codec(spark):
+    """End-to-end through mapInPandas with the REAL default decoder."""
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.audiocodec import (
+        encode_wav,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        decode_audio_batch,
+    )
+
+    rows = []
+    for i in (1, 2, 3):
+        wave = np.full((100 * i, 1), 1000 * i, dtype=np.int16)
+        rows.append((i, bytearray(encode_wav(wave, 8000))))
+    df = spark.createDataFrame(rows, ["doc_id", "blob"])
+    feats = {r.doc_id: r for r in decode_audio_batch(df).collect()}
+    assert feats[2].n_frames == 200
+    assert feats[3].peak == 3000
+    assert feats[1].duration_ms == 100 * 1000 // 8000
+    assert feats[1].zero_crossings == 0
+
+
+def test_audio_unrecognized_format_raises():
+    import pytest as _pytest
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.audiocodec import (
+        audio_features,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        audio_features(b"ID3\x03not-a-wav")
+
+
+# ---------------------------------------------------------------------------
+# Video: concatenated-PNM stream splitting (functions/imagecodec.py)
+# ---------------------------------------------------------------------------
+
+
+def test_split_ppm_stream_boundaries():
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.imagecodec import (
+        decode_ppm,
+        encode_ppm,
+        split_ppm_stream,
+    )
+
+    frames = [
+        encode_ppm(np.full((2, 3, 3), 10 * i, dtype=np.uint8)) for i in range(5)
+    ]
+    parts = split_ppm_stream(b"".join(frames))
+    assert parts == frames
+    w, h, c, px = decode_ppm(parts[4])
+    assert (w, h, c) == (3, 2, 3)
+    assert int(px[0, 0, 0]) == 40
+
+
+def test_sample_video_frames_default_sampler(spark):
+    """Every-2nd sampling through the 1→N mapInPandas fan-out with the
+    REAL default splitter."""
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.imagecodec import (
+        encode_ppm,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    def vid(n):
+        return bytearray(
+            b"".join(
+                encode_ppm(np.full((2, 2, 3), i, dtype=np.uint8)) for i in range(n)
+            )
+        )
+
+    df = spark.createDataFrame([(1, vid(5)), (2, vid(2))], ["doc_id", "blob"])
+    out = sample_video_frames(df, every_nth=2).collect()
+    got = {(r.doc_id, r.frame_idx) for r in out}
+    assert got == {(1, 0), (1, 1), (1, 2), (2, 0)}  # frames 0,2,4 and 0
+    first = next(r for r in out if r.doc_id == 1 and r.frame_idx == 2)
+    assert bytes(first.frame).endswith(bytes([4]) * 12)  # original frame 4
+
+
+def test_split_ppm_stream_rejects_real_containers():
+    import pytest as _pytest
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.imagecodec import (
+        split_ppm_stream,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        split_ppm_stream(b"\x00\x00\x00 ftypisom-not-pnm")
+
+
+# ---------------------------------------------------------------------------
+# Embedding: real default extractor (byte histogram)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_embedding_default_histogram(spark):
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        extract_embedding_batch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"aab")), (2, bytearray(b"\x00\xff"))], ["doc_id", "blob"]
+    )
+    out = {r.doc_id: r.embedding for r in extract_embedding_batch(df).collect()}
+    assert len(out[1]) == 256
+    assert out[1][ord("a")] == 2.0 and out[1][ord("b")] == 1.0
+    assert sum(out[1]) == 3.0
+    assert out[2][0] == 1.0 and out[2][255] == 1.0

@@ -1717,7 +1717,17 @@ def multimodal_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_embedding_batch,
     )
 
-    d = attach_binary_column(_t(spark, sf_dir, "documents"), "text", "text/plain")
+    d = attach_binary_column(
+        _t(spark, sf_dir, "documents").withColumn(
+            # byte==codepoint insurance: the oracle reads codepoints, the
+            # extractor reads bytes — strip non-ASCII so both agree even
+            # if a future testdata regeneration introduces any
+            "text",
+            F.regexp_replace("text", r"[^\x00-\x7F]", ""),
+        ),
+        "text",
+        "text/plain",
+    )
     emb = extract_embedding_batch(d).withColumn(
         "qvec", F.array(*[F.lit(float(b + 1)) for b in range(256)])
     )
@@ -1728,14 +1738,17 @@ def multimodal_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Text is ASCII (verified by the langid/token oracles), so per-char
-# unicode() == byte value and the histogram is a char-frequency table.
+# Both sides strip non-ASCII first, so per-char unicode() == byte
+# value and the histogram is a char-frequency table.
 MULTIMODAL_EMBED_ORACLE = """
-WITH pos AS (
+WITH ascii_docs AS (
+  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS text
+  FROM documents
+), pos AS (
   SELECT doc_id, unicode(substring(text, i, 1)) AS code
   FROM (SELECT doc_id, text,
                unnest(generate_series(1, length(text))) AS i
-        FROM documents)
+        FROM ascii_docs)
 ), hist AS (
   SELECT doc_id, code, CAST(count(*) AS DOUBLE) AS c
   FROM pos GROUP BY 1, 2

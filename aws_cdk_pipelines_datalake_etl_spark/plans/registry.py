@@ -2109,6 +2109,39 @@ QUALIFY row_number() OVER (PARTITION BY user_id
 """
 
 
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE (streaming/cdc_upsert.py): the events table is
+    split into 4 files and driven as 4 micro-batches through the
+    bucket-partitioned foreachBatch merge — each batch reads only its
+    touched state buckets and dynamic-overwrites them; latest-per-key
+    is resolved on (ts, event_id), so batch arrival order cannot
+    change the result.  Final state must equal the one-shot batch
+    collapse (same oracle as cdc_latest_state)."""
+    import os
+    import tempfile
+
+    from aws_cdk_pipelines_datalake_etl_spark.streaming.cdc_upsert import (
+        stream_cdc_upsert as run_upsert,
+    )
+
+    work = tempfile.mkdtemp(prefix="cdc_upsert_q_")
+    changes_dir = os.path.join(work, "changes")
+    _t(spark, sf_dir, "events").repartition(4).write.parquet(changes_dir)
+    state = run_upsert(
+        spark,
+        changes_dir,
+        os.path.join(work, "state"),
+        os.path.join(work, "ckpt"),
+        key_cols=["user_id"],
+        version_col="ts",
+        tiebreak_col="event_id",
+        n_buckets=16,
+        ts_cols=("ts",),
+        max_files_per_trigger=1,
+    )
+    return state.select("user_id", "ts", "event_type", "value")
+
+
 def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join over bucketed tables (plans/bucketing.py):
     customer and orders both hash-clustered into 8 buckets on custkey
@@ -4012,7 +4045,8 @@ _DRIVER_WINDOW = [
     "q44_supplier_variety",
     "q45_retention_cohorts",
     "q46_funnel_stages",
-    "q47_reaggregation_rollup",
+    # q47_reaggregation_rollup stays local-only (its shape is covered
+    # by driver-verified q16_rollup + incremental_rollup)
     "q48_rolling_wau",
     "q49_variant_json",
     "q50_unpivot",
@@ -4060,7 +4094,8 @@ _DRIVER_WINDOW = [
     "sim_ivf_full_probe",
     "sim_quantize_embeddings",
     "sim_ann_recall_trained",
-    # as-of / CDC / DQ
+    # as-of / CDC / DQ (round-4 streaming MERGE included)
+    "stream_cdc_upsert",
     "asof_forward_next_purchase",
     "asof_cogroup_pandas",
     "cdc_table_diff",
@@ -4552,6 +4587,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "stream_stream_join": QuerySpec(stream_stream_join, STREAM_STREAM_JOIN_ORACLE),
         "join_salted_skew": QuerySpec(join_salted_skew, JOIN_SALTED_SKEW_ORACLE),
         "cdc_latest_state": QuerySpec(cdc_latest_state, CDC_LATEST_STATE_ORACLE),
+        "stream_cdc_upsert": QuerySpec(stream_cdc_upsert, CDC_LATEST_STATE_ORACLE),
         "cdc_state_asof_time": QuerySpec(
             cdc_state_asof_time, CDC_STATE_ASOF_ORACLE
         ),

@@ -36,13 +36,70 @@ def _bucket(c: Column, lo: float, hi: float, bits: int) -> Column:
     )
 
 
+def parquet_footer_bounds(
+    path: str, cols: list[str]
+) -> dict[str, tuple[float, float]] | None:
+    """Column min/max for NUMERIC columns read from parquet FOOTERS
+    only — no data scan.  The maintenance-path shortcut: at 100 TB the
+    z-order min/max aggregate is otherwise a full extra pass; footer
+    statistics give the same bounds for the cost of metadata reads
+    (driver-side here; shard the footer list over executors when file
+    counts get large).
+
+    Returns None (caller falls back to the aggregate scan) if any
+    column is non-numeric, any row group lacks stats, or bounds are
+    non-finite — bounds must COVER the data or clustering quality
+    degrades at the clamped edges."""
+    import math as _math
+
+    try:
+        import pyarrow.dataset as pads
+    except ImportError:  # pragma: no cover
+        return None
+    try:
+        dset = pads.dataset(path, format="parquet")
+    except (OSError, ValueError):
+        return None
+    lo: dict[str, float] = {}
+    hi: dict[str, float] = {}
+    want = set(cols)
+    for frag in dset.get_fragments():
+        md = frag.metadata
+        for rg in range(md.num_row_groups):
+            group = md.row_group(rg)
+            for j in range(group.num_columns):
+                col = group.column(j)
+                name = col.path_in_schema
+                if name not in want:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    return None
+                if not isinstance(st.min, (int, float)) or isinstance(
+                    st.min, bool
+                ):
+                    return None  # non-numeric: Spark cast semantics differ
+                mn, mx = float(st.min), float(st.max)
+                if not (_math.isfinite(mn) and _math.isfinite(mx)):
+                    return None
+                lo[name] = min(lo.get(name, mn), mn)
+                hi[name] = max(hi.get(name, mx), mx)
+    if set(lo) != want:
+        return None
+    return {c: (lo[c], hi[c]) for c in cols}
+
+
 def zorder_key(
-    df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS
+    df: DataFrame,
+    cols: list[str],
+    bits: int = DEFAULT_BITS,
+    bounds: dict[str, tuple[float, float]] | None = None,
 ) -> Column:
     """Morton key over ``cols`` (numeric/date/timestamp).  One
-    min/max aggregate per column (driver-side, single reduced row),
-    then a pure bit-interleave expression: bit i of column d lands at
-    position ``i*D + d``.
+    min/max aggregate per column (driver-side, single reduced row) —
+    or zero scans when the caller supplies ``bounds`` (e.g. from
+    :func:`parquet_footer_bounds`) — then a pure bit-interleave
+    expression: bit i of column d lands at position ``i*D + d``.
 
     ``bits`` auto-shrinks so the interleave fits a signed long: with
     the default 8 bits, 8+ columns would shift a bit into the sign
@@ -53,14 +110,21 @@ def zorder_key(
         bits = 63 // len(cols)
         if bits < 1:
             raise ValueError(f"too many z-order columns ({len(cols)} > 63)")
-    aggs = []
-    for c in cols:
-        aggs += [F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))]
-    row = df.agg(*aggs).collect()[0]
-    bounds = [(row[2 * i], row[2 * i + 1]) for i in range(len(cols))]
+    if bounds is not None:
+        bound_list = [bounds[c] for c in cols]
+    else:
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.min(F.col(c).cast("double")),
+                F.max(F.col(c).cast("double")),
+            ]
+        row = df.agg(*aggs).collect()[0]
+        bound_list = [(row[2 * i], row[2 * i + 1]) for i in range(len(cols))]
+    bounds_resolved = bound_list
     buckets = [
         _bucket(F.col(c), lo if lo is not None else 0.0, hi if hi is not None else 0.0, bits)
-        for c, (lo, hi) in zip(cols, bounds)
+        for c, (lo, hi) in zip(cols, bounds_resolved)
     ]
     d = len(cols)
     key: Column = F.lit(0).cast("long")

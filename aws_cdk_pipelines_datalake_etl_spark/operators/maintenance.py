@@ -67,14 +67,22 @@ def zorder_parquet_dir(
     filters on any of them skip files via footer min/max stats —
     multi-column ``OPTIMIZE ... ZORDER`` over plain parquet.  One
     range shuffle on the key; atomic swap; row content unchanged
-    (asserted by tests)."""
+    (asserted by tests).
+
+    Bucket bounds come from parquet FOOTER statistics when available
+    (functions/zorder.py parquet_footer_bounds) — metadata reads
+    instead of the min/max aggregate's extra full scan; non-numeric
+    columns or missing stats fall back to the aggregate."""
     from aws_cdk_pipelines_datalake_etl_spark.functions.zorder import (
         DEFAULT_BITS,
+        parquet_footer_bounds,
         zorder_key,
     )
 
     df = spark.read.parquet(path)
-    zkey = zorder_key(df, cols, bits or DEFAULT_BITS)
+    zkey = zorder_key(
+        df, cols, bits or DEFAULT_BITS, bounds=parquet_footer_bounds(path, cols)
+    )
     tmp = path.rstrip("/") + "__zordering"
     (
         df.withColumn("__zkey", zkey)

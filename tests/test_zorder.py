@@ -102,3 +102,41 @@ def test_zorder_key_fits_signed_long_with_many_columns(spark):
     assert keyed.select("zk").distinct().count() > 1
     with pytest.raises(ValueError):
         zorder_key(df, [])
+
+
+def test_parquet_footer_bounds_match_true_minmax(spark, tmp_path):
+    """Footer-stat bounds (zero data scan) equal the aggregate's
+    min/max for numeric columns; non-numeric columns fall back."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.zorder import (
+        parquet_footer_bounds,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, float(i) * 1.5 - 10, f"s{i}") for i in range(1000)],
+        ["a", "b", "s"],
+    ).repartition(4).write.parquet(path)
+    bounds = parquet_footer_bounds(path, ["a", "b"])
+    assert bounds == {"a": (0.0, 999.0), "b": (-10.0, 999 * 1.5 - 10)}
+    assert parquet_footer_bounds(path, ["a", "s"]) is None  # string col
+    assert parquet_footer_bounds(path, ["a", "nope"]) is None
+
+
+def test_zorder_key_with_supplied_bounds_matches_scanned(spark):
+    """bounds= must produce the identical key column as the
+    aggregate-scan path given the same bounds."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.zorder import zorder_key
+
+    df = spark.range(500).select(
+        (F.col("id") % 50).alias("x"), (F.col("id") % 7).alias("y")
+    )
+    scanned = df.withColumn("k", zorder_key(df, ["x", "y"])).collect()
+    supplied = df.withColumn(
+        "k",
+        zorder_key(
+            df, ["x", "y"], bounds={"x": (0.0, 49.0), "y": (0.0, 6.0)}
+        ),
+    ).collect()
+    assert {(r.x, r.y, r.k) for r in scanned} == {
+        (r.x, r.y, r.k) for r in supplied
+    }

@@ -145,3 +145,66 @@ def stratified_predicate_sql(
             f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 1) IN ({accepted}))"
         )
     return " OR ".join(clauses)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    out_col: str = "shuffle_rank",
+    bucket_bits: int = 10,
+) -> DataFrame:
+    """Deterministic global shuffle order for training epochs: rank
+    rows by ``hash48(epoch || ':' || id)`` (id as final tiebreak).
+
+    A training data loader needs every epoch to visit the corpus in a
+    different-but-reproducible order.  Engine-native ``rand(seed)`` is
+    seeded per partition layout, so the order changes whenever the
+    file split changes; hashing the (epoch, id) pair is row-local and
+    layout-independent — the same epoch yields the same permutation on
+    any cluster, any partitioning, any engine.
+
+    Scale — a global ``row_number`` window would funnel everything
+    into ONE partition, so the total order is assembled distributed
+    instead: the top ``bucket_bits`` of the hash key split the
+    keyspace into ordered buckets (a key prefix, so bucket order ==
+    key order), per-bucket counts (tiny agg) prefix-sum into bucket
+    offsets (window over <= 2^bucket_bits rows), and the final rank is
+    ``offset[bucket] + row_number within bucket`` — one data shuffle
+    on the bucket, one broadcast join of the offset table.  Hash
+    buckets are uniform by construction, so no bucket skews.
+    """
+    from pyspark.sql import Window
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import hash48
+
+    key = hash48(
+        F.concat(F.lit(str(epoch)), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    keyed = df.withColumn("_ek", key).withColumn(
+        "_bucket", F.shiftright(F.col("_ek"), 48 - bucket_bits)
+    )
+    offsets = (
+        keyed.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_n")
+    )
+    local = Window.partitionBy("_bucket").orderBy("_ek", F.col(id_col))
+    return (
+        keyed.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            out_col, (F.col("_offset") + F.row_number().over(local)).cast("long")
+        )
+        .drop("_ek", "_bucket", "_offset")
+    )

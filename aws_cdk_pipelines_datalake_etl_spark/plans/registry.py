@@ -3679,6 +3679,32 @@ WHERE n_tokens >= 30 AND ttr >= 0.35 AND ttr <= 0.95
 )
 
 
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-deterministic training shuffle (operators/sampling.py
+    epoch_shuffle): every row ranked by hash48(epoch ':' doc_id) — a
+    layout-independent permutation that differs per epoch but is
+    bit-reproducible on any cluster.  Assembled distributed (bucketed
+    prefix offsets + per-bucket window), never a one-partition global
+    window; the oracle states the same total order as one SQL
+    row_number."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        epoch_shuffle,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, "doc_id", epoch=2)
+
+
+CORPUS_EPOCH_SHUFFLE_ORACLE = f"""
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY {hash48_sql_duckdb("'2:' || CAST(doc_id AS VARCHAR)")},
+                  doc_id
+       ) AS shuffle_rank
+FROM documents
+"""
+
+
 _U32_SQL = (
     "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)"
     " / 4294967296.0"
@@ -4676,6 +4702,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "corpus_training_set": QuerySpec(
             corpus_training_set, CORPUS_TRAINING_SET_ORACLE
+        ),
+        "corpus_epoch_shuffle": QuerySpec(
+            corpus_epoch_shuffle, CORPUS_EPOCH_SHUFFLE_ORACLE
         ),
         "text_metrics": QuerySpec(text_metrics_q, TEXT_METRICS_ORACLE),
         "text_langid": QuerySpec(text_langid, _langid_oracle()),

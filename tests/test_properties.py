@@ -220,3 +220,33 @@ def test_connected_components_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, ["id1", "id2"])
     got = {r.node: r.cluster_rep for r in connected_components(pairs).collect()}
     assert got == expected
+
+
+def test_epoch_shuffle_is_layout_independent_permutation(spark):
+    """epoch_shuffle: ranks are a 1..n permutation, identical under
+    any repartitioning, different across epochs, and assembled
+    WITHOUT a single-partition global window."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        epoch_shuffle,
+    )
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    e1 = {r.doc_id: r.shuffle_rank for r in epoch_shuffle(df, "doc_id", 1).collect()}
+    assert sorted(e1.values()) == list(range(1, 1001))
+
+    repart = {
+        r.doc_id: r.shuffle_rank
+        for r in epoch_shuffle(df.repartition(13), "doc_id", 1).collect()
+    }
+    assert repart == e1
+
+    e2 = {r.doc_id: r.shuffle_rank for r in epoch_shuffle(df, "doc_id", 2).collect()}
+    assert sorted(e2.values()) == list(range(1, 1001))
+    assert e2 != e1  # a different epoch is a different permutation
+
+    # scale guard: every window in the plan is partitioned (the bucket
+    # trick) — a global row_number would show an empty partition spec
+    plan = epoch_shuffle(df, "doc_id", 1)._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_bucket" in plan

@@ -70,6 +70,16 @@ SHOWCASE = {
         "one full-outer SortMergeJoin on the key over md5 row fingerprints — "
         "the reconciliation costs exactly one co-partitioning of each side"
     ),
+    "dedup_bloom_prefilter": (
+        "the bitmap probe is a BroadcastHashJoin (bitmap words broadcast, "
+        "zero corpus shuffle at probe time); the exact anti-join's left "
+        "side is only the bloom-positive keys"
+    ),
+    "corpus_epoch_shuffle": (
+        "every windowspecdefinition is partitioned by _bucket — the global "
+        "permutation is assembled from bucketed ranks + broadcast offsets, "
+        "never a single-partition window"
+    ),
 }
 
 

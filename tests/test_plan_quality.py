@@ -276,3 +276,44 @@ def test_contamination_broadcasts_eval_side(spark):
     plan = formatted_plan(R.text_contamination(spark, SF_DIR_SMOKE))
     assert "BroadcastExchange" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_registry_wide_plan_lint(spark):
+    """Whole-registry scale-anti-pattern lint: NO query's physical plan
+    may contain a CartesianProduct (unbounded all-pairs) or
+    BatchEvalPython (row-at-a-time pickled Python).  Streaming entries
+    and entries that materialize side effects on build are skipped
+    (their plans are asserted by their own tests); everything else —
+    the full relational/dedup/text/similarity/sampling surface — is
+    linted in one sweep so a regression anywhere fails fast."""
+    import pytest as _pytest
+
+    from aws_cdk_pipelines_datalake_etl_spark.plans import registry as _R
+
+    # entries that RUN work when called (streams, temp-dir writers,
+    # driver-loop algorithms) — planned/asserted in their own tests
+    side_effecting = {
+        "dedup_clusters",  # iterative driver loop with localCheckpoint
+        "corpus_dedup_survivors",
+        "corpus_training_set",  # composes dedup_clusters
+        "bucketed_join",  # writes bucketed tables on build
+        "incremental_rollup",
+        "sim_ivf_trained",  # k-means training job on build
+        "sim_ann_recall_trained",
+        "q61_recursive_closure",  # driver-loop recursive CTE
+    }
+    reg = _R.build_registry()
+    failures = []
+    for name, spec in reg.items():
+        if name.startswith("stream_") or name in side_effecting:
+            continue
+        try:
+            plan = formatted_plan(spec.fn(spark, SF_DIR_SMOKE))
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: plan build failed: {e}")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct in plan")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time BatchEvalPython in plan")
+    assert not failures, "\n".join(failures)

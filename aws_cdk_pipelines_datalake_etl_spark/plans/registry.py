@@ -722,6 +722,39 @@ GROUP BY window_id
 """
 
 
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BIG-BIG range join (operators/rangejoin.py interval_join):
+    identical relation to q30_range_join but computed WITHOUT
+    broadcasting — intervals explode to the 1-day bins they overlap,
+    points map to their single bin, and the non-equi predicate becomes
+    a shuffled equi-join on the bin + exact re-check.  Same oracle as
+    q30; the plan test asserts no nested-loop join remains."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    windows = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 1000 == 0)
+        .select(
+            F.col("o_orderkey").alias("window_id"),
+            F.to_timestamp(
+                F.date_add(F.lit("2024-01-01").cast("date"),
+                           (F.col("o_orderkey") % 28).cast("int"))
+            ).alias("w_start"),
+        )
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 3 DAYS"))
+    )
+    joined = interval_join(
+        ev, windows, "ts", "w_start", "w_end", bin_width_seconds=86400
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        pround(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 def q24_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS (status), (year), () — executed through the SQL
     entry point; A1's hash aggregate generalized to multi-grain."""
@@ -4598,6 +4631,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "q28_array_agg": QuerySpec(q28_array_agg, Q28_ORACLE),
         "q29_pandas_udf_score": QuerySpec(q29_pandas_udf_score, Q29_ORACLE),
         "q30_range_join": QuerySpec(q30_range_join, Q30_ORACLE),
+        "range_join_binned": QuerySpec(range_join_binned, Q30_ORACLE),
         "q31_shipping_priority": QuerySpec(q31_shipping_priority, Q31_ORACLE),
         "q32_regional_supplier_volume": QuerySpec(
             q32_regional_supplier_volume, Q32_ORACLE

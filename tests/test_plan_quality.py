@@ -317,3 +317,14 @@ def test_registry_wide_plan_lint(spark):
         if "BatchEvalPython" in plan:
             failures.append(f"{name}: row-at-a-time BatchEvalPython in plan")
     assert not failures, "\n".join(failures)
+
+
+def test_binned_range_join_has_no_nested_loop(spark):
+    """The binned interval join must plan as a shuffled equi-join on
+    the bin key — no BroadcastNestedLoopJoin, no CartesianProduct —
+    i.e. it survives BOTH sides being big."""
+    df = R.range_join_binned(spark, SF_DIR_SMOKE)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

@@ -47,3 +47,46 @@ def test_ntz_wall_micros_matches_naive_datetime(spark, tz):
             assert got[i] == want, (d, got[i], want)
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_interval_join_bin_boundaries(spark):
+    """Points exactly on interval start (inclusive) and end
+    (exclusive) and intervals spanning multiple bins all resolve
+    exactly; every qualifying pair appears exactly once."""
+    from datetime import datetime
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    points = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:00:00")),  # == start: kept
+            (2, ts("2024-01-03 00:00:00")),  # == end: excluded
+            (3, ts("2024-01-02 13:00:00")),  # mid, second bin
+            (4, ts("2024-02-01 00:00:00")),  # no interval
+        ],
+        ["pid", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")),
+            (11, ts("2024-01-02 12:00:00"), ts("2024-01-02 14:00:00")),
+        ],
+        ["iid", "w_start", "w_end"],
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, "ts", "w_start", "w_end", 86400
+        ).collect()
+    }
+    assert got == {(1, 10), (3, 10), (3, 11)}
+
+    # exactly-once: row count equals distinct pair count even though
+    # interval 10 spans 3 bins
+    rows = interval_join(
+        points, intervals, "ts", "w_start", "w_end", 86400
+    ).count()
+    assert rows == 3

@@ -142,6 +142,85 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: vectors assigned to their nearest
+    centroid, written PARTITIONED BY centroid_id — the ingest-time
+    half of the ANN contract that :func:`assign_ivf_buckets`'s
+    docstring promises.  A probe then reads only its nprobe buckets'
+    files via partition pruning; the rest of a 100 TB corpus is never
+    opened."""
+    assign_ivf_buckets(vectors, centroids, id_col, vec_col).select(
+        F.col(id_col), F.col("v").alias("v"), "centroid_id"
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivf_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against the PERSISTED index: compute each
+    query's nprobe nearest centroids, then scan only those partitions
+    of the index (the ``isin`` filter on the partition column reaches
+    the file index as a PartitionFilter — plan-asserted in tests).
+
+    The ``collect()`` is the probed-bucket ID LIST — bounded by
+    ``n_queries × nprobe`` (both probe-side constants), never by
+    corpus size."""
+    q = _with_double_vec(queries, vec_col, "q").select(
+        F.col(id_col).alias("query_id"), "q"
+    )
+    c = _with_double_vec(centroids, vec_col, "c").select("centroid_id", "c")
+    qprobe = (
+        q.join(F.broadcast(c))
+        .withColumn("sim", pround(cosine("q", "c"), 6))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("sim").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q", F.col("centroid_id").alias("v_bucket"))
+    )
+    buckets = [r.v_bucket for r in qprobe.select("v_bucket").distinct().collect()]
+    idx = (
+        spark.read.parquet(index_path)
+        .filter(F.col("centroid_id").isin(buckets))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("centroid_id").alias("v_bucket"),
+            "v",
+        )
+    )
+    scored = (
+        idx.join(F.broadcast(qprobe), "v_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", pround(cosine("q", "v"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _lit_vec(values) -> "F.Column":
     """A literal array<double> column from a Python float sequence."""
     return F.array(*[F.lit(float(x)) for x in values])

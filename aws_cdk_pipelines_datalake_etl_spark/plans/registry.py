@@ -1369,6 +1369,27 @@ def sim_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+def sim_ivf_index_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVF index end-to-end (operators/similarity.py
+    write_ivf_index + ivf_topk_from_index): vectors written partitioned
+    by centroid_id, probe scans only probed partitions (partition
+    pruning, plan-asserted in tests).  Probing every bucket must equal
+    exact brute force — same oracle — so a hash match proves the whole
+    write→prune→probe path."""
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="ivf_index_q_") + "/idx"
+    sim.write_ivf_index(e, centroids, path)
+    return sim.ivf_topk_from_index(
+        spark, path, e.filter(F.col("vec_id") < 10), centroids, k=5, nprobe=8,
+        id_col="vec_id",
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k over a k-means||-TRAINED codebook
     (operators/similarity.py train_ivf_codebook): distributed seeded
@@ -4748,6 +4769,9 @@ def build_registry() -> dict[str, QuerySpec]:
         "sim_lsh_near_dup": QuerySpec(sim_lsh_near_dup, SIM_NEAR_DUP_ORACLE),
         "sim_ivf_topk": QuerySpec(sim_ivf_topk, None),
         "sim_ivf_full_probe": QuerySpec(sim_ivf_full_probe, SIM_BRUTE_TOPK_ORACLE),
+        "sim_ivf_index_full_probe": QuerySpec(
+            sim_ivf_index_full_probe, SIM_BRUTE_TOPK_ORACLE
+        ),
         "sim_ivf_trained": QuerySpec(sim_ivf_trained, None),
         "sim_ann_recall_trained": QuerySpec(sim_ann_recall_trained, None),
         "asof_forward_next_purchase": QuerySpec(

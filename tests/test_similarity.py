@@ -172,3 +172,34 @@ def test_quantize_reconstruction_error_bounded(spark):
         F.sum(F.col("overflow").cast("int")).alias("no"),
     ).collect()[0]
     assert (agg["nv"], agg["no"]) == (0, 0)
+
+
+def test_persisted_ivf_index_equals_in_memory_probe(spark, tmp_path):
+    """write_ivf_index + ivf_topk_from_index must return exactly the
+    in-memory ivf_topk relation at the same nprobe, and the index scan
+    must partition-prune to the probed buckets."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators import similarity as sim
+    from aws_cdk_pipelines_datalake_etl_spark.plans.explain import formatted_plan
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import load_table
+
+    from tests.conftest import SF_DIR_SMOKE
+
+    e = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = e.filter(F.col("vec_id") < 8)
+    path = str(tmp_path / "idx")
+    sim.write_ivf_index(e, centroids, path)
+
+    from_index = sim.ivf_topk_from_index(
+        spark, path, queries, centroids, k=5, nprobe=2
+    )
+    in_memory = sim.ivf_topk(e, queries, centroids, k=5, nprobe=2)
+    got = {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in from_index.collect()}
+    want = {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in in_memory.collect()}
+    assert got == want and got
+
+    plan = formatted_plan(from_index)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("centroid_id" in ln for ln in pf), plan

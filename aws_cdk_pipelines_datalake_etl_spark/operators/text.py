@@ -240,3 +240,49 @@ def normalize_text(
     oracle replays it), so normalized fingerprints are portable."""
     collapsed = F.regexp_replace(F.lower(F.col(text_col)), "[ \\t\\r\\n]+", " ")
     return df.withColumn(out_col, F.trim(collapsed))
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained unigram LM score: each document's mean token
+    log-probability under the corpus's own unigram distribution —
+    the classic cheap perplexity proxy for quality filtering (docs
+    full of corpus-rare tokens score low; boilerplate scores high).
+
+    One token explode feeds BOTH aggregations (corpus term counts and
+    the per-doc average), the corpus total is a one-row broadcast, and
+    the term→count join is AQE's choice (vocabulary-sized: broadcast
+    when it fits).
+
+    Determinism: per-token logp is quantized to INTEGER micro-nats
+    before summing — averaging rounded doubles flips at .5e-6
+    boundaries because float summation order differs per engine, but
+    an exact bigint sum divided once is the identical IEEE quotient
+    everywhere.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    micro = F.floor(
+        F.log(F.col("n_term") / F.col("n_total")) * 1000000 + F.lit(0.5)
+    ).cast("long")
+    return (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("micro_logp", micro)
+        .groupBy("id")
+        .agg(
+            F.sum("micro_logp").alias("s"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            pround(F.col("s") / (F.col("n_tokens") * F.lit(1000000.0)), 6).alias(
+                "avg_logprob"
+            ),
+            "n_tokens",
+        )
+    )

@@ -3733,6 +3733,33 @@ WHERE n_tokens >= 30 AND ttr >= 0.35 AND ttr <= 0.95
 )
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap perplexity proxy (operators/text.py unigram_logprob):
+    mean token log-probability under the corpus's own unigram
+    distribution — the classic quality-filter signal.  One explode
+    feeds both the vocabulary counts and the per-doc average; the
+    corpus total rides a one-row broadcast."""
+    return tx.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+TEXT_UNIGRAM_LOGPROB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), freq AS (
+  SELECT term, count(*) AS n_term FROM toks GROUP BY term
+), tot AS (
+  SELECT count(*) AS n_total FROM toks
+)
+SELECT id AS doc_id,
+       round(sum(CAST(floor(ln(n_term * 1.0 / n_total) * 1000000 + 0.5)
+                      AS BIGINT)) / (count(*) * 1000000.0), 6) AS avg_logprob,
+       count(*) AS n_tokens
+FROM toks JOIN freq USING (term), tot
+GROUP BY id
+"""
+
+
 def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-deterministic training shuffle (operators/sampling.py
     epoch_shuffle): every row ranked by hash48(epoch ':' doc_id) — a
@@ -4171,7 +4198,10 @@ _DRIVER_WINDOW = [
     # similarity (incl. round-4 trained-IVF; rows-only entries give
     # the driver at least schema/row evidence for the ANN path)
     "sim_near_dup_pairs",
-    "sim_ivf_full_probe",
+    # the persisted-index full probe subsumes the in-memory one (same
+    # oracle, plus write->prune->probe); sim_ivf_full_probe stays
+    # local-oracle-covered
+    "sim_ivf_index_full_probe",
     "sim_quantize_embeddings",
     "sim_ann_recall_trained",
     # as-of / CDC / DQ (round-4 streaming MERGE included)
@@ -4760,6 +4790,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "corpus_epoch_shuffle": QuerySpec(
             corpus_epoch_shuffle, CORPUS_EPOCH_SHUFFLE_ORACLE
+        ),
+        "text_unigram_logprob": QuerySpec(
+            text_unigram_logprob, TEXT_UNIGRAM_LOGPROB_ORACLE
         ),
         "text_metrics": QuerySpec(text_metrics_q, TEXT_METRICS_ORACLE),
         "text_langid": QuerySpec(text_langid, _langid_oracle()),

@@ -136,3 +136,44 @@ def conform(
         f"`{params.target_database_name}`.`{params.table_name}`"
     )
     return ConformResult(table, n_rows)
+
+
+def split_quarantine(
+    df: DataFrame,
+    quarantine_path: str,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, int]:
+    """Route malformed rows to a quarantine zone instead of dropping
+    them (the reliability upgrade over R4's DROPMALFORMED, which
+    discards silently): rows with a non-null ``corrupt_col`` are
+    written — raw line plus source-file lineage — to
+    ``quarantine_path``, and the clean rows (minus the marker column)
+    are returned for normal conformance, together with the quarantined
+    count for the audit trail.
+
+    One read feeds both branches; the quarantine side is appended
+    (re-runs add new evidence, never lose it).  The PERMISSIVE frame
+    is cached before filtering on the corrupt column — Spark disallows
+    queries referencing ONLY the internal corrupt-record column
+    against a raw CSV scan (SPARK-22580), and the cache also keeps the
+    split to one file read.  The batch-sized cache is evicted by the
+    caller's session naturally (LRU) or explicitly via ``unpersist``.
+    """
+    # lineage must become a REAL column before caching: InMemoryRelation
+    # cannot serve the hidden _metadata column, and falling back to the
+    # file scan re-triggers the corrupt-only-column analyzer check
+    df = df.withColumn(
+        "_source_file", F.col("_metadata.file_name")
+    ).cache()
+    df.count()  # materialize: the analyzer check needs parsed results
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line"),
+        F.col("_source_file").alias("source_file"),
+    )
+    n_bad = bad.count()
+    if n_bad:
+        bad.write.mode("append").parquet(quarantine_path)
+    good = df.filter(F.col(corrupt_col).isNull()).drop(
+        corrupt_col, "_source_file"
+    )
+    return good, n_bad

@@ -113,3 +113,59 @@ def test_text_raw_file_through_pipeline(spark, lake_root):
     assert {r["source_file"] for r in rows} == {"shard0.txt"}
     assert sorted(r["text"] for r in rows)[-1] == "the second line"
     assert rows[0]["year"] == "2020"
+
+
+def test_quarantine_split_keeps_malformed_rows(spark, tmp_path):
+    """PERMISSIVE read + split_quarantine: good rows conform, bad rows
+    land in the quarantine zone with raw line + source lineage —
+    nothing silently dropped (contrast DROPMALFORMED)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.conform import (
+        split_quarantine,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.sources.csv_source import (
+        read_raw_csv_quarantine,
+    )
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    raw = tmp_path / "raw.csv"
+    raw.write_text(
+        "id,qty,price\n"
+        "1,10,1.5\n"
+        "2,notanumber,xx\n"  # malformed: qty/price unparseable
+        "3,30,3.25\n"
+    )
+    # a DECLARED schema is what makes malformed detectable — inference
+    # would degrade qty/price to string and parse everything
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("qty", IntegerType()),
+            StructField("price", DoubleType()),
+        ]
+    )
+    df = read_raw_csv_quarantine(spark, str(raw), schema=schema)
+    qdir = str(tmp_path / "quarantine")
+    good, n_bad = split_quarantine(df, qdir)
+
+    assert n_bad == 1
+    assert {(r.id, r.qty) for r in good.select("id", "qty").collect()} == {
+        (1, 10),
+        (3, 30),
+    }
+    q = spark.read.parquet(qdir).collect()
+    assert len(q) == 1
+    assert q[0].raw_line == "2,notanumber,xx"
+    assert q[0].source_file == "raw.csv"
+
+    # re-run appends (evidence preserved, not clobbered)
+    _, n2 = split_quarantine(
+        read_raw_csv_quarantine(spark, str(raw), schema=schema), qdir
+    )
+    assert n2 == 1
+    assert spark.read.parquet(qdir).count() == 2

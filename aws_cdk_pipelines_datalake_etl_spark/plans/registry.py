@@ -1792,6 +1792,62 @@ def multimodal_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The advertised multimodal → similarity bridge composed end to
+    end: blob → DEFAULT byte-histogram embedding → exact cosine top-5
+    per query doc (doc_id < 10) via broadcast brute force.  The oracle
+    recomputes the same neighbors from a SPARSE char-frequency join
+    (cosine needs only co-occurring codes), so a hash match proves the
+    extractor, the Arrow bridge, and the top-k ranking together."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        extract_embedding_batch,
+    )
+
+    d = attach_binary_column(
+        _t(spark, sf_dir, "documents").withColumn(
+            "text", F.regexp_replace("text", r"[^\x00-\x7F]", "")
+        ),
+        "text",
+        "text/plain",
+    )
+    emb = extract_embedding_batch(d)
+    return sim.brute_force_topk(
+        emb, emb.filter(F.col("doc_id") < 10), k=5, id_col="doc_id"
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+MULTIMODAL_EMBED_TOPK_ORACLE = """
+WITH ascii_docs AS (
+  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS text
+  FROM documents
+), pos AS (
+  SELECT doc_id, unicode(substring(text, i, 1)) AS code
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text))) AS i
+        FROM ascii_docs)
+), hist AS (
+  SELECT doc_id, code, CAST(count(*) AS DOUBLE) AS c
+  FROM pos GROUP BY 1, 2
+), norms AS (
+  SELECT doc_id, sqrt(sum(c * c)) AS n FROM hist GROUP BY doc_id
+), s AS (
+  SELECT q.doc_id AS query_id, v.doc_id AS neighbor_id,
+         round(sum(q.c * v.c) / (nq.n * nv.n), 6) AS cosine
+  FROM hist q
+  JOIN hist v  ON q.code = v.code AND v.doc_id != q.doc_id
+  JOIN norms nq ON nq.doc_id = q.doc_id
+  JOIN norms nv ON nv.doc_id = v.doc_id
+  WHERE q.doc_id < 10
+  GROUP BY 1, 2, nq.n, nv.n
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
 # Both sides strip non-ASCII first, so per-char unicode() == byte
 # value and the histogram is a char-frequency table.
 MULTIMODAL_EMBED_ORACLE = """
@@ -4832,6 +4888,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "multimodal_embed_cosine": QuerySpec(
             multimodal_embed_cosine, MULTIMODAL_EMBED_ORACLE
+        ),
+        "multimodal_embed_topk": QuerySpec(
+            multimodal_embed_topk, MULTIMODAL_EMBED_TOPK_ORACLE
         ),
         "sketch_distinct_rollup": QuerySpec(sketch_distinct_rollup, None),
         "udaf_mad": QuerySpec(udaf_mad, UDAF_MAD_ORACLE),

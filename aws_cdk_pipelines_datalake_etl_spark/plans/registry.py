@@ -3789,6 +3789,79 @@ WHERE n_tokens >= 30 AND ttr >= 0.35 AND ttr <= 0.95
 )
 
 
+def udtf_word_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (functions/udtf_fn.py WordNgrams): per-row
+    fan-out through a LATERAL table function — every word trigram of
+    the first 50 docs with its position.  Arrow-batched; the oracle
+    replays the same expansion with generate_series, so the hash match
+    proves the UDTF's row semantics exactly."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.udtf_fn import (
+        register_udtfs,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import (
+        register_testdata_views,
+    )
+
+    register_testdata_views(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id, g.pos, g.ngram
+        FROM documents d, LATERAL word_ngrams(d.text, 3) g
+        WHERE d.doc_id < 50
+        """
+    )
+
+
+UDTF_WORD_NGRAMS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       CAST(i - 1 AS INT) AS pos,
+       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ngram
+FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks)
+"""
+
+
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource end-to-end (sources/corpusgen.py,
+    Spark 4 datasource API): ``format("corpusgen")`` generates a
+    deterministic corpus partition-parallel on executors, then a
+    normal aggregation runs over it.  The oracle rebuilds the exact
+    rows from generate_series — a hash match proves the connector's
+    partition planning and row generation, not just that it ran."""
+    from aws_cdk_pipelines_datalake_etl_spark.sources.corpusgen import register
+
+    register(spark)
+    gen = (
+        spark.read.format("corpusgen")
+        .option("n", "3000")
+        .option("parallelism", "8")
+        .load()
+    )
+    toks = gen.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    return toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+SOURCE_PYTHON_DATASOURCE_ORACLE = """
+WITH ids AS (
+  SELECT unnest(generate_series(0, 2999)) AS i
+), toks AS (
+  SELECT i AS doc_id, 'w' || ((i * 7 + j * 3) % 13) AS tok
+  FROM (SELECT i, unnest(generate_series(0, 4 + i % 5 - 1)) AS j FROM ids)
+)
+SELECT tok, count(*) AS n, min(doc_id) AS first_doc
+FROM toks GROUP BY tok
+"""
+
+
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheap perplexity proxy (operators/text.py unigram_logprob):
     mean token log-probability under the corpus's own unigram
@@ -4849,6 +4922,12 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "text_unigram_logprob": QuerySpec(
             text_unigram_logprob, TEXT_UNIGRAM_LOGPROB_ORACLE
+        ),
+        "source_python_datasource": QuerySpec(
+            source_python_datasource, SOURCE_PYTHON_DATASOURCE_ORACLE
+        ),
+        "udtf_word_ngrams": QuerySpec(
+            udtf_word_ngrams, UDTF_WORD_NGRAMS_ORACLE
         ),
         "text_metrics": QuerySpec(text_metrics_q, TEXT_METRICS_ORACLE),
         "text_langid": QuerySpec(text_langid, _langid_oracle()),

@@ -328,3 +328,42 @@ def test_stream_upsert_crash_recovery_from_checkpoint(spark, tmp_path):
     assert recovered == sorted(
         map(tuple, expected.select("user_id", "event_id").collect())
     )
+
+
+def test_tws_distinct_types(spark, tmp_path):
+    """transformWithStateInPandas distinct tracker == batch
+    COUNT(DISTINCT) under any file split (monotone emissions, max
+    taken).  Skips where the protobuf state-server dependency is
+    absent; the gate itself must raise a clear ImportError there."""
+    import pytest as _pytest
+
+    from aws_cdk_pipelines_datalake_etl_spark.streaming.tws import (
+        stream_distinct_types,
+        tws_available,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (1, "view"),
+            (1, "view"),
+            (1, "purchase"),
+            (2, "view"),
+            (2, "click"),
+            (2, "view"),
+            (3, "click"),
+        ],
+        ["user_id", "event_type"],
+    ).withColumn("ts", F.current_timestamp())
+    path = str(tmp_path / "events")
+    events.repartition(3).write.parquet(path)
+
+    if not tws_available():
+        with _pytest.raises(ImportError, match="protobuf"):
+            stream_distinct_types(spark, path)
+        _pytest.skip("protobuf absent: transformWithState gated off")
+
+    got = {
+        (r.user_id, r.n_types)
+        for r in stream_distinct_types(spark, path).collect()
+    }
+    assert got == {(1, 2), (2, 2), (3, 1)}

@@ -89,13 +89,29 @@ def parquet_footer_bounds(
     return {c: (lo[c], hi[c]) for c in cols}
 
 
+def _string_dim(c: str) -> Column:
+    """A string column as a z-order dimension: the first 7 bytes,
+    big-endian, as a number — monotone with the lexicographic
+    byte order (shorter strings zero-pad low), so range-bucketing it
+    clusters lexicographic neighbors together.  NULL sorts first."""
+    return F.coalesce(
+        F.conv(
+            F.rpad(F.hex(F.substring(F.col(c), 1, 7)), 14, "0"), 16, 10
+        ).cast("double"),
+        F.lit(0.0),
+    )
+
+
 def zorder_key(
     df: DataFrame,
     cols: list[str],
     bits: int = DEFAULT_BITS,
     bounds: dict[str, tuple[float, float]] | None = None,
 ) -> Column:
-    """Morton key over ``cols`` (numeric/date/timestamp).  One
+    """Morton key over ``cols`` (numeric/date/timestamp, plus STRING
+    via the 7-byte lexicographic prefix rank — see :func:`_string_dim`;
+    string bounds always come from the aggregate, parquet footer stats
+    stay numeric-only).  One
     min/max aggregate per column (driver-side, single reduced row) —
     or zero scans when the caller supplies ``bounds`` (e.g. from
     :func:`parquet_footer_bounds`) — then a pure bit-interleave
@@ -110,21 +126,23 @@ def zorder_key(
         bits = 63 // len(cols)
         if bits < 1:
             raise ValueError(f"too many z-order columns ({len(cols)} > 63)")
+    dtypes = dict(df.dtypes)
+    exprs = [
+        _string_dim(c) if dtypes.get(c) == "string" else F.col(c).cast("double")
+        for c in cols
+    ]
     if bounds is not None:
         bound_list = [bounds[c] for c in cols]
     else:
         aggs = []
-        for c in cols:
-            aggs += [
-                F.min(F.col(c).cast("double")),
-                F.max(F.col(c).cast("double")),
-            ]
+        for e in exprs:
+            aggs += [F.min(e), F.max(e)]
         row = df.agg(*aggs).collect()[0]
         bound_list = [(row[2 * i], row[2 * i + 1]) for i in range(len(cols))]
     bounds_resolved = bound_list
     buckets = [
-        _bucket(F.col(c), lo if lo is not None else 0.0, hi if hi is not None else 0.0, bits)
-        for c, (lo, hi) in zip(cols, bounds_resolved)
+        _bucket(e, lo if lo is not None else 0.0, hi if hi is not None else 0.0, bits)
+        for e, (lo, hi) in zip(exprs, bounds_resolved)
     ]
     d = len(cols)
     key: Column = F.lit(0).cast("long")

@@ -140,3 +140,52 @@ def test_zorder_key_with_supplied_bounds_matches_scanned(spark):
     assert {(r.x, r.y, r.k) for r in scanned} == {
         (r.x, r.y, r.k) for r in supplied
     }
+
+
+def test_string_dimension_is_lexicographic(spark):
+    """String z-order dim: bucket order must follow lexicographic
+    byte order of the (7-byte-prefix) values; NULL sorts first."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.zorder import zorder_key
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate([None, "", "apple", "apricot", "banana", "zebra"])],
+        ["id", "s"],
+    )
+    keyed = df.withColumn("k", zorder_key(df, ["s"], bits=8)).collect()
+    by_s = {r.s: r.k for r in keyed}
+    # monotone (non-strict: 8-bit quantization may merge near strings),
+    # strictly separating far-apart values
+    assert (
+        by_s[None]
+        <= by_s[""]
+        <= by_s["apple"]
+        <= by_s["apricot"]
+        <= by_s["banana"]
+        <= by_s["zebra"]
+    )
+    assert by_s["apple"] < by_s["banana"] < by_s["zebra"]
+
+
+def test_zorder_dir_with_string_column(spark, tmp_path):
+    """zorder_parquet_dir over (string, numeric): content preserved,
+    and files become narrow in the string column (each file touches
+    few distinct sources)."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, f"src{i % 8}", float(i)) for i in range(4000)],
+        ["id", "source", "v"],
+    ).repartition(8).write.parquet(path)
+    before = spark.read.parquet(path).groupBy().sum("id").head()[0]
+    zorder_parquet_dir(spark, path, ["source", "id"], n_files=8)
+    after = spark.read.parquet(path).groupBy().sum("id").head()[0]
+    assert before == after
+
+    distinct_per_file = []
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(path, f), columns=["source"])
+            distinct_per_file.append(len(set(t.column("source").to_pylist())))
+    # random layout would put all 8 sources in every file
+    assert sum(distinct_per_file) / len(distinct_per_file) <= 4

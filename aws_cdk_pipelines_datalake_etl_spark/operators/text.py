@@ -286,3 +286,37 @@ def unigram_logprob(
             "n_tokens",
         )
     )
+
+
+def pseudonymize_emails(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "pseudo",
+    salt: str = "s1",
+) -> DataFrame:
+    """Deterministic pseudonymization — the reversible-by-lookup
+    alternative to redact_pii's destructive placeholders: every email
+    is replaced by a STABLE token ``<EMAIL:xxxxxxxx>`` (first 8 md5
+    hex chars of salt+address), so the same address tokenizes
+    identically corpus-wide and joins/dedup still work on the
+    pseudonymized text, while the mapping lives only where the salt
+    does.
+
+    Pure fold expression: extract all matches, then one
+    ``aggregate`` pass replacing each (replace is global per address —
+    duplicates converge to the same token).  No UDF, no shuffle."""
+    emails = F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), 0)
+    rebuilt = F.aggregate(
+        emails,
+        F.col(text_col),
+        lambda acc, e: F.replace(
+            acc,
+            e,
+            F.concat(
+                F.lit("<EMAIL:"),
+                F.substring(F.md5(F.concat(F.lit(salt + ":"), e)), 1, 8),
+                F.lit(">"),
+            ),
+        ),
+    )
+    return df.withColumn(out_col, rebuilt)

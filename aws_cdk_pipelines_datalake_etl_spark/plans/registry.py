@@ -3862,6 +3862,46 @@ FROM toks GROUP BY tok
 """
 
 
+def text_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable pseudonymization (operators/text.py pseudonymize_emails):
+    emails become salt-keyed tokens — same address, same token, so the
+    pseudonymized corpus still joins/dedups.  Emails are PLANTED
+    deterministically (the corpus has none), so the oracle rebuilds
+    the identical input and the hash match proves the extract→hash→
+    fold-replace pipeline exactly."""
+    planted = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            (F.col("doc_id") % 23).cast("string"),
+            F.lit("@ex"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com"),
+        ),
+    )
+    return tx.pseudonymize_emails(planted).select("doc_id", "pseudo")
+
+
+TEXT_PSEUDONYMIZE_ORACLE = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact u' || (doc_id % 23) || '@ex' || (doc_id % 7)
+              || '.com' AS text
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(text,
+                      regexp_extract_all(text,
+                                         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+')),
+         (acc, e) -> replace(acc, e,
+                             '<EMAIL:' || substr(md5('s1:' || e), 1, 8) || '>')
+       ) AS pseudo
+FROM planted
+"""
+
+
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheap perplexity proxy (operators/text.py unigram_logprob):
     mean token log-probability under the corpus's own unigram
@@ -4928,6 +4968,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "udtf_word_ngrams": QuerySpec(
             udtf_word_ngrams, UDTF_WORD_NGRAMS_ORACLE
+        ),
+        "text_pseudonymize": QuerySpec(
+            text_pseudonymize, TEXT_PSEUDONYMIZE_ORACLE
         ),
         "text_metrics": QuerySpec(text_metrics_q, TEXT_METRICS_ORACLE),
         "text_langid": QuerySpec(text_langid, _langid_oracle()),

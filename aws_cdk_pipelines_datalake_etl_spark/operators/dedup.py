@@ -391,3 +391,57 @@ def simhash_signatures(
         )
     )
     return agg.select("id", sig.alias("simhash"))
+
+
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the corpus LSH band index the way
+    :func:`minhash_band_index`'s docstring promises: band signatures
+    written PARTITIONED BY a hash bucket of (band, bsig), so an
+    incremental probe's equi-join can prune to the partitions its
+    batch actually touches — at 100 TB a small ingest batch opens a
+    sliver of the index, never all of it.  Append-maintained: each
+    published batch appends its own signatures (same parameters ⇒
+    same bucketing)."""
+    bands_df = minhash_band_index(df, id_col, text_col, k, num_perm, bands, seed)
+    (
+        bands_df.withColumn(
+            "bucket", F.pmod(F.xxhash64("band", "bsig"), F.lit(n_buckets))
+        )
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def read_lsh_index_for(
+    spark,
+    path: str,
+    batch_bands: DataFrame,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Read ONLY the index partitions a batch's band signatures land
+    in (partition-pruned scan via ``isin`` on the bucket column; the
+    collect is the bucket-id list, bounded by ``n_buckets``)."""
+    touched = [
+        r[0]
+        for r in batch_bands.select(
+            F.pmod(F.xxhash64("band", "bsig"), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(touched))
+        .select("id", "band", "bsig")
+    )

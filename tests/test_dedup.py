@@ -237,3 +237,54 @@ def test_bloom_probe_plan_broadcasts_bitmap_no_corpus_shuffle(spark, docs):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_persisted_lsh_index_probe_equals_in_memory(spark, docs, tmp_path):
+    """write_lsh_index + read_lsh_index_for: probing the persisted,
+    bucket-partitioned index yields exactly the pairs the in-memory
+    incremental path finds, and the index read partition-prunes."""
+    from aws_cdk_pipelines_datalake_etl_spark.plans.explain import formatted_plan
+
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    path = str(tmp_path / "lsh_idx")
+    dd.write_lsh_index(corpus, path)
+
+    batch_bands = dd.minhash_band_index(batch)
+    corpus_bands = dd.read_lsh_index_for(spark, path, batch_bands)
+    got = {
+        (r.id1, r.id2, r.jaccard)
+        for r in dd.incremental_minhash_pairs(
+            batch, corpus, corpus_bands=corpus_bands, threshold=0.8
+        ).collect()
+    }
+    want = {
+        (r.id1, r.id2, r.jaccard)
+        for r in dd.incremental_minhash_pairs(
+            batch, corpus, threshold=0.8
+        ).collect()
+    }
+    assert got == want and got
+
+    plan = formatted_plan(corpus_bands)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("bucket" in ln for ln in pf), plan
+
+
+def test_bloom_empty_corpus_everything_is_new(spark):
+    """Bloom prefilter against an EMPTY corpus: the bitmap has no set
+    bits, every batch key is definite-new, result equals plain
+    within-batch dedup."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.bloom import (
+        bloom_prefilter_anti_join,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, "beta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame([], "doc_id long, text string")
+    got = {
+        (r.doc_id, r.n_copies)
+        for r in bloom_prefilter_anti_join(batch, corpus).collect()
+    }
+    assert got == {(1, 2), (3, 1)}

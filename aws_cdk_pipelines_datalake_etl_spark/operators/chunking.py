@@ -94,3 +94,37 @@ def pack_greedy_bins(
         .cast("long")
         .alias("bin_id"),
     )
+
+
+def pack_with_offsets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget_tokens: int = 2048,
+) -> DataFrame:
+    """:func:`pack_greedy_bins` plus each document's 0-based GLOBAL
+    token offset in its shard's stream — what a training data loader
+    needs to materialize fixed-length sequences with correct
+    attention-mask boundaries (a doc's slice of bin ``b`` is
+    ``[start_global - b*budget, ...)``; negative means it began in the
+    previous bin and spills in).  Same single per-shard window — the
+    offset is the cumsum minus the doc's own length, no extra
+    shuffle."""
+    d = df.select(
+        F.col(id_col),
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 1).alias("shard"),
+        F.size(tokens(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cumsum = F.sum("n_tokens").over(w)
+    return d.select(
+        "shard",
+        F.col(id_col),
+        "n_tokens",
+        F.floor((cumsum - 1) / budget_tokens).cast("long").alias("bin_id"),
+        (cumsum - F.col("n_tokens")).cast("long").alias("start_global"),
+    )

@@ -3163,6 +3163,38 @@ FROM d
 """
 
 
+def text_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing with loader offsets (operators/chunking.py
+    pack_with_offsets): bin assignment PLUS each doc's 0-based global
+    token offset in its shard stream — the attention-mask boundary
+    information a sequence loader needs; same one window, no extra
+    shuffle."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.chunking import (
+        pack_with_offsets,
+    )
+
+    return pack_with_offsets(_t(spark, sf_dir, "documents"))
+
+
+TEXT_PACK_OFFSETS_ORACLE = """
+WITH d AS (
+  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d
+)
+SELECT shard, doc_id, n_tokens,
+       CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS bin_id,
+       CAST(cum - n_tokens AS BIGINT)            AS start_global
+FROM c
+"""
+
+
 def q50_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (melt): the wide per-month aggregate row turned into
     long (month, metric, value) rows via ``stack`` — the inverse of
@@ -4747,6 +4779,47 @@ def q64_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(Q64_FILTER_SQL)
 
 
+def q67_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): two
+    per-bucket aggregates full-outer-joined on a key that is NULL for
+    one bucket (nullif) — under plain `=` the NULL groups would never
+    match and the full outer would emit them as two dangling rows;
+    null-safe equality pairs them.  The hash proves Spark's eqNullSafe
+    and DuckDB's IS NOT DISTINCT FROM agree on NULL-key semantics."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.nullif(F.col("user_id") % 10, F.lit(7))
+    a = ev.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("n_all"))
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(k.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_purchase"))
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]), "full")
+        .select(
+            F.coalesce(a["k"], b["k"]).alias("k_val"),
+            (a["k"].isNull() & b["k"].isNull()).alias("is_null_group"),
+            "n_all",
+            "n_purchase",
+        )
+    )
+
+
+Q67_ORACLE = """
+WITH a AS (
+  SELECT nullif(user_id % 10, 7) AS k, count(*) AS n_all
+  FROM events GROUP BY 1
+), b AS (
+  SELECT nullif(user_id % 10, 7) AS k, count(*) AS n_purchase
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT coalesce(a.k, b.k) AS k_val,
+       (a.k IS NULL AND b.k IS NULL) AS is_null_group,
+       n_all, n_purchase
+FROM a FULL JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
 def q66_mode_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical mode per group via Spark's deterministic mode()
     (ties -> lowest value); the oracle replays the same total order
@@ -4935,6 +5008,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "text_top_bigrams": QuerySpec(text_top_bigrams, TEXT_TOP_BIGRAMS_ORACLE),
         "text_chunk_windows": QuerySpec(text_chunk_windows, TEXT_CHUNK_ORACLE),
         "text_pack_bins": QuerySpec(text_pack_bins, TEXT_PACK_ORACLE),
+        "text_pack_offsets": QuerySpec(text_pack_offsets, TEXT_PACK_OFFSETS_ORACLE),
         "stream_sliding": QuerySpec(stream_sliding, STREAM_SLIDING_ORACLE),
         "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
         "dedup_fingerprint": QuerySpec(dedup_fingerprint, DEDUP_FINGERPRINT_ORACLE),
@@ -5048,6 +5122,7 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "q65_regexp_extract": QuerySpec(q65_regexp_extract, Q65_ORACLE),
         "q66_mode_aggregate": QuerySpec(q66_mode_aggregate, Q66_ORACLE),
+        "q67_null_safe_join": QuerySpec(q67_null_safe_join, Q67_ORACLE),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]
     assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"

@@ -4359,15 +4359,20 @@ _DRIVER_WINDOW = [
     "q49_variant_json",
     "q50_unpivot",
     "q51_forecast_revenue",
-    "q52_product_profit",
+    # q52_product_profit local-only (Q9 shape; the multi-join family is
+    # driver-verified via q31/q32/q33/q53)
     "q53_top_supplier",
     "q54_equidepth_histogram",
     "q55_ratio_to_report",
     "q56_full_outer_join",
     "q57_dense_grid_report",
     "q58_event_transitions",
-    "q59_union_heterogeneous",
     "q60_edit_distance",
+    # round-4 Python connector surfaces (q59_union_heterogeneous stays
+    # local-oracle-covered to make room — the union surface is also in
+    # q14/q50)
+    "source_python_datasource",
+    "udtf_word_ngrams",
     "q62_distribution_ranks",
     "q63_array_algebra",
     "q64_filtered_aggregates",

@@ -250,3 +250,101 @@ def test_epoch_shuffle_is_layout_independent_permutation(spark):
     # trick) — a global row_number would show an empty partition spec
     plan = epoch_shuffle(df, "doc_id", 1)._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(_bucket" in plan
+
+
+@given(
+    n_frames=st.integers(min_value=1, max_value=400),
+    n_channels=st.integers(min_value=1, max_value=3),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_codec_roundtrip_property(n_frames, n_channels, rate, seed):
+    """encode_wav -> decode_wav is the identity on arbitrary int16
+    sample matrices, any channel count / rate."""
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.audiocodec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32767, size=(n_frames, n_channels)).astype(
+        np.int16
+    )
+    d = decode_wav(encode_wav(samples, rate))
+    assert d["sample_rate"] == rate
+    assert d["n_channels"] == n_channels
+    assert (d["samples"] == samples).all()
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    c=st.sampled_from([1, 3]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_ppm_codec_roundtrip_property(w, h, c, seed):
+    """encode_ppm -> decode_ppm is the identity on arbitrary uint8
+    pixel arrays, and split_ppm_stream recovers concatenated frames."""
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.imagecodec import (
+        decode_ppm,
+        encode_ppm,
+        split_ppm_stream,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, c)).astype(np.uint8)
+    payload = encode_ppm(px)
+    dw, dh, dc, dpx = decode_ppm(payload)
+    assert (dw, dh, dc) == (w, h, c)
+    assert (dpx == px).all()
+    assert split_ppm_stream(payload * 3 if False else payload + payload) == [
+        payload,
+        payload,
+    ]
+
+
+def test_interval_join_equals_nested_loop_on_random_data(spark):
+    """Binned interval join == plain non-equi join on seeded random
+    points/intervals across bin-width regimes (narrower, equal, wider
+    than typical interval length)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    rng = random.Random(7)
+    base = datetime(2024, 1, 1)
+    points = [
+        (i, base + timedelta(minutes=rng.randrange(0, 10000)))
+        for i in range(300)
+    ]
+    intervals = []
+    for j in range(60):
+        s = base + timedelta(minutes=rng.randrange(0, 10000))
+        intervals.append((j, s, s + timedelta(minutes=rng.randrange(1, 600))))
+    p = spark.createDataFrame(points, ["pid", "ts"])
+    iv = spark.createDataFrame(intervals, ["iid", "w_start", "w_end"])
+    want = {
+        (r.pid, r.iid)
+        for r in p.join(
+            iv, (p.ts >= iv.w_start) & (p.ts < iv.w_end)
+        ).collect()
+    }
+    for width_s in (600, 3600, 86400):
+        got = {
+            (r.pid, r.iid)
+            for r in interval_join(
+                p, iv, "ts", "w_start", "w_end", width_s
+            ).collect()
+        }
+        assert got == want, f"bin width {width_s}"

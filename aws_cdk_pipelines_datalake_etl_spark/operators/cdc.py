@@ -93,3 +93,44 @@ def table_diff(
         .otherwise(F.lit("changed"))
     )
     return joined.select(*key_cols, status.alias("diff_status"))
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    tiebreak_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: turn a change stream into
+    validity-ranged history rows — (key, attrs, valid_from, valid_to,
+    is_current), where ``valid_to`` is the next version's start (NULL
+    while current).
+
+    Consecutive versions with IDENTICAL attributes collapse into one
+    interval (no-op updates don't fragment history) — detected with a
+    lag() over the same key window, so the whole operator is ONE hash
+    exchange on the key: versions sort within their key partition,
+    runs collapse, ranges come from lead().  No self-joins, no second
+    shuffle.
+    """
+    key_w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col), F.col(tiebreak_col)
+    )
+    fingerprint = F.md5(
+        F.to_json(F.struct(*[F.col(c) for c in attr_cols]))
+    )
+    runs = (
+        changes.withColumn("_fp", fingerprint)
+        .withColumn("_prev_fp", F.lag("_fp").over(key_w))
+        .filter(F.col("_prev_fp").isNull() | (F.col("_fp") != F.col("_prev_fp")))
+    )
+    range_w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col), F.col(tiebreak_col)
+    )
+    return (
+        runs.withColumn("valid_from", F.col(version_col))
+        .withColumn("valid_to", F.lead(version_col).over(range_w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(*key_cols, *attr_cols, "valid_from", "valid_to", "is_current")
+    )

@@ -2219,6 +2219,42 @@ QUALIFY row_number() OVER (PARTITION BY user_id
 """
 
 
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history (operators/cdc.py scd2_history): each user's
+    event-type change stream becomes validity-ranged rows with no-op
+    runs collapsed — one hash exchange, ranges from lead(), current
+    row flagged.  The standard dimension-history materialization."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.cdc import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_history(
+        ev,
+        key_cols=["user_id"],
+        version_col="ts",
+        tiebreak_col="event_id",
+        attr_cols=["event_type"],
+    )
+
+
+CDC_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), runs AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered WHERE prev IS NULL OR event_type != prev
+)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM runs
+"""
+
+
 def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MERGE (streaming/cdc_upsert.py): the events table is
     split into 4 files and driven as 4 micro-batches through the
@@ -4946,6 +4982,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "join_salted_skew": QuerySpec(join_salted_skew, JOIN_SALTED_SKEW_ORACLE),
         "cdc_latest_state": QuerySpec(cdc_latest_state, CDC_LATEST_STATE_ORACLE),
         "stream_cdc_upsert": QuerySpec(stream_cdc_upsert, CDC_LATEST_STATE_ORACLE),
+        "cdc_scd2": QuerySpec(cdc_scd2, CDC_SCD2_ORACLE),
         "cdc_state_asof_time": QuerySpec(
             cdc_state_asof_time, CDC_STATE_ASOF_ORACLE
         ),

@@ -190,3 +190,129 @@ def merge_kll_quantiles(
             for q in quantiles
         ],
     )
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable FREQUENCY estimation (heavy hitters).
+# HLL/Theta answer "how many distinct"; KLL answers "what quantile";
+# count-min answers "how often does key x occur" from a fixed-size
+# summary: depth d hash rows x width w counters, estimate = min over
+# rows of the counter each hash lands in (Cormode & Muthukrishnan
+# 2005, public literature).  Guarantees: est >= true count always;
+# est <= true + eps*N with prob 1-delta for w = e/eps, d = ln(1/delta).
+#
+# Unlike the Datasketches-backed sketches above, this one is built
+# from the engine's own portable md5-derived hashes, so the WHOLE
+# sketch — cells and estimates — is bit-replayable in an external SQL
+# engine: the registry entry is an exact-hash oracle, not rows-only.
+#
+# Representation: the sketch is a TABLE of non-zero cells
+# (d, cell, cnt) rather than a packed array — the natural distributed
+# form (one hash-shuffle bounded by depth*width rows regardless of
+# input size) and trivially mergeable: union + re-sum (additive).
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 512
+
+
+def _cm_positions_expr(key: str, depth: int, width: int) -> str:
+    """Array of (d, cell) structs for a key: cell_d = h48(d ':' key) % w."""
+    h = (
+        f"CAST(conv(substring(md5(concat(CAST(d AS STRING), ':', "
+        f"CAST({key} AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+    )
+    return (
+        f"transform(sequence(0, {depth - 1}),"
+        f" d -> named_struct('d', d, 'cell', {h} % {width}))"
+    )
+
+
+def build_cm_rollup(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """One scan -> the sparse count-min cell table
+    ``(group_cols..., d, cell, cnt)``.
+
+    Each input row explodes to ``depth`` (d, cell) rows; the single
+    hash aggregate has map-side partial combine, and its output is
+    bounded by ``depth * width`` rows per group — the fixed-size
+    summary, whatever the input size."""
+    gc = list(group_cols or [])
+    pos = F.explode(F.expr(_cm_positions_expr(key_col, depth, width))).alias("p")
+    return (
+        df.select(*gc, pos)
+        .select(*gc, F.col("p.d").alias("d"), F.col("p.cell").alias("cell"))
+        .groupBy(*gc, "d", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_merge(a: DataFrame, b: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge two cell tables: union + re-sum (counters are additive,
+    so sketch(A) + sketch(B) == sketch(A ++ B) exactly)."""
+    gc = list(group_cols or [])
+    return (
+        a.unionByName(b)
+        .groupBy(*gc, "d", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    cells: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-frequency estimates for a (small) probe key set:
+    ``(key_col, cm_est)`` with est = min over d of the landed counter
+    (0 if some row has no cell — the key was never seen).
+
+    The probe side is tiny by construction (a candidate list), so the
+    join against the bounded cell table broadcasts; the fact table is
+    never touched."""
+    ppos = (
+        probes.select(F.col(key_col))
+        .distinct()
+        .select(
+            key_col,
+            F.explode(F.expr(_cm_positions_expr(key_col, depth, width))).alias("p"),
+        )
+        .select(key_col, F.col("p.d").alias("d"), F.col("p.cell").alias("cell"))
+    )
+    joined = ppos.join(cells, ["d", "cell"], "left").select(
+        key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy(key_col).agg(F.min("cnt").alias("cm_est"))
+
+
+def cm_oracle_sql(
+    key_expr: str,
+    table: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> str:
+    """DuckDB replay of build_cm_rollup + cm_estimate over all distinct
+    keys of ``table`` — bit-identical cells and estimates."""
+    h = (
+        f"(('0x' || substr(md5(d::VARCHAR || ':' || ({key_expr})::VARCHAR), 1, 12))"
+        f"::BIGINT % {width})"
+    )
+    return f"""
+WITH pos AS (
+  SELECT {key_expr} AS k, d, {h} AS cell
+  FROM {table}, (SELECT unnest(generate_series(0, {depth - 1})) AS d)
+), cells AS (
+  SELECT d, cell, count(*) AS cnt FROM pos GROUP BY d, cell
+), probe_pos AS (
+  SELECT DISTINCT k, d, cell FROM pos
+)
+SELECT p.k, min(coalesce(c.cnt, 0)) AS cm_est
+FROM probe_pos p LEFT JOIN cells c USING (d, cell)
+GROUP BY p.k
+"""

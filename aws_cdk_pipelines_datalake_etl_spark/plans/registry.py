@@ -1210,6 +1210,60 @@ SELECT id, {reassemble} AS simhash FROM bitsums
 """
 
 
+def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (operators/sketches.py
+    build_cm_rollup/cm_estimate): per-user frequency estimated from the
+    bounded 4x512 cell table (never re-reading the fact side), keys
+    with estimate >= 70 kept next to their exact counts — the sketch
+    is built on portable md5 hashes, so cells AND estimates replay
+    bit-for-bit in DuckDB (an exact-hash oracle, unlike rows-only
+    Datasketches entries)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators import sketches as sk
+
+    ev = _t(spark, sf_dir, "events")
+    cells = sk.build_cm_rollup(ev, "user_id")
+    est = sk.cm_estimate(cells, ev.select("user_id"), "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    return (
+        est.join(exact, "user_id")
+        .filter(F.col("cm_est") >= 70)
+        .select("user_id", "cm_est", "true_cnt")
+    )
+
+
+def _cm_heavy_hitters_oracle() -> str:
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sketches import cm_oracle_sql
+
+    return f"""
+WITH est AS ({cm_oracle_sql('user_id', 'events')}),
+exact AS (SELECT user_id, count(*) AS true_cnt FROM events GROUP BY user_id)
+SELECT est.k AS user_id, cm_est, true_cnt
+FROM est JOIN exact ON est.k = exact.user_id
+WHERE cm_est >= 70
+"""
+
+
+def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash MOSS) fingerprints (operators/winnow.py
+    winnow_fingerprints): per-window rightmost-min selection over the
+    word-3-gram hash stream (w=4) — a position-covering ~1/w-size
+    fingerprint set; any shared token run of >= w+k-1 tokens is
+    guaranteed a shared fingerprint.  Row-local arrays, one distinct."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators import winnow as wn
+
+    return wn.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap detection by winnowed-fingerprint equi-join
+    (operators/winnow.py winnow_overlap_pairs): doc pairs sharing >= 2
+    distinct fingerprints — the plagiarism/contamination primitive;
+    cost scales with fingerprint co-occurrence, never all-pairs."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators import winnow as wn
+
+    return wn.winnow_overlap_pairs(_t(spark, sf_dir, "documents"), min_shared=2)
+
+
 def text_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics (length, word count, punctuation/
     stopword/digit ratios, mean word length) as zero-shuffle Catalyst
@@ -4933,6 +4987,15 @@ FROM documents
 """
 
 
+from aws_cdk_pipelines_datalake_etl_spark.operators.winnow import (  # noqa: E402
+    winnow_fingerprints_oracle as _winnow_fp_oracle_fn,
+    winnow_overlap_oracle as _winnow_ov_oracle_fn,
+)
+
+_winnow_fp_oracle = _winnow_fp_oracle_fn()
+_winnow_ov_oracle = _winnow_ov_oracle_fn(min_shared=2)
+
+
 def build_registry() -> dict[str, QuerySpec]:
     reg = {
         "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_ORACLE),
@@ -5057,6 +5120,13 @@ def build_registry() -> dict[str, QuerySpec]:
         "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, _JACCARD_ORACLE),
         "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _JACCARD_ORACLE),
         "dedup_simhash": QuerySpec(dedup_simhash, _simhash_oracle()),
+        "sketch_cm_heavy_hitters": QuerySpec(
+            sketch_cm_heavy_hitters, _cm_heavy_hitters_oracle()
+        ),
+        "dedup_winnow_fingerprints": QuerySpec(
+            dedup_winnow_fingerprints, _winnow_fp_oracle
+        ),
+        "dedup_winnow_overlap": QuerySpec(dedup_winnow_overlap, _winnow_ov_oracle),
         "dedup_incremental_fingerprint": QuerySpec(
             dedup_incremental_fingerprint, DEDUP_INCREMENTAL_FP_ORACLE
         ),

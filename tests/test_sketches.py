@@ -139,3 +139,63 @@ def test_kll_merged_quantiles_match_exact_within_rank_error(spark, events):
             lo = vals[max(0, int((q - 0.01) * n) - 1)]
             hi = vals[min(n - 1, int((q + 0.01) * n))]
             assert lo <= est <= hi, (etype, q, est, lo, hi)
+
+
+# --- Count-min: mergeable frequency estimation ----------------------------
+
+
+def test_cm_overestimates_never_underestimates(spark, events):
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sketches import (
+        CM_DEPTH,
+        CM_WIDTH,
+        build_cm_rollup,
+        cm_estimate,
+    )
+
+    cells = build_cm_rollup(events, "user_id")
+    # the summary is bounded by depth*width rows regardless of input
+    assert cells.count() <= CM_DEPTH * CM_WIDTH
+    est = {
+        r.user_id: r.cm_est
+        for r in cm_estimate(cells, events.select("user_id"), "user_id").collect()
+    }
+    true = {
+        r.user_id: r.c
+        for r in events.groupBy("user_id").agg(F.count("*").alias("c")).collect()
+    }
+    assert set(est) == set(true)
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+
+
+def test_cm_never_seen_key_estimates_zero_or_collision(spark, events):
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sketches import (
+        build_cm_rollup,
+        cm_estimate,
+    )
+
+    cells = build_cm_rollup(events, "user_id")
+    probes = spark.createDataFrame([(10**12 + i,) for i in range(50)], ["user_id"])
+    ests = [r.cm_est for r in cm_estimate(cells, probes, "user_id").collect()]
+    # unseen keys estimate whatever their min cell holds -- with 150
+    # true keys in 4x512 cells most probes must land on an empty cell
+    assert min(ests) == 0
+    assert sum(1 for e in ests if e == 0) >= 40
+
+
+def test_cm_merge_equals_build_on_union(spark, events):
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sketches import (
+        build_cm_rollup,
+        cm_merge,
+    )
+
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    merged = {
+        (r.d, r.cell): r.cnt
+        for r in cm_merge(build_cm_rollup(a, "user_id"), build_cm_rollup(b, "user_id")).collect()
+    }
+    full = {
+        (r.d, r.cell): r.cnt for r in build_cm_rollup(events, "user_id").collect()
+    }
+    assert merged == full

@@ -1210,6 +1210,55 @@ SELECT id, {reassemble} AS simhash FROM bitsums
 """
 
 
+Q68_PROFILE_SQL = portable_round_sql("""
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS DECIMAL(4,0)) AS qd,
+         CAST(round(l_extendedprice * 100, 0) AS DECIMAL(9,0)) AS pc
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(qd) AS DOUBLE)           AS s1,
+         CAST(sum(qd * qd) AS DOUBLE)      AS s2,
+         CAST(sum(qd * qd * qd) AS DOUBLE) AS s3,
+         CAST(sum(pc) AS DOUBLE)           AS p1,
+         CAST(sum(pc * pc) AS DOUBLE)      AS p2,
+         CAST(sum(qd * pc) AS DOUBLE)      AS sp
+  FROM b GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round(s1 / n, 6) AS mean_qty,
+       round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS stddev_pop_qty,
+       round(p1 / n / 100, 6) AS mean_price,
+       round((sp / n - (s1 / n) * (p1 / n)) /
+             (sqrt(s2 / n - (s1 / n) * (s1 / n)) *
+              sqrt(p2 / n - (p1 / n) * (p1 / n))), 6) AS corr_qty_price,
+       round((s3 / n - 3 * (s1 / n) * (s2 / n)
+              + 2 * (s1 / n) * (s1 / n) * (s1 / n)) /
+             pow(sqrt(s2 / n - (s1 / n) * (s1 / n)), 3), 6) AS skew_pop_qty
+FROM s
+""")
+
+
+def q68_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling moments: per-flag mean / population stddev /
+    Pearson correlation / population skewness — NOT via the engines'
+    (mutually incompatible, accumulation-order-sensitive) stat
+    builtins, but from EXACT decimal power sums (quantity is integral,
+    price is exact cents; tight decimal widths keep every product and
+    sum exact), with the double-precision moment formulas evaluated by
+    the identical SQL text on both engines.  One grouped pass; at
+    100 TB the power sums are algebraic (map-side partial) and the
+    moment math touches only the tiny aggregate."""
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import (
+        register_testdata_views,
+    )
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(Q68_PROFILE_SQL)
+
+
 def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy hitters (operators/sketches.py
     build_cm_rollup/cm_estimate): per-user frequency estimated from the
@@ -4463,16 +4512,23 @@ _DRIVER_WINDOW = [
     # q14/q50)
     "source_python_datasource",
     "udtf_word_ngrams",
-    "q62_distribution_ranks",
-    "q63_array_algebra",
+    # q62_distribution_ranks local-only (window-function family is
+    # driver-verified via q11/q34/q35 in r3); q63_array_algebra
+    # local-only (dedup_winnow_fingerprints drives a strictly richer
+    # row-local array surface: transform/filter/sequence/element_at/
+    # slice/array_min/array_max); q65_regexp_extract local-only (regex
+    # surface driver-verified via text_redact_pii)
     "q64_filtered_aggregates",
-    "q65_regexp_extract",
     "q66_mode_aggregate",
+    # round-4b: numeric-profiling moments from exact decimal power sums
+    "q68_numeric_profile",
     # samplers / curation (quality-weighted stays local-only — the
     # family shares the deterministic-hash predicate surface)
     "sample_train_val_test",
     "sample_cap_per_class",
-    "sample_source_rebalance",
+    # sample_source_rebalance local-only (the deterministic row-uniform
+    # predicate it shares with sample_quality_weighted is driver-
+    # verified via the two entries above + r3's sample_stratified)
     # dedup (round-4 incremental ops front and center; dedup_fingerprint
     # itself stays local-oracle-covered — the same normalized-md5 fp is
     # driver-verified through both incremental entries)
@@ -4480,6 +4536,11 @@ _DRIVER_WINDOW = [
     "dedup_incremental_fingerprint",
     "dedup_incremental_lsh",
     "corpus_dedup_survivors",
+    # round-4b: winnowing (rolling-hash MOSS) fingerprint family
+    "dedup_winnow_fingerprints",
+    "dedup_winnow_overlap",
+    # round-4b: count-min — the one sketch with an exact-hash oracle
+    "sketch_cm_heavy_hitters",
     # text (text_normalize stays local-only: the same normalize+md5
     # chain is driver-verified through the incremental dedup entries)
     "text_repetition_removal",
@@ -5120,6 +5181,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, _JACCARD_ORACLE),
         "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _JACCARD_ORACLE),
         "dedup_simhash": QuerySpec(dedup_simhash, _simhash_oracle()),
+        "q68_numeric_profile": QuerySpec(q68_numeric_profile, Q68_PROFILE_SQL),
         "sketch_cm_heavy_hitters": QuerySpec(
             sketch_cm_heavy_hitters, _cm_heavy_hitters_oracle()
         ),

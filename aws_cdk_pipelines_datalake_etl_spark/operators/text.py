@@ -15,6 +15,7 @@ from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
     STOPWORDS,
     stopword_count,
     tokens,
+    word_shingles,
 )
 
 
@@ -320,3 +321,87 @@ def pseudonymize_emails(
         ),
     )
     return df.withColumn(out_col, rebuilt)
+
+
+def boilerplate_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_df: int = 3
+) -> DataFrame:
+    """Per-document boilerplate share: the fraction of a document's
+    DISTINCT word trigrams that occur in >= ``min_df`` documents
+    corpus-wide — the intra-corpus duplication quality signal
+    (headers/footers/templates score high) that pair-level dedup does
+    not surface.
+
+    One shingle explode feeds both sides: the corpus document-
+    frequency table and the per-doc distinct-trigram sets; the
+    df-join is an equi-join on the trigram (AQE picks broadcast when
+    the df table fits).  Ratio rounded to 6 dp for engine-exactness.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+        .select("id", F.explode(word_shingles("toks", 3)).alias("sh"))
+        .distinct()
+    )
+    doc_freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(doc_freq, "sh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(F.when(F.col("df") >= min_df, 1).otherwise(0)).alias("n_boiler"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_trigrams",
+            "n_boiler",
+            pround(F.col("n_boiler") / F.col("n_trigrams"), 6).alias(
+                "boilerplate_ratio"
+            ),
+        )
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Out-of-vocabulary token share per document against an induced
+    top-``vocab_size`` corpus vocabulary — the tokenizer-coverage
+    signal: documents full of tokens a fixed vocab cannot represent
+    need subword splitting (cost) or are noise.
+
+    The vocabulary is deterministic (count desc, token asc tiebreak —
+    engine-exact) and tiny, so membership is an explicitly broadcast
+    semi-join against the token explode; per-doc OOV share counts
+    token INSTANCES, not types.  Two shuffles total (vocab agg +
+    per-doc agg); the fact-side explode is scanned twice, never
+    collected.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term")
+    )
+    return (
+        toks.join(
+            F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "term", "left"
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "n_oov",
+            pround(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )

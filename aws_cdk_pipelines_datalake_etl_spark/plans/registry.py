@@ -1210,6 +1210,61 @@ SELECT id, {reassemble} AS simhash FROM bitsums
 """
 
 
+def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-corpus duplication signal (operators/text.py
+    boilerplate_ratio): share of each document's distinct trigrams
+    occurring in >= 3 documents — the template/boilerplate quality
+    score pair-level dedup does not surface."""
+    return tx.boilerplate_ratio(_t(spark, sf_dir, "documents"), min_df=3)
+
+
+TEXT_BOILERPLATE_ORACLE = portable_round_sql("""
+WITH toks AS (
+  SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM (SELECT id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks)
+), dfreq AS (
+  SELECT s, count(*) AS df FROM sh GROUP BY s
+)
+SELECT sh.id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       round(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS boilerplate_ratio
+FROM sh JOIN dfreq USING (s)
+GROUP BY sh.id
+""")
+
+
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage signal (operators/text.py oov_rate): per-doc
+    share of token instances outside the induced top-1000 corpus
+    vocabulary (deterministic count-desc/token-asc tiebreak; vocab
+    membership via an explicitly broadcast join)."""
+    return tx.oov_rate(_t(spark, sf_dir, "documents"), vocab_size=1000)
+
+
+TEXT_OOV_ORACLE = portable_round_sql("""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS n FROM toks GROUP BY term
+    ORDER BY n DESC, term ASC LIMIT 1000
+  )
+)
+SELECT id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS oov_rate
+FROM toks LEFT JOIN vocab v USING (term)
+GROUP BY id
+""")
+
+
 Q68_PROFILE_SQL = portable_round_sql("""
 WITH b AS (
   SELECT l_returnflag,
@@ -5182,6 +5237,10 @@ def build_registry() -> dict[str, QuerySpec]:
         "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _JACCARD_ORACLE),
         "dedup_simhash": QuerySpec(dedup_simhash, _simhash_oracle()),
         "q68_numeric_profile": QuerySpec(q68_numeric_profile, Q68_PROFILE_SQL),
+        "text_boilerplate_ratio": QuerySpec(
+            text_boilerplate_ratio, TEXT_BOILERPLATE_ORACLE
+        ),
+        "text_oov_rate": QuerySpec(text_oov_rate, TEXT_OOV_ORACLE),
         "sketch_cm_heavy_hitters": QuerySpec(
             sketch_cm_heavy_hitters, _cm_heavy_hitters_oracle()
         ),

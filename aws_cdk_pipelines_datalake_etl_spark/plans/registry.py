@@ -1210,6 +1210,43 @@ SELECT id, {reassemble} AS simhash FROM bitsums
 """
 
 
+Q69_WAITING_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 45 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 45 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q69_suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: "late" = shipped > 45 days after the
+    order date, since this schema has no receipt/commit dates): the
+    sole supplier responsible for a late finished multi-supplier order
+    — the classic double-correlated EXISTS + NOT EXISTS, where the
+    anti branch correlates on TWO outer references (l1's order key and
+    the outer order's date).  Catalyst must decorrelate both into
+    semi/anti joins over one lineitem re-scan each; identical SQL text
+    is the DuckDB oracle."""
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import (
+        register_testdata_views,
+    )
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(Q69_WAITING_SQL)
+
+
 def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-corpus duplication signal (operators/text.py
     boilerplate_ratio): share of each document's distinct trigrams
@@ -5237,6 +5274,9 @@ def build_registry() -> dict[str, QuerySpec]:
         "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _JACCARD_ORACLE),
         "dedup_simhash": QuerySpec(dedup_simhash, _simhash_oracle()),
         "q68_numeric_profile": QuerySpec(q68_numeric_profile, Q68_PROFILE_SQL),
+        "q69_suppliers_who_kept_waiting": QuerySpec(
+            q69_suppliers_who_kept_waiting, Q69_WAITING_SQL
+        ),
         "text_boilerplate_ratio": QuerySpec(
             text_boilerplate_ratio, TEXT_BOILERPLATE_ORACLE
         ),

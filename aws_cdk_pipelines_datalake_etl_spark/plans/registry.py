@@ -4125,6 +4125,53 @@ FROM toks GROUP BY tok
 """
 
 
+def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING DataSource end-to-end
+    (sources/eventgen.py, Spark 4 SimpleDataSourceStreamReader):
+    ``readStream.format("eventgen")`` drains a bounded synthetic event
+    feed in ~5 offset-tracked micro-batches into a per-user rollup —
+    the programmatic queue/CDC-connector contract (initialOffset /
+    read / readBetweenOffsets replay).  The oracle rebuilds the exact
+    rows from generate_series, so the hash proves offset bookkeeping
+    lost and duplicated nothing across batches."""
+    import uuid as _uuid
+
+    from aws_cdk_pipelines_datalake_etl_spark.sources.eventgen import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("eventgen")
+        .option("n", "5000")
+        .option("batch_rows", "1100")
+        .load()
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    name = f"eventgen_out_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+SOURCE_PYTHON_STREAM_ORACLE = """
+SELECT i % 37 AS user_id,
+       count(*) AS n_events,
+       CAST(sum((i * i) % 101) AS BIGINT) AS total_value
+FROM (SELECT unnest(generate_series(0, 4999)) AS i)
+GROUP BY 1
+"""
+
+
 def text_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable pseudonymization (operators/text.py pseudonymize_emails):
     emails become salt-keyed tokens — same address, same token, so the
@@ -5312,6 +5359,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "source_python_datasource": QuerySpec(
             source_python_datasource, SOURCE_PYTHON_DATASOURCE_ORACLE
+        ),
+        "source_python_stream": QuerySpec(
+            source_python_stream, SOURCE_PYTHON_STREAM_ORACLE
         ),
         "udtf_word_ngrams": QuerySpec(
             udtf_word_ngrams, UDTF_WORD_NGRAMS_ORACLE

@@ -1,0 +1,78 @@
+"""Custom Python STREAMING DataSource (Spark 4
+``pyspark.sql.datasource.SimpleDataSourceStreamReader``):
+``format("eventgen")`` — the streaming twin of
+:mod:`.corpusgen`'s batch reader.
+
+Why it exists: the connector surface has two halves per direction;
+the batch reader (corpusgen) covers programmatic scans, this covers a
+programmatic *micro-batch* source with real offset bookkeeping —
+``initialOffset`` / ``read(start) -> (rows, end)`` /
+``readBetweenOffsets(start, end)`` for replay after restart — i.e.
+the contract a queue/CDC-feed connector implements.  The engine's
+other streams are all file-backed; this one generates events in
+bounded chunks, so a query drains it in ``ceil(n / batch_rows)``
+micro-batches and then reports no-new-data (``processAllAvailable``
+returns).
+
+Rows are a pure closed form of the index ``i`` (shared with the
+registry's ``generate_series`` oracle): ``user_id = i % 37``,
+``value = (i * i) % 101`` — so exactly-once replay is testable
+bit-for-bit: ``readBetweenOffsets`` must reproduce precisely the
+slice a crashed batch claimed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+
+def event_row(i: int) -> tuple[int, int, int]:
+    return i, i % 37, (i * i) % 101
+
+
+class EventGenStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 5000))
+        self.batch_rows = int(options.get("batch_rows", 1100))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        # the prefetcher wants the iterator protocol but materializes
+        # rows driver-side for pickling: iter(list), never a bare
+        # generator (unpicklable) or a bare list (not an iterator)
+        lo = int(start["index"])
+        hi = min(lo + self.batch_rows, self.n)
+        return iter([event_row(i) for i in range(lo, hi)]), {"index": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay path: a restarted query re-reads a planned-but-
+        # uncommitted batch; must be bit-identical to the original
+        return iter(
+            [event_row(i) for i in range(int(start["index"]), int(end["index"]))]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to clean up; offsets live in the checkpoint
+
+
+class EventGenDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "eventgen"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, value bigint"
+
+    def simpleStreamReader(self, schema: StructType) -> EventGenStreamReader:
+        return EventGenStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the eventgen format on a session."""
+    spark.dataSource.register(EventGenDataSource)

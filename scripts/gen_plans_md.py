@@ -80,6 +80,16 @@ SHOWCASE = {
         "permutation is assembled from bucketed ranks + broadcast offsets, "
         "never a single-partition window"
     ),
+    "dedup_winnow_fingerprints": (
+        "the entire k-gram hash + per-window min selection is ONE "
+        "Project/Generate chain inside the scan stage (row-local arrays); "
+        "the only Exchange is the final distinct on selected triples"
+    ),
+    "q69_suppliers_who_kept_waiting": (
+        "both correlated branches decorrelated: EXISTS -> LeftSemi, "
+        "NOT EXISTS (two outer references) -> LeftAnti with the date "
+        "predicate in the join condition — no per-row subquery re-execution"
+    ),
 }
 
 

@@ -328,3 +328,43 @@ def test_binned_range_join_has_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_winnow_single_exchange(spark):
+    """Winnowing selection is row-local: the only exchange in the
+    fingerprint plan is the final distinct's partial/final aggregate
+    pair — one Exchange total."""
+    import re
+
+    plan = formatted_plan(R.dedup_winnow_fingerprints(spark, SF_DIR_SMOKE))
+    # count physical nodes (the "(N) Op" detail lines), not tree echoes
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_q69_decorrelates_to_semi_and_anti_joins(spark):
+    """The double-correlated EXISTS/NOT EXISTS must be planned as
+    LeftSemi + LeftAnti joins (no per-row subquery re-execution)."""
+    plan = formatted_plan(R.q69_suppliers_who_kept_waiting(spark, SF_DIR_SMOKE))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_cm_probe_is_bounded_no_fact_rescan(spark):
+    """cm_estimate's join reads the bounded cell table, and the probe
+    side joins it hash-wise — the estimate never re-aggregates the
+    fact table (exactly 2 aggregates: cells build + final min)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sketches import (
+        build_cm_rollup,
+        cm_estimate,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF_DIR_SMOKE, "events")
+    cells = build_cm_rollup(ev, "user_id")
+    probes = ev.select("user_id").limit(20)
+    import re
+
+    plan = formatted_plan(cm_estimate(cells, probes, "user_id"))
+    # two scans only (cells build + probe list) — the estimate never
+    # re-reads the fact side a third time
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 2, plan

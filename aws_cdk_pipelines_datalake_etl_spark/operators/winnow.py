@@ -106,6 +106,7 @@ def winnow_overlap_pairs(
     k: int = 3,
     w: int = 4,
     min_shared: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` distinct fingerprint
     hashes: ``(id1, id2, n_shared)``.
@@ -113,14 +114,27 @@ def winnow_overlap_pairs(
     The join key is the fingerprint hash itself (distinct per doc
     first, so a hash repeated at several positions counts once) — a
     plain equi-join shuffle keyed on ``fp``; never all-pairs.  Hot
-    fingerprints (boilerplate shared by many docs) fan out exactly
-    like hot shingles in the Jaccard path — cap them upstream by
-    dropping fingerprints above a document-frequency ceiling if a
-    corpus needs it.
+    fingerprints (boilerplate shared by many docs) fan out
+    quadratically like hot shingles in the Jaccard path: ``max_df``
+    caps them — fingerprints held by more than ``max_df`` documents
+    are dropped before pair generation (one extra df aggregate over
+    the already-winnowed rows; a fp at df ceiling d contributes at
+    most d(d-1)/2 pairs, so worst-case pair count is bounded by
+    |fps| * max_df / 2).  The cap trades recall ONLY on content
+    shared that widely — i.e. exactly the boilerplate a contamination
+    scan wants to ignore anyway.
     """
     fps = winnow_fingerprints(df, id_col, text_col, k, w).select(
         F.col(id_col).alias("id"), "fp"
     ).distinct()
+    if max_df is not None:
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(rare, "fp", "left_semi")
     a = fps.select(F.col("id").alias("id1"), "fp")
     b = fps.select(F.col("id").alias("id2"), "fp")
     return (

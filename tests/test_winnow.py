@@ -95,3 +95,17 @@ def test_fingerprint_count_is_sublinear(spark):
     n_kgrams = 400 - 2
     n_fp = wn.winnow_fingerprints(df).count()
     assert n_fp < 0.6 * n_kgrams
+
+
+def test_max_df_cap_drops_only_hot_fingerprints(spark):
+    boiler = "shared footer text appears in every single document here"
+    docs = [(i, f"unique{i}a unique{i}b unique{i}c unique{i}d " + boiler) for i in range(6)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    uncapped = wn.winnow_overlap_pairs(df, min_shared=1).count()
+    assert uncapped == 15  # all 6 docs pair via the shared footer
+    # cap at df=1: every shared fingerprint is dropped, no pairs remain
+    # (window selection near the unique-prefix boundary differs per doc,
+    # so some footer fps have df < 6 — only df=1 guarantees emptiness)
+    assert wn.winnow_overlap_pairs(df, min_shared=1, max_df=1).count() == 0
+    # a generous ceiling changes nothing
+    assert wn.winnow_overlap_pairs(df, min_shared=1, max_df=100).count() == 15

@@ -4172,6 +4172,47 @@ GROUP BY 1
 """
 
 
+def source_python_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partition-planned streaming DataSource (sources/eventgen.py
+    EventGenParallelStreamReader, full DataSourceStreamReader
+    contract): latestOffset claims a bounded chunk per micro-batch,
+    partitions() splits each claimed range into 4 slices, and read()
+    generates rows ON THE EXECUTORS — the scale path where one logical
+    feed fans out like a file scan.  Same closed form and oracle as
+    the simple-reader entry, so the hash also proves the two connector
+    variants agree."""
+    import uuid as _uuid
+
+    from aws_cdk_pipelines_datalake_etl_spark.sources.eventgen import (
+        register_parallel,
+    )
+
+    register_parallel(spark)
+    stream = (
+        spark.readStream.format("eventgenpar")
+        .option("n", "5000")
+        .option("batch_rows", "1100")
+        .option("parallelism", "4")
+        .load()
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    name = f"eventgenpar_out_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def text_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable pseudonymization (operators/text.py pseudonymize_emails):
     emails become salt-keyed tokens — same address, same token, so the
@@ -5362,6 +5403,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "source_python_stream": QuerySpec(
             source_python_stream, SOURCE_PYTHON_STREAM_ORACLE
+        ),
+        "source_python_stream_partitioned": QuerySpec(
+            source_python_stream_partitioned, SOURCE_PYTHON_STREAM_ORACLE
         ),
         "udtf_word_ngrams": QuerySpec(
             udtf_word_ngrams, UDTF_WORD_NGRAMS_ORACLE

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamReader,
+    InputPartition,
     SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
@@ -76,3 +78,75 @@ class EventGenDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of the eventgen format on a session."""
     spark.dataSource.register(EventGenDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Partition-planned variant: the scale path.  The simple reader above
+# prefetches rows driver-side (fine for control-plane-sized feeds);
+# this one implements the full DataSourceStreamReader contract —
+# latestOffset claims a bounded chunk per micro-batch, partitions()
+# splits the claimed offset range into slices, and read() runs ON THE
+# EXECUTORS, one task per slice — so a single logical feed fans out
+# across the cluster like a file scan does.
+# ---------------------------------------------------------------------------
+
+
+class _Range(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class EventGenParallelStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 5000))
+        self.batch_rows = int(options.get("batch_rows", 1100))
+        self.parallelism = int(options.get("parallelism", 4))
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        # one bounded chunk per micro-batch planning cycle.  The chunk
+        # cursor is in-memory per query run (a restarted query's
+        # cursor re-advances from 0, which only re-offers ranges the
+        # checkpoint already holds committed offsets past — Spark
+        # starts from the checkpointed offset, and commit() re-syncs
+        # the cursor), so a bounded source drains and then goes quiet.
+        self._latest = min(self._latest + self.batch_rows, self.n)
+        return {"index": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["index"]), int(end["index"])
+        if hi <= lo:
+            return []
+        per = max(1, -(-(hi - lo) // self.parallelism))  # ceil
+        return [_Range(a, min(a + per, hi)) for a in range(lo, hi, per)]
+
+    def read(self, partition: _Range):
+        # executor-side: generate only this slice
+        for i in range(partition.start, partition.end):
+            yield event_row(i)
+
+    def commit(self, end: dict) -> None:
+        # keep the chunk cursor at least at the committed point
+        # (restart resilience for the bounded test feed)
+        self._latest = max(self._latest, int(end["index"]))
+
+
+class EventGenParDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "eventgenpar"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, value bigint"
+
+    def streamReader(self, schema: StructType) -> EventGenParallelStreamReader:
+        return EventGenParallelStreamReader(self.options)
+
+
+def register_parallel(spark) -> None:
+    """Idempotent registration of the eventgenpar format."""
+    spark.dataSource.register(EventGenParDataSource)

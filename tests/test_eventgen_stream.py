@@ -53,3 +53,48 @@ def test_read_between_offsets_replays_identically():
     # drained source reports no new data: same offset back, zero rows
     it2, end2 = r.read({"index": 50})
     assert end2 == {"index": 50} and list(it2) == []
+
+
+def test_parallel_reader_plans_executor_slices():
+    r = eventgen.EventGenParallelStreamReader(
+        {"n": "5000", "batch_rows": "1100", "parallelism": "4"}
+    )
+    assert r.initialOffset() == {"index": 0}
+    # latestOffset claims bounded chunks and drains to n, then goes quiet
+    claims = [r.latestOffset()["index"] for _ in range(7)]
+    assert claims == [1100, 2200, 3300, 4400, 5000, 5000, 5000]
+    parts = r.partitions({"index": 1100}, {"index": 2200})
+    assert [(p.start, p.end) for p in parts] == [
+        (1100, 1375), (1375, 1650), (1650, 1925), (1925, 2200)
+    ]
+    # slices cover the range exactly once; executor read reproduces rows
+    rows = [row for p in parts for row in r.read(p)]
+    assert rows == [eventgen.event_row(i) for i in range(1100, 2200)]
+    # empty range -> no partitions (Spark calls with start == end)
+    assert r.partitions({"index": 5000}, {"index": 5000}) == []
+    # commit past the cursor re-syncs it (restart resilience)
+    r2 = eventgen.EventGenParallelStreamReader({"n": "50", "batch_rows": "20"})
+    r2.commit({"index": 40})
+    assert r2.latestOffset()["index"] == 50
+
+
+@pytest.mark.streaming
+def test_parallel_stream_equals_simple_stream(spark):
+    eventgen.register(spark)
+    eventgen.register_parallel(spark)
+    results = []
+    for fmt in ("eventgen", "eventgenpar"):
+        stream = (
+            spark.readStream.format(fmt)
+            .option("n", "3000").option("batch_rows", "800")
+            .load()
+        )
+        name = f"cmp_{fmt}_{uuid.uuid4().hex[:6]}"
+        q = (stream.writeStream.outputMode("append")
+             .format("memory").queryName(name).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        results.append({tuple(r) for r in spark.table(name).collect()})
+    assert results[0] == results[1] and len(results[0]) == 3000

@@ -9,9 +9,10 @@ partial-overlap / plagiarism / contamination detection
 (Schleimer, Wilkerson, Aiken: "Winnowing: Local Algorithms for
 Document Fingerprinting", SIGMOD 2003 — public literature).
 
-Algorithm, per document (entirely **row-local** — token array ->
-k-gram hash array -> per-window argmin — zero shuffles until the
-overlap join):
+Algorithm, per document (one window shuffle on (doc, position) — the
+plan's only exchange — with every expression inside whole-stage
+codegen; see :func:`winnow_fingerprints` for why the obvious
+row-local array formulation loses):
 
 1. hash every word k-gram with the portable 48-bit md5 hash
    (:func:`..functions.text_fn.hash48` semantics, replayable in
@@ -33,24 +34,15 @@ empty); this is Tier-E per SURVEY §2.6.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import hash48_sql_duckdb
+from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+    hash48,
+    hash48_sql_duckdb,
+)
 
-# Spark-side expression fragments ------------------------------------------
-
-_HASH48 = "CAST(conv(substring(md5({s}), 1, 12), 16, 10) AS BIGINT)"
-
-
-def _kgram_hashes_expr(toks: str, k: int) -> str:
-    """Array of 48-bit hashes of the word k-grams of ``toks``."""
-    joined = " || ' ' || ".join(f"{toks}[i + {j} - 1]" for j in range(k))
-    h = _HASH48.format(s=f"({joined})")
-    return (
-        f"CASE WHEN size({toks}) < {k} THEN array() "
-        f"ELSE transform(sequence(1, size({toks}) - {k - 1}), i -> {h}) END"
-    )
+_HUGE = 1 << 62  # > any 48-bit hash; stands in for "no element" on leads
 
 
 def winnow_fingerprints(
@@ -64,38 +56,73 @@ def winnow_fingerprints(
     selected (position, hash) pair; ``pos`` is the 1-based k-gram
     position.  Documents shorter than ``k`` tokens emit nothing.
 
-    Everything up to the final explode is a row-local array pipeline
-    (whole-stage codegen, no Python, no shuffle); the ``distinct``
-    de-dupes the same (pos, fp) selected by overlapping windows and is
-    the only exchange — on (doc, pos, fp) triples, ~|kgrams|/w rows.
+    Formulated for whole-stage codegen end to end — no higher-order
+    lambdas anywhere (a ``transform``-array formulation measured ~7x
+    slower at sf0.1 and ~17x-over-linear at 10x: lambda bodies run
+    interpreted, and each consuming expression re-evaluates them):
+
+    1. explode an integer ``sequence`` of k-gram positions and build
+       each shingle with scalar ``element_at`` + ``concat_ws`` ->
+       portable 48-bit hash — all codegen, one Generate;
+    2. the per-window rightmost-min selection collapses to a closed
+       form over ``w-1`` ``lag``/``lead`` columns (one window
+       exchange+sort on (id, pos); every comparison a codegen scalar).
+       With ``a`` = run length of consecutive left neighbors >= h
+       (missing -> stop) and ``b`` = run of consecutive right
+       neighbors > h (missing -> infinity), position ``pos`` is the
+       rightmost argmin of the window starting at ``pos - d`` iff
+       ``d <= a`` and ``w-1-d <= b``; some valid window start exists
+       iff ``max(d_lo, w-1-b) <= min(d_hi, a)`` where
+       ``d_lo = max(0, pos - max(1, n-w+1))`` and
+       ``d_hi = min(w-1, pos-1)`` bound the window starts that exist
+       (this also covers the single truncated window when n < w).
+
+    Each selected position is emitted exactly once, so no dedup pass;
+    the window exchange on (id, pos) is the plan's only shuffle.
+    Proven identical to the per-window reference implementation
+    (tests) and to the DuckDB per-window-replay oracle.
     """
-    hs_expr = _kgram_hashes_expr("toks", k)
-    # per window i (1-based over hashes array `hs`, n - w + 1 windows;
-    # if n < w a single window covers the whole array): minimum hash,
-    # rightmost position on ties
-    minv = f"array_min(slice(hs, i, {w}))"
-    pos = (
-        f"array_max(filter(sequence(i, least(i + {w - 1}, size(hs))),"
-        f" j -> element_at(hs, j) = {minv}))"
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.col(text_col)), " ").alias("toks"),
     )
-    sel = (
-        f"transform(sequence(1, greatest(1, size(hs) - {w - 1})),"
-        f" i -> named_struct('pos', {pos}, 'fp', {minv}))"
+    shingle = F.concat_ws(
+        " ", *[F.element_at("toks", F.col("pos") + j) for j in range(k)]
     )
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.split(F.lower(F.col(text_col)), " ").alias("toks"),
-        )
-        .select("id", F.expr(hs_expr).alias("hs"))
-        .filter(F.size("hs") > 0)
-        .select("id", F.explode(F.expr(sel)).alias("s"))
+    rows = (
+        toks.filter(F.size("toks") >= k)
         .select(
-            F.col("id").alias(id_col),
-            F.col("s.pos").alias("pos"),
-            F.col("s.fp").alias("fp"),
+            "id",
+            (F.size("toks") - (k - 1)).alias("n"),
+            F.explode(F.expr(f"sequence(1, size(toks) - {k - 1})")).alias("pos"),
+            "toks",
         )
-        .distinct()
+        .select("id", "n", "pos", hash48(shingle).alias("h"))
+    )
+    ws = Window.partitionBy("id").orderBy("pos")
+    neigh = [
+        F.coalesce(F.lag("h", l).over(ws), F.lit(-1)).alias(f"g{l}")
+        for l in range(1, w)
+    ] + [
+        F.coalesce(F.lead("h", l).over(ws), F.lit(_HUGE)).alias(f"h{l}")
+        for l in range(1, w)
+    ]
+    r = rows.select("id", "n", "pos", "h", *neigh)
+
+    def run(prefix, cmp, l=1):
+        # maximal consecutive-neighbor run length, capped at w-1
+        tail = F.lit(w - 1) if l == w - 1 else run(prefix, cmp, l + 1)
+        return F.when(cmp(F.col(f"{prefix}{l}")), tail).otherwise(F.lit(l - 1))
+
+    a = run("g", lambda c: c >= F.col("h"))
+    b = run("h", lambda c: c > F.col("h"))
+    d_lo = F.greatest(
+        F.lit(0), F.col("pos") - F.greatest(F.lit(1), F.col("n") - (w - 1))
+    )
+    d_hi = F.least(F.lit(w - 1), F.col("pos") - 1)
+    selected = F.greatest(d_lo, F.lit(w - 1) - b) <= F.least(d_hi, a)
+    return r.filter(selected).select(
+        F.col("id").alias(id_col), "pos", F.col("h").alias("fp")
     )
 
 

@@ -36,7 +36,6 @@ from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
     hash48,
     normalize_text,
     tokens,
-    word_shingles,
 )
 
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; keeps a*h + b inside int64
@@ -74,16 +73,34 @@ def fingerprint_dedup(
     return exact_dedup(fingerprint(df, text_col).select(id_col, "fp"), ["fp"], id_col)
 
 
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, sh) word-k-gram rows, fully codegen'd: explode an integer
+    position ``sequence`` and build each shingle with scalar
+    ``element_at`` + ``concat_ws`` — no higher-order lambda (lambda
+    bodies run interpreted and re-evaluate per consuming expression;
+    see operators/winnow.py for the measured cliff)."""
+    shingle = F.concat_ws(
+        " ", *[F.element_at("toks", F.col("pos") + j) for j in range(k)]
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select(
+            "id",
+            F.explode(F.expr(f"sequence(1, size(toks) - {k - 1})")).alias("pos"),
+            "toks",
+        )
+        .select("id", shingle.alias("sh"))
+    )
+
+
 def shingle_set(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
     """Distinct (id, shingle, h48) rows — the set representation every
     Jaccard-family operator shares."""
-    return (
-        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
-        .select("id", F.explode(word_shingles("toks", k)).alias("sh"))
-        .distinct()
-        .withColumn("h", hash48(F.col("sh")))
+    return _shingle_rows(df, id_col, text_col, k).distinct().withColumn(
+        "h", hash48(F.col("sh"))
     )
 
 
@@ -96,10 +113,8 @@ def shingle_hashes(
     signature path can skip :func:`shingle_set`'s distinct — which at
     scale removes an entire shuffle of the (id, shingle-string) rows.
     Only the exact-Jaccard verification needs true sets."""
-    return (
-        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
-        .select("id", F.explode(word_shingles("toks", k)).alias("sh"))
-        .select("id", hash48(F.col("sh")).alias("h"))
+    return _shingle_rows(df, id_col, text_col, k).select(
+        "id", hash48(F.col("sh")).alias("h")
     )
 
 

@@ -1,0 +1,257 @@
+"""Product quantization (PQ) for embedding columns — the compression
+half of the standard IVF+PQ large-scale ANN stack (Jégou, Douze,
+Schmid: "Product Quantization for Nearest Neighbor Search", TPAMI
+2011 — public literature).
+
+Why it matters at 100 TB: int8 quantization
+(:func:`..operators.similarity.quantize_embeddings`) cuts storage 4×;
+PQ cuts it ~32× (a 64-dim float32 vector becomes ``m`` sub-codes,
+here 8 bytes) AND makes scanning candidates cheap: a query is turned
+into an ``m × ksub`` table of partial distances ONCE, after which
+each stored vector costs ``m`` table lookups + adds (asymmetric
+distance computation, ADC) instead of a ``dim``-wide float dot.
+
+Engine formulation (everything codegen'd — no higher-order lambdas in
+the per-vector hot path, per the measured cliff in
+operators/winnow.py):
+
+- **train**: per-subspace Euclidean k-means over a deterministic
+  hash-ordered sample (bounded by ``max_train``), fitted driver-side
+  with seeded numpy Lloyd — sub-quantizer quality saturates at
+  ~10^4-10^5 training points regardless of corpus size, so the
+  corpus-scaled distributed pass is reserved for ENCODING.
+- **encode**: ``m`` nearest-centroid scalar expressions → an
+  ``array<int>`` of sub-codes per vector (document byte-packing for
+  storage at scale; ints keep the demo readable).
+- **adc_topk**: queries are collected (a bounded probe set, same
+  contract as ``brute_force_topk``'s broadcast), their distance
+  tables computed driver-side in numpy and inlined as literal arrays;
+  every stored code row evaluates ``m`` ``element_at`` lookups per
+  query — one scan for ALL queries via a posexploded distance array —
+  then a per-query top-k window.
+
+Vectors are L2-normalized before encoding, so squared L2 order equals
+cosine order and recall is measured against the exact cosine
+:func:`..operators.similarity.brute_force_topk` path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from aws_cdk_pipelines_datalake_etl_spark.functions.vector import as_double_array
+
+
+def _normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = as_double_array(vec_col)
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        df.select(F.col(id_col).alias("id"), F.transform(v, lambda x: x / nrm).alias("nv"))
+        .filter(nrm > 0)
+    )
+
+
+def _sub_sqdist(vec_col: str, j: int, dsub: int, centroid: list[float]):
+    """Codegen'd squared L2 between subvector j of ``vec_col`` and a
+    literal centroid: a flat sum of (x[i] - c_i)^2 scalar terms."""
+    terms = None
+    for i, c in enumerate(centroid):
+        d = F.element_at(vec_col, j * dsub + i + 1) - F.lit(float(c))
+        t = d * d
+        terms = t if terms is None else terms + t
+    return terms
+
+
+def _nearest_sub(vec_col: str, j: int, dsub: int, centroids: list[list[float]]):
+    dists = F.array(*[_sub_sqdist(vec_col, j, dsub, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    m: int = 16,
+    ksub: int = 16,
+    max_iter: int = 25,
+    seed: int = 42,
+    max_train: int = 65536,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train ``m`` sub-quantizers of ``ksub`` centroids each; returns
+    driver-side codebooks ``[m][ksub][dsub]`` (literal-sized:
+    m*ksub*dsub doubles — the artifact you persist next to the index).
+
+    Training runs on a DETERMINISTIC hash-ordered sample of at most
+    ``max_train`` vectors collected to the driver and fitted with
+    seeded numpy Lloyd per subspace — the standard practice for PQ
+    (sub-quantizer quality saturates at ~10^4-10^5 training points
+    regardless of corpus size; FAISS trains exactly this way), so the
+    corpus-sized distributed pass is reserved for ENCODING, which is
+    the part that actually scales with data.  The sample bound keeps
+    the collect a control-sized transfer (max_train * dim doubles),
+    and hash-ordering makes it reproducible on any partitioning.
+    """
+    import numpy as np
+
+    sample = (
+        _normalized(vectors, id_col, vec_col)
+        .withColumn("h", F.xxhash64(F.col("id"), F.lit(seed)))
+        .orderBy("h", "id")
+        .limit(max_train)
+        .select("nv")
+        .collect()
+    )
+    if not sample:
+        raise ValueError("train_pq_codebooks: no non-zero vectors")
+    X = np.array([r["nv"] for r in sample], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    rng = np.random.RandomState(seed)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        k = min(ksub, len(S))
+        seeds = S[rng.permutation(len(S))[:k]].copy()
+        if k < ksub:  # degenerate tiny corpus: repeat rows
+            seeds = seeds[np.arange(ksub) % k]
+        C = seeds
+        for _ in range(max_iter):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            newC = C.copy()
+            for c in range(ksub):
+                if (a == c).any():
+                    newC[c] = S[a == c].mean(axis=0)
+            if np.abs(newC - C).max() < 1e-9:
+                C = newC
+                break
+            C = newC
+        books.append([np.round(c, 9).tolist() for c in C])
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, codes array<int>)`` — each vector reduced to m
+    sub-codes (~m bytes at scale; ~32× smaller than float32).  One
+    narrow codegen'd projection, zero shuffles."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    nv = _normalized(vectors, id_col, vec_col)
+    codes = F.array(*[_nearest_sub("nv", j, dsub, codebooks[j]) for j in range(m)])
+    return nv.select(F.col("id").alias(id_col), codes.alias("codes"))
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance: per collected query a
+    numpy ``m × ksub`` partial-distance table is inlined as a literal,
+    and every stored code row costs m ``element_at`` lookups + adds —
+    ONE scan of the code table serves ALL queries (posexploded
+    distance array), then a per-query top-k window.
+
+    Returns ``(query_id, vec_id, adc_dist, rank)``; ties broken by
+    vec_id for a deterministic row set."""
+    import numpy as np
+
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    q_rows = _normalized(queries, id_col, vec_col).orderBy("id").collect()
+
+    per_query = []
+    for qr in q_rows:
+        qv = np.array(qr["nv"], dtype=np.float64)
+        tbl = [
+            [
+                float(
+                    np.round(
+                        ((qv[j * dsub : (j + 1) * dsub] - np.array(codebooks[j][c])) ** 2).sum(),
+                        9,
+                    )
+                )
+                for c in range(ksub)
+            ]
+            for j in range(m)
+        ]
+        dist = None
+        for j in range(m):
+            t = F.element_at(
+                F.array(*[F.lit(x) for x in tbl[j]]),
+                F.element_at("codes", j + 1) + 1,
+            )
+            dist = t if dist is None else dist + t
+        per_query.append(
+            F.struct(
+                F.lit(int(qr["id"])).alias("query_id"),
+                F.round(dist, 6).alias("adc_dist"),
+            )
+        )
+
+    exploded = codes.select(
+        F.col(id_col), F.explode(F.array(*per_query)).alias("qd")
+    ).select("qd.query_id", id_col, "qd.adc_dist")
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc(id_col)
+    )
+    return (
+        exploded.filter(F.col("query_id") != F.col(id_col))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pq_shortlist_rerank(
+    codes: DataFrame,
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ pipeline: ADC over the compressed codes
+    produces a ``shortlist``-sized candidate set per query, then ONLY
+    those candidates' full vectors are fetched (a semi-join — at
+    100 TB this reads a shortlist-sized sliver, not the corpus) and
+    re-ranked by exact cosine.  Output matches
+    :func:`..operators.similarity.brute_force_topk`'s shape
+    ``(query_id, neighbor_id, cosine, rank)``; it equals the exact
+    result whenever the true top-k survives into the ADC shortlist —
+    the recall gate the tests measure.
+    """
+    from aws_cdk_pipelines_datalake_etl_spark.functions.rounding import pround
+    from aws_cdk_pipelines_datalake_etl_spark.functions.vector import cosine
+
+    cand = pq_adc_topk(codes, codebooks, queries, k=shortlist, id_col=id_col).select(
+        "query_id", F.col(id_col).alias("neighbor_id")
+    )
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("v"))
+    q = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("q"))
+    scored = (
+        cand.join(v, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", pround(cosine("q", "v"), 6))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -4125,6 +4125,43 @@ FROM toks GROUP BY tok
 """
 
 
+def sim_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end-to-end (operators/pq.py): codebooks
+    trained on a deterministic sample, vectors encoded to m=16
+    4-bit-ish sub-codes (~16x compression), queries answered by ADC
+    shortlist (50) + exact cosine re-rank of only the shortlisted
+    vectors — the production IVF+PQ retrieval shape.  Approximate
+    (rows-only); recall@5 vs brute force is gated in
+    tests/test_pq.py."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators import pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq.train_pq_codebooks(e, m=16, ksub=16)
+    codes = pq.pq_encode(e, books)
+    queries = e.filter(F.col("vec_id") < 10)
+    return pq.pq_shortlist_rerank(codes, e, books, queries, k=5, shortlist=50).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+def sim_pq_full_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ plumbing made SQL-checkable (the ivf_full_probe trick):
+    with the shortlist widened to the whole corpus the exact re-rank
+    covers every vector, so train->encode->ADC->re-rank must equal the
+    brute-force top-k bit-for-bit — one hash gate over the entire PQ
+    pipeline's join/rank mechanics, independent of ADC quality."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators import pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq.train_pq_codebooks(e, m=16, ksub=16)
+    codes = pq.pq_encode(e, books)
+    queries = e.filter(F.col("vec_id") < 10)
+    n = e.count()
+    return pq.pq_shortlist_rerank(
+        codes, e, books, queries, k=5, shortlist=n
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python STREAMING DataSource end-to-end
     (sources/eventgen.py, Spark 4 SimpleDataSourceStreamReader):
@@ -5421,6 +5458,8 @@ def build_registry() -> dict[str, QuerySpec]:
         "sim_lsh_near_dup": QuerySpec(sim_lsh_near_dup, SIM_NEAR_DUP_ORACLE),
         "sim_ivf_topk": QuerySpec(sim_ivf_topk, None),
         "sim_ivf_full_probe": QuerySpec(sim_ivf_full_probe, SIM_BRUTE_TOPK_ORACLE),
+        "sim_pq_rerank_topk": QuerySpec(sim_pq_rerank_topk, None),
+        "sim_pq_full_rerank": QuerySpec(sim_pq_full_rerank, SIM_BRUTE_TOPK_ORACLE),
         "sim_ivf_index_full_probe": QuerySpec(
             sim_ivf_index_full_probe, SIM_BRUTE_TOPK_ORACLE
         ),

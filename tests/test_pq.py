@@ -1,0 +1,66 @@
+"""Product quantization (operators/pq.py): determinism, code shape,
+recall gate for the shortlist+re-rank pipeline, and full-shortlist
+equality with the exact path."""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_cdk_pipelines_datalake_etl_spark.operators import pq
+from aws_cdk_pipelines_datalake_etl_spark.operators.similarity import brute_force_topk
+from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import load_table
+
+from tests.conftest import SF_DIR_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR_SMOKE, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq.train_pq_codebooks(emb, m=16, ksub=16)
+
+
+def test_training_is_deterministic(emb, books):
+    again = pq.train_pq_codebooks(emb, m=16, ksub=16)
+    assert books == again
+    assert len(books) == 16 and len(books[0]) == 16 and len(books[0][0]) == 4
+
+
+def test_codes_shape_and_range(emb, books):
+    rows = pq.pq_encode(emb, books).collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r.codes) == 16
+        assert all(0 <= c < 16 for c in r.codes)
+
+
+def test_rerank_recall_gate(spark, emb, books):
+    """ADC shortlist(50) + exact re-rank must recover >= 0.8 of the
+    exact top-5 on the test vectors (measured 0.94)."""
+    codes = pq.pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = collections.defaultdict(set)
+    for r in brute_force_topk(emb, queries, k=5).collect():
+        exact[r.query_id].add(r.neighbor_id)
+    got = collections.defaultdict(set)
+    for r in pq.pq_shortlist_rerank(codes, emb, books, queries, k=5, shortlist=50).collect():
+        got[r.query_id].add(r.neighbor_id)
+    assert set(got) == set(exact)
+    recall = sum(len(got[q] & exact[q]) / 5 for q in exact) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_full_shortlist_equals_brute_force(spark, emb, books):
+    codes = pq.pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 10)
+    n = emb.count()
+    full = pq.pq_shortlist_rerank(codes, emb, books, queries, k=5, shortlist=n)
+    exact = brute_force_topk(emb, queries, k=5)
+    assert full.exceptAll(exact).count() == 0
+    assert exact.exceptAll(full).count() == 0

@@ -81,9 +81,10 @@ SHOWCASE = {
         "never a single-partition window"
     ),
     "dedup_winnow_fingerprints": (
-        "the entire k-gram hash + per-window min selection is ONE "
-        "Project/Generate chain inside the scan stage (row-local arrays); "
-        "the only Exchange is the final distinct on selected triples"
+        "k-gram hashing is a codegen'd Generate+Project (sequence explode "
+        "+ element_at/concat_ws/md5 — no higher-order lambdas); the "
+        "rightmost-min selection is 6 lag/lead columns over ONE Window "
+        "(single Exchange in the plan) + a scalar filter"
     ),
     "q69_suppliers_who_kept_waiting": (
         "both correlated branches decorrelated: EXISTS -> LeftSemi, "

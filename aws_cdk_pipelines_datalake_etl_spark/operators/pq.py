@@ -255,3 +255,141 @@ def pq_shortlist_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    coarse_k: int = 8,
+    nprobe: int = 2,
+    m: int = 16,
+    ksub: int = 16,
+    shortlist: int = 50,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+    coarse: "DataFrame | None" = None,
+) -> DataFrame:
+    """The full IVF+PQ retrieval stack composed from the engine's own
+    parts: k-means||-trained coarse centroids route every vector to a
+    bucket (`assign_ivf_buckets`); vectors are PQ-encoded; a query
+    probes only its ``nprobe`` nearest buckets, ADC-scans just those
+    buckets' codes for a ``shortlist``, and exact-cosine re-ranks the
+    shortlisted full vectors — at 100 TB the scan touches
+    nprobe/coarse_k of the (already 16-32× compressed) code table and
+    the full-vector fetch is shortlist-sized.
+
+    One scan serves all queries: each query's ADC distance is gated by
+    a per-query bucket-membership predicate, so unprobed buckets
+    contribute NULL and drop before ranking.  With
+    ``nprobe == coarse_k`` and ``shortlist >= |corpus|`` the result is
+    bit-equal to ``brute_force_topk`` (the registry's exact gate).
+
+    This variant quantizes raw normalized vectors (IVF prunes, PQ
+    compresses); residual encoding (quantize ``x − centroid``) is the
+    classic refinement when buckets are tight — same plumbing, one
+    extra subtraction before encode.
+    """
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.rounding import pround
+    from aws_cdk_pipelines_datalake_etl_spark.functions.vector import cosine
+    from aws_cdk_pipelines_datalake_etl_spark.operators.similarity import (
+        assign_ivf_buckets,
+        train_ivf_codebook,
+    )
+
+    if coarse is None:
+        coarse = train_ivf_codebook(
+            vectors, n_centroids=coarse_k, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            vectors, m=m, ksub=ksub, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    centroids = {
+        int(r["centroid_id"]): list(r["embedding"]) for r in coarse.collect()
+    }
+
+    bucketed = assign_ivf_buckets(
+        vectors, coarse, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col), F.col("centroid_id"))
+    codes = pq_encode(vectors, codebooks, id_col, vec_col).join(bucketed, id_col)
+
+    mm = len(codebooks)
+    ksub_n = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    q_rows = _normalized(queries, id_col, vec_col).orderBy("id").collect()
+    C = np.array([centroids[j] for j in sorted(centroids)], dtype=np.float64)
+
+    per_query = []
+    for qr in q_rows:
+        qv = np.array(qr["nv"], dtype=np.float64)
+        sims = C @ qv
+        probed = [int(j) for j in np.argsort(-sims, kind="stable")[:nprobe]]
+        tbl = [
+            [
+                float(
+                    np.round(
+                        (
+                            (qv[j * dsub : (j + 1) * dsub] - np.array(codebooks[j][c]))
+                            ** 2
+                        ).sum(),
+                        9,
+                    )
+                )
+                for c in range(ksub_n)
+            ]
+            for j in range(mm)
+        ]
+        dist = None
+        for j in range(mm):
+            t = F.element_at(
+                F.array(*[F.lit(x) for x in tbl[j]]),
+                F.element_at("codes", j + 1) + 1,
+            )
+            dist = t if dist is None else dist + t
+        gated = F.when(
+            F.col("centroid_id").isin(probed), F.round(dist, 6)
+        ).otherwise(F.lit(None))
+        per_query.append(
+            F.struct(
+                F.lit(int(qr["id"])).alias("query_id"),
+                gated.alias("adc_dist"),
+            )
+        )
+
+    exploded = (
+        codes.select(F.col(id_col), F.explode(F.array(*per_query)).alias("qd"))
+        .select("qd.query_id", id_col, "qd.adc_dist")
+        .filter(F.col("adc_dist").isNotNull())
+        .filter(F.col("query_id") != F.col(id_col))
+    )
+    wsl = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc(id_col))
+    cand = (
+        exploded.withColumn("r", F.row_number().over(wsl))
+        .filter(F.col("r") <= shortlist)
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("v")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("q")
+    )
+    scored = (
+        cand.join(v, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", pround(cosine("q", "v"), 6))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -4162,6 +4162,37 @@ def sim_pq_full_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF+PQ retrieval stack (operators/pq.py
+    ivf_pq_topk): k-means||-trained coarse buckets prune the scan to
+    nprobe=2 of 8, PQ codes make the in-bucket ADC scan ~16-32x
+    cheaper, shortlisted candidates re-rank by exact cosine.
+    Approximate (rows-only); the >=0.85 recall gate runs on planted
+    clusters in tests/test_pq.py (the sf testdata embeddings are
+    near-uniform, which caps ANY partition-pruned ANN's recall)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators import pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return pq.ivf_pq_topk(
+        e, queries, k=5, coarse_k=8, nprobe=2, shortlist=50
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+def sim_ivfpq_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ with every bucket probed and the shortlist widened to
+    the corpus: coarse routing, PQ encode, per-query gated ADC and the
+    re-rank joins must reproduce brute force bit-for-bit — the exact
+    hash gate over the whole composed stack."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators import pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return pq.ivf_pq_topk(
+        e, queries, k=5, coarse_k=4, nprobe=4, shortlist=e.count()
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python STREAMING DataSource end-to-end
     (sources/eventgen.py, Spark 4 SimpleDataSourceStreamReader):
@@ -5460,6 +5491,8 @@ def build_registry() -> dict[str, QuerySpec]:
         "sim_ivf_full_probe": QuerySpec(sim_ivf_full_probe, SIM_BRUTE_TOPK_ORACLE),
         "sim_pq_rerank_topk": QuerySpec(sim_pq_rerank_topk, None),
         "sim_pq_full_rerank": QuerySpec(sim_pq_full_rerank, SIM_BRUTE_TOPK_ORACLE),
+        "sim_ivfpq_topk": QuerySpec(sim_ivfpq_topk, None),
+        "sim_ivfpq_full": QuerySpec(sim_ivfpq_full, SIM_BRUTE_TOPK_ORACLE),
         "sim_ivf_index_full_probe": QuerySpec(
             sim_ivf_index_full_probe, SIM_BRUTE_TOPK_ORACLE
         ),

@@ -132,14 +132,20 @@ class PipelineRunner:
             "purposebuilt_rows": purposebuilt_rows,
         }
 
-    def on_file(self, key: str, execution_id: str | None = None) -> RunResult:
+    def on_file(
+        self,
+        key: str,
+        execution_id: str | None = None,
+        as_of: "datetime | None" = None,
+    ) -> RunResult:
         """O1/O2: a file arrived in the raw zone at ``<raw>/<key>``.
 
         Parity with the trigger lambda (lambda_handler.py:62-143):
         parse key, stamp ingest-date partitions, audit STARTED, then
-        run the 2-job DAG with failure edges (§3.1).
+        run the 2-job DAG with failure edges (§3.1).  ``as_of`` pins
+        the ingest clock for this run only (see :meth:`backfill`).
         """
-        now = self.clock()
+        now = as_of or self.clock()
         params = make_job_params(
             self.layout.raw, key, now=now, execution_id=execution_id
         )
@@ -163,6 +169,18 @@ class PipelineRunner:
             ),
         )
         return self._run_dag(params)
+
+    def backfill(self, key: str, as_of: "datetime") -> RunResult:
+        """Re-run a raw file AS OF a past ingest date — the repair
+        path the reference lacks (its partitions come from trigger
+        time, lambda_handler.py:93-103, so a late re-drop lands in the
+        wrong date).  The run is identical to :meth:`on_file` except
+        the ingest clock is pinned to ``as_of``: year/month/day stamp
+        to the original date, and K1's dynamic partition overwrite
+        confines the rewrite to exactly those partitions — current
+        data is untouched, re-running is idempotent, and the audit
+        trail records the backfill as a normal execution."""
+        return self.on_file(key, as_of=as_of)
 
     def _run_dag(self, params: JobParams) -> RunResult:
         """O5: conform -> transform with catch edges to FAILED+notify

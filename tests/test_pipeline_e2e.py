@@ -471,3 +471,41 @@ def test_schema_drift_widening_ok_narrowing_poisons(spark, lake_root):
     assert dict(spark.table("shop.drifty").dtypes)["v"] == "int"
     with pytest.raises(Exception, match="PARQUET_COLUMN_DATA_TYPE_MISMATCH"):
         spark.table("shop.drifty").collect()
+
+
+def test_backfill_pins_ingest_date_and_touches_only_its_partitions(
+    spark, runner, yellow_csv, lake_root
+):
+    """backfill(key, as_of) re-runs a file AS OF a past ingest date:
+    the stamp lands in the original partitions and dynamic overwrite
+    leaves the current date's data untouched."""
+    # normal run lands in the fixed clock's date (2020-08-15)
+    assert runner.on_file(yellow_csv).status == "SUCCEEDED"
+    conformed = spark.table("tlc_taxi_data.yellow_taxi_trip_record")
+    assert conformed.filter("day = '15'").count() == 4
+
+    # backfill the same file as of an earlier ingest date
+    past = datetime(2020, 8, 1, 9, 0, 0, tzinfo=timezone.utc)
+    res = runner.backfill(yellow_csv, as_of=past)
+    assert res.status == "SUCCEEDED"
+    assert (res.params.p_year, res.params.p_month, res.params.p_day) == (
+        "2020", "08", "01",
+    )
+    conformed = spark.table("tlc_taxi_data.yellow_taxi_trip_record")
+    # both dates present; the current date's rows untouched
+    assert conformed.filter("day = '01'").count() == 4
+    assert conformed.filter("day = '15'").count() == 4
+    assert os.path.isdir(
+        os.path.join(
+            lake_root, "conformed", "yellow_taxi_trip_record",
+            "year=2020", "month=08", "day=01",
+        )
+    )
+    # idempotent: re-running the backfill does not duplicate rows
+    assert runner.backfill(yellow_csv, as_of=past).status == "SUCCEEDED"
+    assert (
+        spark.table("tlc_taxi_data.yellow_taxi_trip_record")
+        .filter("day = '01'")
+        .count()
+        == 4
+    )

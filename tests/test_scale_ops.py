@@ -157,3 +157,45 @@ def test_dq_checks_catch_injected_violations(spark):
     # rows with k=2 (x2) are orphans; the null key row is not matched either
     value, passed = rep[("referential", "k->pk")]
     assert passed is False and value == 3.0
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The engine leaves UNKNOWN-skew handling to AQE (SCALE.md:
+    salting is for known-hot keys).  This pins that the session's AQE
+    config actually splits a skewed SMJ partition at runtime: 90% of
+    the left side shares one key, thresholds are scaled down to the
+    test's data size, and the finalized adaptive plan must show the
+    skew-handled join — with the result still exact."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset conf
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.lpad(F.lit("x"), 64, "x").alias("pad"),
+        )
+        right = spark.range(0, 300_000, 7).select(F.col("id").alias("k"))
+        j = left.join(right, "k").agg(F.count(F.lit(1)).alias("n"))
+        # 270000 rows match k=0, plus multiples of lcm(10,7)=70: 4286
+        assert j.collect()[0]["n"] == 274_286
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -77,3 +77,47 @@ def gapfill_forward_fill(
             F.col("day_value").isNotNull().alias("is_observed"),
         )
     )
+
+
+def ewma_halflife(
+    df,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    depth: int = 16,
+):
+    """Exponentially-weighted moving average (half-life = 1 step,
+    truncated at ``depth`` lags) of each key's value series — the
+    monitoring/financial smoothing primitive, formulated for
+    engine-exact results: float EWMAs are recursively accumulated and
+    never bit-agree across engines, so instead each row's EWMA is an
+    EXACT integer quotient — values become cents, the ``depth`` lag
+    terms carry power-of-two weights (2^(depth-1-d)), and numerator /
+    denominator are exact bigint sums; only the final division is
+    float, the identical IEEE op on both engines.
+
+    One window exchange on (key, ts, tiebreak); ``depth`` lag columns
+    all share it (codegen scalars, same pattern as the winnowing
+    selection).  Truncation error is bounded by 2^-depth of the value
+    range — below the 6-dp rounding at depth 16.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.rounding import pround
+
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for d in range(depth):
+        weight = 1 << (depth - 1 - d)
+        lag_d = F.lag(cents, d).over(w) if d else cents
+        num = num + F.coalesce(lag_d, F.lit(0)) * F.lit(weight)
+        den = den + F.when(lag_d.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+    return df.select(
+        F.col(tiebreak_col),
+        F.col(key_col),
+        pround(num / den / F.lit(100.0), 6).alias("ewma_value"),
+    )

@@ -2970,6 +2970,45 @@ GROUP BY p_brand, p_type, p_size
 """
 
 
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user
+    (operators/timeseries.py ewma_halflife): power-of-two lag weights
+    over exact cents make every row's EWMA an exact integer quotient —
+    the portable formulation of a statistic that float recursion can
+    never hash-match across engines.  One shared window exchange."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.timeseries import (
+        ewma_halflife,
+    )
+
+    return ewma_halflife(_t(spark, sf_dir, "events"))
+
+
+def _ts_ewma_oracle(depth: int = 16) -> str:
+    num = " + ".join(
+        f"coalesce(lag(cents, {d}) OVER w, 0) * {1 << (depth - 1 - d)}"
+        if d
+        else f"cents * {1 << (depth - 1 - d)}"
+        for d in range(depth)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(cents, {d}) OVER w IS NOT NULL THEN {1 << (depth - 1 - d)} ELSE 0 END"
+        if d
+        else f"{1 << (depth - 1 - d)}"
+        for d in range(depth)
+    )
+    return portable_round_sql(f"""
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       round(({num}) * 1.0 / ({den}) / 100.0, 6) AS ewma_value
+FROM c
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+
+
 def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style regularization (operators/timeseries.py):
     per-user daily rollup on a dense date spine, gaps forward-filled.
@@ -5391,6 +5430,7 @@ def build_registry() -> dict[str, QuerySpec]:
             q47_reaggregation_rollup, Q47_ORACLE
         ),
         "ts_gapfill": QuerySpec(ts_gapfill, TS_GAPFILL_ORACLE),
+        "ts_ewma": QuerySpec(ts_ewma, _ts_ewma_oracle()),
         "sample_stratified": QuerySpec(
             sample_stratified, _sample_stratified_oracle()
         ),

@@ -106,3 +106,33 @@ def test_streaming_daily_distinct_equals_batch(spark, tmp_path):
         "user_id", "event_type", F.to_date("ts").alias("day")
     ).distinct()
     assert sorted(streamed.collect()) == sorted(batch.collect())
+
+
+def test_ewma_constant_series_is_identity(spark):
+    from datetime import datetime
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.timeseries import (
+        ewma_halflife,
+    )
+
+    rows = [(i, 1, datetime(2024, 1, 1, 0, i), 7.25) for i in range(30)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    out = ewma_halflife(df)
+    assert all(r.ewma_value == 7.25 for r in out.collect())
+
+
+def test_ewma_weights_recent_values_most(spark):
+    from datetime import datetime
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.timeseries import (
+        ewma_halflife,
+    )
+
+    # 20 zeros then a single 100: EWMA at the jump = 100 * w0 / sum(w)
+    rows = [(i, 1, datetime(2024, 1, 1, 0, i), 0.0) for i in range(20)]
+    rows.append((20, 1, datetime(2024, 1, 1, 0, 20), 100.0))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {r.event_id: r.ewma_value for r in ewma_halflife(df).collect()}
+    # depth 16: w0 = 2^15, full den = 2^16 - 1
+    assert got[20] == pytest.approx(100.0 * (1 << 15) / ((1 << 16) - 1), abs=1e-6)
+    assert got[19] == 0.0

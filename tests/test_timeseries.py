@@ -134,5 +134,6 @@ def test_ewma_weights_recent_values_most(spark):
     df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
     got = {r.event_id: r.ewma_value for r in ewma_halflife(df).collect()}
     # depth 16: w0 = 2^15, full den = 2^16 - 1
-    assert got[20] == pytest.approx(100.0 * (1 << 15) / ((1 << 16) - 1), abs=1e-6)
+    expected = 100.0 * (1 << 15) / ((1 << 16) - 1)
+    assert abs(got[20] - expected) <= 1e-6
     assert got[19] == 0.0

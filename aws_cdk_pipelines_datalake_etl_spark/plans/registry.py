@@ -1954,6 +1954,74 @@ FROM j
 """
 
 
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image resize path end-to-end: per-doc gradient P6 images
+    (w=8+doc%5 x h=6+doc%4, every channel 32+(doc*3+x*7+y*11)%96) are
+    nearest-neighbor thumbnailed to 5x3 by resize_image_batch's
+    DEFAULT codec, then the RESIZED bytes are decoded and
+    feature-extracted — so the hash probes encode -> resize(mapping:
+    src=(t*dim)//target, edge-clamped) -> re-encode -> decode through
+    actual bytes.  The oracle replays the mean luma from the same
+    nearest-neighbor coordinate map in SQL (channels equal => luma ==
+    value; denominator 15 admits no 4-dp rounding ties)."""
+    from pyspark.sql.types import BinaryType
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        decode_image_batch,
+        resize_image_batch,
+    )
+
+    @F.pandas_udf(BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from aws_cdk_pipelines_datalake_etl_spark.functions.imagecodec import (
+            encode_ppm,
+        )
+
+        def mk(i: int) -> bytes:
+            w, h = 8 + i % 5, 6 + i % 4
+            xs, ys = np.arange(w), np.arange(h)
+            v = (32 + (i * 3 + xs[None, :] * 7 + ys[:, None] * 11) % 96).astype(
+                np.uint8
+            )
+            return encode_ppm(np.repeat(v[:, :, None], 3, axis=2))
+
+        return ids.map(lambda i: mk(int(i)))
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("blob", synth("doc_id"))
+    )
+    resized = resize_image_batch(d, width=5, height=3)
+    return decode_image_batch(resized)
+
+
+MULTIMODAL_RESIZE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h FROM documents
+), coords AS (
+  SELECT doc_id,
+         least((xp * w) // 5, w - 1) AS sx,
+         least((yp * h) // 3, h - 1) AS sy
+  FROM dims,
+       (SELECT unnest(generate_series(0, 4)) AS xp),
+       (SELECT unnest(generate_series(0, 2)) AS yp)
+), vals AS (
+  SELECT doc_id,
+         sum(32 + (doc_id * 3 + sx * 7 + sy * 11) % 96) AS total
+  FROM coords GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(5 AS INT) AS width,
+       CAST(3 AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       printf('%.4f', CAST(total AS DOUBLE) / 15) AS mean_luma
+FROM vals
+"""
+
+
 def multimodal_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blob → embedding bridge with the DEFAULT extractor: the 256-bin
     byte histogram (raw counts, exact in float32) of each document's
@@ -5555,6 +5623,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "stream_late_drop": QuerySpec(stream_late_drop, STREAM_LATE_DROP_ORACLE),
         "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_ORACLE),
+        "multimodal_image_resize": QuerySpec(
+            multimodal_image_resize, MULTIMODAL_RESIZE_ORACLE
+        ),
         "multimodal_audio_features": QuerySpec(
             multimodal_audio_features, MULTIMODAL_AUDIO_ORACLE
         ),

@@ -460,3 +460,60 @@ def read_lsh_index_for(
         .filter(F.col("bucket").isin(touched))
         .select("id", "band", "bsig")
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 48,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs from SimHash signatures: ``(id1, id2, hamming)``
+    for all pairs within ``max_hamming`` bit flips.
+
+    Candidate generation is the pigeonhole block trick (Manku, Jain,
+    Das Sarma: "Detecting Near-Duplicates for Web Crawling", WWW 2007
+    — public literature): the signature splits into ``max_hamming+1``
+    bit blocks, and any pair differing in <= max_hamming bits must
+    agree on at least one whole block — so candidates come from an
+    equi-join on (block_index, block_value), never an all-pairs
+    product, exactly like the MinHash band join.  Candidates are then
+    verified with the exact popcount of the XOR.  One signature pass +
+    one block-keyed shuffle; the blocks-per-signature constant is
+    max_hamming+1 (vs 32 bands for MinHash)."""
+    n_blocks = max_hamming + 1
+    width = (bits + n_blocks - 1) // n_blocks
+    sigs = simhash_signatures(df, id_col, text_col, bits)
+    blocks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("v"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select("id", "simhash", F.col("blk.b").alias("b"), F.col("blk.v").alias("v"))
+    a = blocks.select("b", "v", F.col("id").alias("id1"), F.col("simhash").alias("s1"))
+    b = blocks.select("b", "v", F.col("id").alias("id2"), F.col("simhash").alias("s2"))
+    cand = (
+        a.join(b, ["b", "v"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "s1", "s2")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("bit_count(s1 ^ s2)").cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

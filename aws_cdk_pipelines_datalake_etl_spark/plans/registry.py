@@ -1384,6 +1384,29 @@ WHERE cm_est >= 70
 """
 
 
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures turned into actual near-dup detection
+    (operators/dedup.py simhash_near_dup_pairs): pigeonhole block join
+    — a pair within 3 bit flips must agree on one of 4 signature
+    blocks, so candidates come from a block-keyed equi-join (never
+    all-pairs), verified by the exact XOR popcount.  The oracle is the
+    quadratic self-join, so the hash proves the pigeonhole candidate
+    generation loses nothing."""
+    return dd.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+def _simhash_pairs_oracle(bits: int = 48, max_hamming: int = 3) -> str:
+    return f"""
+WITH sigs AS ({_simhash_oracle(bits)})
+SELECT a.id AS id1, b.id AS id2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
 def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash MOSS) fingerprints (operators/winnow.py
     winnow_fingerprints): per-window rightmost-min selection over the
@@ -5537,6 +5560,9 @@ def build_registry() -> dict[str, QuerySpec]:
         "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, _JACCARD_ORACLE),
         "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _JACCARD_ORACLE),
         "dedup_simhash": QuerySpec(dedup_simhash, _simhash_oracle()),
+        "dedup_simhash_pairs": QuerySpec(
+            dedup_simhash_pairs, _simhash_pairs_oracle()
+        ),
         "q68_numeric_profile": QuerySpec(q68_numeric_profile, Q68_PROFILE_SQL),
         "q69_suppliers_who_kept_waiting": QuerySpec(
             q69_suppliers_who_kept_waiting, Q69_WAITING_SQL

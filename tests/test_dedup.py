@@ -288,3 +288,21 @@ def test_bloom_empty_corpus_everything_is_new(spark):
         for r in bloom_prefilter_anti_join(batch, corpus).collect()
     }
     assert got == {(1, 2), (3, 1)}
+
+
+def test_simhash_pairs_pigeonhole_equals_quadratic(spark, docs):
+    """Block-join candidate generation must find exactly the pairs the
+    all-pairs scan finds (pigeonhole guarantee: <= t flips -> one of
+    t+1 blocks agrees)."""
+    sigs = {r.id: r.simhash for r in dd.simhash_signatures(docs).collect()}
+    want = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r.id1, r.id2, r.hamming)
+        for r in dd.simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == want and want

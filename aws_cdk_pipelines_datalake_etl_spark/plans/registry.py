@@ -1384,6 +1384,49 @@ WHERE cm_est >= 70
 """
 
 
+def q70_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type surface: per-user event-type counts assembled into a
+    real MapType column (map_from_entries over a key-sorted entry
+    array — insertion order makes map_entries deterministic), then
+    consumed with size / element_at / map_entries.  The output
+    serializes the map as a sorted k:v string so the cross-engine hash
+    is stable; the oracle computes the same relation map-free (the
+    check is Spark's map semantics, not DuckDB's)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+    )
+    per_user = counts.groupBy("user_id").agg(m.alias("m"))
+    return per_user.select(
+        "user_id",
+        F.size(F.map_keys("m")).alias("n_types"),
+        F.coalesce(F.element_at("m", F.lit("purchase")), F.lit(0)).alias(
+            "purchases"
+        ),
+        F.concat_ws(
+            ",",
+            F.expr("transform(map_entries(m), e -> concat(e.key, ':', e.value))"),
+        ).alias("serialized"),
+    )
+
+
+Q70_MAP_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS INT) AS n_types,
+       CAST(coalesce(max(CASE WHEN event_type = 'purchase' THEN cnt END), 0)
+            AS BIGINT) AS purchases,
+       string_agg(event_type || ':' || cnt, ',' ORDER BY event_type)
+         AS serialized
+FROM c GROUP BY user_id
+"""
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures turned into actual near-dup detection
     (operators/dedup.py simhash_near_dup_pairs): pigeonhole block join
@@ -5564,6 +5607,7 @@ def build_registry() -> dict[str, QuerySpec]:
             dedup_simhash_pairs, _simhash_pairs_oracle()
         ),
         "q68_numeric_profile": QuerySpec(q68_numeric_profile, Q68_PROFILE_SQL),
+        "q70_map_functions": QuerySpec(q70_map_functions, Q70_MAP_ORACLE),
         "q69_suppliers_who_kept_waiting": QuerySpec(
             q69_suppliers_who_kept_waiting, Q69_WAITING_SQL
         ),

@@ -301,6 +301,16 @@ def test_registry_wide_plan_lint(spark):
         "sim_ivf_trained",  # k-means training job on build
         "sim_ann_recall_trained",
         "q61_recursive_closure",  # driver-loop recursive CTE
+        # PQ entries train codebooks (collect) on build; their plans
+        # and recall are asserted in tests/test_pq.py
+        "sim_pq_rerank_topk",
+        "sim_pq_full_rerank",
+        "sim_ivfpq_topk",
+        "sim_ivfpq_full",
+        # custom streaming DataSources run a query on build; asserted
+        # in tests/test_eventgen_stream.py
+        "source_python_stream",
+        "source_python_stream_partitioned",
     }
     reg = _R.build_registry()
     failures = []

@@ -4454,6 +4454,48 @@ def source_python_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.table(name)
 
 
+def sink_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING SINK end-to-end (sources/jsonl_sink.py,
+    Spark 4 DataSourceStreamWriter): the eventgen feed streams through
+    format("jsonldir")'s two-phase commit (executor-staged files ->
+    driver publish + _COMMIT marker, replays discarded by marker), the
+    committed batches are read back, and the rollup must equal the
+    closed form — a hash match proves the commit protocol published
+    every row exactly once across ~5 micro-batches."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from aws_cdk_pipelines_datalake_etl_spark.sources import eventgen, jsonl_sink
+
+    eventgen.register(spark)
+    jsonl_sink.register(spark)
+    path = _os.path.join(
+        _tempfile.gettempdir(), f"jsonlsink_{_uuid.uuid4().hex[:8]}"
+    )
+    stream = (
+        spark.readStream.format("eventgen")
+        .option("n", "5000")
+        .option("batch_rows", "1100")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("jsonldir")
+        .option("path", path)
+        .option("checkpointLocation", path + "_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = jsonl_sink.read_committed(spark, path)
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+
+
 def text_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable pseudonymization (operators/text.py pseudonymize_emails):
     emails become salt-keyed tokens — same address, same token, so the
@@ -5652,6 +5694,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "source_python_stream_partitioned": QuerySpec(
             source_python_stream_partitioned, SOURCE_PYTHON_STREAM_ORACLE
+        ),
+        "sink_python_stream_writer": QuerySpec(
+            sink_python_stream_writer, SOURCE_PYTHON_STREAM_ORACLE
         ),
         "udtf_word_ngrams": QuerySpec(
             udtf_word_ngrams, UDTF_WORD_NGRAMS_ORACLE

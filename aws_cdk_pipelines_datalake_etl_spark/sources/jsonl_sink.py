@@ -1,0 +1,122 @@
+"""Custom Python STREAMING SINK (Spark 4
+``pyspark.sql.datasource.DataSourceStreamWriter``):
+``format("jsonldir")`` — a directory sink with a real two-phase
+commit, completing the Python connector matrix (batch read:
+corpusgen; stream read: eventgen simple + partitioned; stream write:
+this).
+
+Protocol (the contract any exactly-once file/queue sink implements):
+
+- ``write`` runs per task on executors: rows stream to a STAGED file
+  (``.staged/<uuid>.jsonl``) and the returned commit message carries
+  the staged path + row count — nothing is visible yet.
+- ``commit`` runs on the driver once every task succeeded: staged
+  files move into ``batch=<id>/`` and a ``_COMMIT`` marker lands
+  last, so readers only ever see whole batches.  Replays are
+  detected by the existing marker — a re-delivered batch's staged
+  files are discarded, making the sink idempotent under the
+  at-least-once micro-batch contract (exactly-once PUBLICATION).
+- ``abort`` deletes the staged files; a half-written batch leaves
+  nothing visible.
+
+``read_committed`` is the reader twin: only ``batch=*`` directories
+bearing the marker participate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class StagedFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class JsonlDirStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonldir sink requires option 'path'")
+
+    def write(self, iterator) -> StagedFile:
+        staged_dir = os.path.join(self.path, ".staged")
+        os.makedirs(staged_dir, exist_ok=True)
+        staged = os.path.join(staged_dir, f"{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return StagedFile(path=staged, rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        batch_dir = os.path.join(self.path, f"batch={batchId}")
+        marker = os.path.join(batch_dir, "_COMMIT")
+        if os.path.exists(marker):
+            # replayed batch: already published exactly once — drop the
+            # re-delivered staged files
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+            return
+        os.makedirs(batch_dir, exist_ok=True)
+        total = 0
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            os.replace(m.path, os.path.join(batch_dir, f"part-{i:05d}.jsonl"))
+            total += m.rows
+        with open(marker, "w") as f:
+            f.write(json.dumps({"batchId": batchId, "rows": total}))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlDirDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonldir"
+
+    def schema(self) -> str:  # sink-only; schema comes from the stream
+        return "event_id bigint, user_id bigint, value bigint"
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonlDirStreamWriter:
+        return JsonlDirStreamWriter(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the jsonldir sink format."""
+    spark.dataSource.register(JsonlDirDataSource)
+
+
+def read_committed(spark, path: str):
+    """Read back ONLY committed batches (dirs bearing the _COMMIT
+    marker) — the reader half of the two-phase contract."""
+    committed = [
+        os.path.join(path, d)
+        for d in sorted(os.listdir(path))
+        if d.startswith("batch=")
+        and os.path.exists(os.path.join(path, d, "_COMMIT"))
+    ]
+    if not committed:
+        raise ValueError(f"no committed batches under {path}")
+    return spark.read.json([os.path.join(d, "*.jsonl") for d in committed])
+
+
+def clean(path: str) -> None:
+    shutil.rmtree(path, ignore_errors=True)

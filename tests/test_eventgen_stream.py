@@ -3,6 +3,7 @@ bookkeeping, multi-batch drain, and replay fidelity."""
 
 from __future__ import annotations
 
+import os
 import uuid
 
 import pytest
@@ -98,3 +99,49 @@ def test_parallel_stream_equals_simple_stream(spark):
             q.stop()
         results.append({tuple(r) for r in spark.table(name).collect()})
     assert results[0] == results[1] and len(results[0]) == 3000
+
+
+def test_jsonl_sink_two_phase_commit_and_replay(tmp_path):
+    from pyspark.sql import Row
+
+    from aws_cdk_pipelines_datalake_etl_spark.sources import jsonl_sink
+
+    path = str(tmp_path / "sink")
+    w = jsonl_sink.JsonlDirStreamWriter({"path": path})
+    # task writes stage, nothing visible
+    m1 = w.write(iter([Row(event_id=1, user_id=1, value=10)]))
+    m2 = w.write(iter([Row(event_id=2, user_id=2, value=20)]))
+    assert m1.rows == 1 and os.path.exists(m1.path)
+    assert not os.path.exists(os.path.join(path, "batch=0"))
+    # commit publishes atomically with a marker
+    w.commit([m1, m2], batchId=0)
+    assert os.path.exists(os.path.join(path, "batch=0", "_COMMIT"))
+    files = sorted(os.listdir(os.path.join(path, "batch=0")))
+    assert files == ["_COMMIT", "part-00000.jsonl", "part-00001.jsonl"]
+    # replayed batch: marker detected, re-delivered staging discarded
+    m3 = w.write(iter([Row(event_id=1, user_id=1, value=10)]))
+    w.commit([m3], batchId=0)
+    assert not os.path.exists(m3.path)
+    assert sorted(os.listdir(os.path.join(path, "batch=0"))) == files
+    # abort leaves nothing visible
+    m4 = w.write(iter([Row(event_id=9, user_id=9, value=90)]))
+    w.abort([m4], batchId=1)
+    assert not os.path.exists(m4.path)
+    assert not os.path.exists(os.path.join(path, "batch=1"))
+
+
+def test_jsonl_sink_reader_ignores_uncommitted(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from aws_cdk_pipelines_datalake_etl_spark.sources import jsonl_sink
+
+    path = str(tmp_path / "sink2")
+    w = jsonl_sink.JsonlDirStreamWriter({"path": path})
+    w.commit([w.write(iter([Row(event_id=1, user_id=1, value=10)]))], batchId=0)
+    # a half-published batch dir WITHOUT a marker must be invisible
+    bad = os.path.join(path, "batch=1")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-00000.jsonl"), "w") as f:
+        f.write('{"event_id": 99, "user_id": 99, "value": 99}\n')
+    back = jsonl_sink.read_committed(spark, path)
+    assert [r.event_id for r in back.collect()] == [1]

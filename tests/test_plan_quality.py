@@ -311,6 +311,7 @@ def test_registry_wide_plan_lint(spark):
         # in tests/test_eventgen_stream.py
         "source_python_stream",
         "source_python_stream_partitioned",
+        "sink_python_stream_writer",
     }
     reg = _R.build_registry()
     failures = []

@@ -2,8 +2,9 @@
 ``pyspark.sql.datasource.DataSourceStreamWriter``):
 ``format("jsonldir")`` — a directory sink with a real two-phase
 commit, completing the Python connector matrix (batch read:
-corpusgen; stream read: eventgen simple + partitioned; stream write:
-this).
+corpusgen; stream read: eventgen simple + partitioned; stream AND
+batch write: this — ``JsonlDirBatchWriter`` below reuses the same
+stage-then-publish protocol for ``df.write``).
 
 Protocol (the contract any exactly-once file/queue sink implements):
 
@@ -34,6 +35,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamWriter,
+    DataSourceWriter,
     WriterCommitMessage,
 )
 
@@ -98,6 +100,9 @@ class JsonlDirDataSource(DataSource):
     def streamWriter(self, schema, overwrite: bool) -> JsonlDirStreamWriter:
         return JsonlDirStreamWriter(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "JsonlDirBatchWriter":
+        return JsonlDirBatchWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     """Idempotent registration of the jsonldir sink format."""
@@ -120,3 +125,40 @@ def read_committed(spark, path: str):
 
 def clean(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
+
+
+class JsonlDirBatchWriter(DataSourceWriter):
+    """The BATCH write half (``df.write.format("jsonldir")``): same
+    stage-then-publish protocol as the stream writer, one publish per
+    job — commit moves every staged task file under the target and
+    drops the marker last; abort discards staging."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonldir sink requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> StagedFile:
+        return JsonlDirStreamWriter({"path": self.path}).write(iterator)
+
+    def commit(self, messages) -> None:
+        if self.overwrite and os.path.isdir(self.path):
+            for d in os.listdir(self.path):
+                if d != ".staged":
+                    shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        out_dir = os.path.join(self.path, "data")
+        os.makedirs(out_dir, exist_ok=True)
+        total = 0
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            os.replace(m.path, os.path.join(out_dir, f"part-{i:05d}.jsonl"))
+            total += m.rows
+        with open(os.path.join(out_dir, "_COMMIT"), "w") as f:
+            f.write(json.dumps({"rows": total}))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)

@@ -145,3 +145,23 @@ def test_jsonl_sink_reader_ignores_uncommitted(spark, tmp_path):
         f.write('{"event_id": 99, "user_id": 99, "value": 99}\n')
     back = jsonl_sink.read_committed(spark, path)
     assert [r.event_id for r in back.collect()] == [1]
+
+
+def test_jsonl_batch_writer_roundtrip(spark, tmp_path):
+    from aws_cdk_pipelines_datalake_etl_spark.sources import jsonl_sink
+
+    jsonl_sink.register(spark)
+    path = str(tmp_path / "bsink")
+    df = spark.range(100).selectExpr(
+        "id AS event_id", "id % 7 AS user_id", "id * 3 AS value"
+    )
+    df.write.format("jsonldir").option("path", path).mode("append").save()
+    assert os.path.exists(os.path.join(path, "data", "_COMMIT"))
+    back = spark.read.json(os.path.join(path, "data", "*.jsonl"))
+    assert back.count() == 100
+    assert back.selectExpr("sum(value)").collect()[0][0] == sum(i * 3 for i in range(100))
+    # overwrite replaces the published data
+    df.limit(10).write.format("jsonldir").option("path", path).mode(
+        "overwrite"
+    ).save()
+    assert spark.read.json(os.path.join(path, "data", "*.jsonl")).count() == 10

@@ -4181,6 +4181,115 @@ WHERE doc_id NOT IN (SELECT node FROM dropped)
 )
 
 
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus "data card": one (metric, value) relation a training
+    run ships with its dataset — document/token volume, duplication
+    rate (normalized-fingerprint), language mix entropy, mean quality
+    signals — every number an exact or portably-rounded aggregate so
+    the card is engine-reproducible.  All branches are small
+    aggregates unioned lazily; at 100 TB each is one scan-with-partial
+    -agg (and in practice materialized from the metrics tables the
+    other operators already maintain)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+    fp = d.select(F.md5(F.expr(
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' '))"
+    )).alias("fp"))
+    p = F.col("n") / F.col("tot")
+    lang = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # the global window runs over the ~|languages|-row aggregate,
+        # never the corpus
+        .withColumn("tot", F.sum("n").over(Window.partitionBy()))
+        .agg(pround(-F.sum(p * F.log2(p)), 6).alias("v"))
+    )
+
+    def row(name: str, col_df: DataFrame) -> DataFrame:
+        return col_df.select(
+            F.lit(name).alias("metric"), F.col("v").cast("double").alias("value")
+        )
+
+    branches = [
+        row("n_documents", d.agg(F.count(F.lit(1)).alias("v"))),
+        row("n_tokens", toks.agg(F.count(F.lit(1)).alias("v"))),
+        row("n_distinct_tokens", toks.agg(F.countDistinct("t").alias("v"))),
+        row(
+            "mean_doc_tokens",
+            d.agg(
+                pround(F.avg(F.size(F.split(F.lower("text"), " "))), 6).alias("v")
+            ),
+        ),
+        row(
+            "duplicate_doc_rate",
+            fp.agg(
+                pround(
+                    (F.count(F.lit(1)) - F.countDistinct("fp"))
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("v")
+            ),
+        ),
+        row("lang_mix_entropy_bits", lang),
+        row(
+            # per-doc ratio quantized to integer micro-units before the
+            # mean: an exact bigint sum divided once is engine-identical
+            # (float-sum order can flip a 6-dp round; cf. unigram_logprob)
+            "mean_type_token_ratio",
+            d.select(F.split(F.lower("text"), " ").alias("w"))
+            .select(
+                F.floor(
+                    (F.size(F.array_distinct("w")) / F.size("w")) * 1000000
+                    + F.lit(0.5)
+                ).alias("micro")
+            )
+            .agg(
+                pround(F.sum("micro") / (F.count(F.lit(1)) * 1000000.0), 6).alias(
+                    "v"
+                )
+            ),
+        ),
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+CORPUS_DATA_CARD_ORACLE = portable_round_sql("""
+WITH t AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+), fp AS (
+  SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS fp
+  FROM documents
+), lang AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+)
+SELECT 'n_documents' AS metric, CAST(count(*) AS DOUBLE) AS value FROM documents
+UNION ALL
+SELECT 'n_tokens', CAST(count(*) AS DOUBLE) FROM t
+UNION ALL
+SELECT 'n_distinct_tokens', CAST(count(DISTINCT tok) AS DOUBLE) FROM t
+UNION ALL
+SELECT 'mean_doc_tokens',
+       round(avg(CAST(len(string_split(lower(text), ' ')) AS DOUBLE)), 6)
+FROM documents
+UNION ALL
+SELECT 'duplicate_doc_rate',
+       round((count(*) - count(DISTINCT fp)) * 1.0 / count(*), 6) FROM fp
+UNION ALL
+SELECT 'lang_mix_entropy_bits',
+       round(-sum((n / tot) * log2(n / tot)), 6)
+FROM (SELECT n, sum(n) OVER () AS tot FROM lang)
+UNION ALL
+SELECT 'mean_type_token_ratio',
+       round(sum(floor(len(list_distinct(w)) * 1.0 / len(w) * 1000000 + 0.5))
+             / (count(*) * 1000000.0), 6)
+FROM (SELECT string_split(lower(text), ' ') AS w FROM documents)
+""")
+
+
 def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's capstone composition — the final training corpus:
     documents that (a) pass the quality gate, (b) survive near-dup
@@ -5680,6 +5789,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "corpus_training_set": QuerySpec(
             corpus_training_set, CORPUS_TRAINING_SET_ORACLE
         ),
+        "corpus_data_card": QuerySpec(corpus_data_card, CORPUS_DATA_CARD_ORACLE),
         "corpus_epoch_shuffle": QuerySpec(
             corpus_epoch_shuffle, CORPUS_EPOCH_SHUFFLE_ORACLE
         ),

@@ -110,6 +110,15 @@ def train_pq_codebooks(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
 
+    return _fit_subquantizers(X, m, ksub, max_iter, seed)
+
+
+def _fit_subquantizers(X, m: int, ksub: int, max_iter: int, seed: int):
+    """Seeded numpy Lloyd per subspace over a driver-side sample."""
+    import numpy as np
+
+    dim = X.shape[1]
+    dsub = dim // m
     rng = np.random.RandomState(seed)
     books: list[list[list[float]]] = []
     for j in range(m):
@@ -363,6 +372,233 @@ def ivf_pq_topk(
 
     exploded = (
         codes.select(F.col(id_col), F.explode(F.array(*per_query)).alias("qd"))
+        .select("qd.query_id", id_col, "qd.adc_dist")
+        .filter(F.col("adc_dist").isNotNull())
+        .filter(F.col("query_id") != F.col(id_col))
+    )
+    wsl = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc(id_col))
+    cand = (
+        exploded.withColumn("r", F.row_number().over(wsl))
+        .filter(F.col("r") <= shortlist)
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("v")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("q")
+    )
+    scored = (
+        cand.join(v, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", pround(cosine("q", "v"), 6))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual encoding — the classic IVF+PQ refinement (FAISS's IVFPQ):
+# quantize x − centroid(bucket) instead of x.  Residuals concentrate
+# near the origin, so the same m×ksub budget spends its cells on the
+# local neighborhood structure instead of re-describing the coarse
+# geometry — recall rises at identical storage cost.
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks_residual(
+    vectors: DataFrame,
+    coarse_centroids: list[list[float]],
+    m: int = 16,
+    ksub: int = 16,
+    max_iter: int = 25,
+    seed: int = 42,
+    max_train: int = 65536,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Sub-quantizers fitted on RESIDUALS: the same deterministic
+    hash-ordered sample, each vector assigned to its max-dot coarse
+    centroid driver-side (identical argmax/tie rule as
+    ``assign_ivf_buckets``), codebooks fitted on ``nv - centroid``."""
+    import numpy as np
+
+    sample = (
+        _normalized(vectors, id_col, vec_col)
+        .withColumn("h", F.xxhash64(F.col("id"), F.lit(seed)))
+        .orderBy("h", "id")
+        .limit(max_train)
+        .select("nv")
+        .collect()
+    )
+    if not sample:
+        raise ValueError("train_pq_codebooks_residual: no non-zero vectors")
+    X = np.array([r["nv"] for r in sample], dtype=np.float64)
+    if X.shape[1] % m:
+        raise ValueError(f"dim {X.shape[1]} not divisible by m={m}")
+    C = np.array(coarse_centroids, dtype=np.float64)
+    a = (X @ C.T).argmax(axis=1)  # first-index ties, like the engine
+    R = X - C[a]
+    return _fit_subquantizers(R, m, ksub, max_iter, seed)
+
+
+def _sub_sqdist_residual(
+    vec_col: str, cvec_col: str, j: int, dsub: int, centroid: list[float]
+):
+    """Codegen'd squared L2 between subvector j of the RESIDUAL
+    (vec - bucket centroid, both array columns) and a literal PQ
+    centroid — the subtraction stays scalar, no residual array is ever
+    materialized."""
+    terms = None
+    for i, c in enumerate(centroid):
+        d = (
+            F.element_at(vec_col, j * dsub + i + 1)
+            - F.element_at(cvec_col, j * dsub + i + 1)
+            - F.lit(float(c))
+        )
+        t = d * d
+        terms = t if terms is None else terms + t
+    return terms
+
+
+def pq_encode_residual(
+    vectors: DataFrame,
+    coarse: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, centroid_id, codes)`` — residual sub-codes.  Bucket
+    assignment + a broadcast join for the centroid array, then one
+    codegen'd projection; the residual never materializes."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.similarity import (
+        assign_ivf_buckets,
+    )
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    nv = _normalized(vectors, id_col, vec_col)
+    assigned = assign_ivf_buckets(
+        vectors, coarse, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("id"), "centroid_id")
+    cdim = coarse.select(
+        "centroid_id", F.col("embedding").alias("cvec")
+    )
+    rows = (
+        nv.join(assigned, "id")
+        .join(F.broadcast(cdim), "centroid_id")
+    )
+
+    def nearest(j: int):
+        dists = F.array(
+            *[
+                _sub_sqdist_residual("nv", "cvec", j, dsub, c)
+                for c in codebooks[j]
+            ]
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    codes = F.array(*[nearest(j) for j in range(m)])
+    return rows.select(
+        F.col("id").alias(id_col), "centroid_id", codes.alias("codes")
+    )
+
+
+def ivf_pq_topk_residual(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    coarse_k: int = 8,
+    nprobe: int = 2,
+    m: int = 16,
+    ksub: int = 16,
+    shortlist: int = 50,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ with residual encoding: each probed bucket gets its own
+    query distance table (the query's residual differs per bucket), so
+    the per-row ADC cost is the same m lookups, gated by a bucket CASE
+    — still one scan for all queries, still hash-equal to brute force
+    at full probe + corpus shortlist (the rerank covers everything)."""
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.rounding import pround
+    from aws_cdk_pipelines_datalake_etl_spark.functions.vector import cosine
+    from aws_cdk_pipelines_datalake_etl_spark.operators.similarity import (
+        train_ivf_codebook,
+    )
+
+    coarse = train_ivf_codebook(
+        vectors, n_centroids=coarse_k, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    cent_rows = sorted(
+        ((int(r["centroid_id"]), list(r["embedding"])) for r in coarse.collect())
+    )
+    C = np.array([c for _, c in cent_rows], dtype=np.float64)
+    books = train_pq_codebooks_residual(
+        vectors, C.tolist(), m=m, ksub=ksub, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_encode_residual(vectors, coarse, books, id_col, vec_col)
+
+    dsub = len(books[0][0])
+    ksub_n = len(books[0])
+    q_rows = _normalized(queries, id_col, vec_col).orderBy("id").collect()
+
+    per_query = []
+    for qr in q_rows:
+        qv = np.array(qr["nv"], dtype=np.float64)
+        sims = C @ qv
+        probed = [int(b) for b in np.argsort(-sims, kind="stable")[:nprobe]]
+        gated = None
+        for b in probed:
+            rq = qv - C[b]
+            tbl = [
+                [
+                    float(
+                        np.round(
+                            (
+                                (rq[j * dsub : (j + 1) * dsub] - np.array(books[j][c]))
+                                ** 2
+                            ).sum(),
+                            9,
+                        )
+                    )
+                    for c in range(ksub_n)
+                ]
+                for j in range(m)
+            ]
+            dist = None
+            for j in range(m):
+                t = F.element_at(
+                    F.array(*[F.lit(x) for x in tbl[j]]),
+                    F.element_at("codes", j + 1) + 1,
+                )
+                dist = t if dist is None else dist + t
+            cond = F.col("centroid_id") == b
+            gated = (
+                F.when(cond, F.round(dist, 6))
+                if gated is None
+                else gated.when(cond, F.round(dist, 6))
+            )
+        per_query.append(
+            F.struct(
+                F.lit(int(qr["id"])).alias("query_id"),
+                gated.otherwise(F.lit(None)).alias("adc_dist"),
+            )
+        )
+
+    exploded = (
+        codes.select(F.col(id_col), "centroid_id", F.explode(F.array(*per_query)).alias("qd"))
         .select("qd.query_id", id_col, "qd.adc_dist")
         .filter(F.col("adc_dist").isNotNull())
         .filter(F.col("query_id") != F.col(id_col))

@@ -4475,6 +4475,23 @@ def sim_ivfpq_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+def sim_ivfpq_residual_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF+PQ (operators/pq.py ivf_pq_topk_residual —
+    FAISS-IVFPQ's encoding of x - centroid, per-bucket query distance
+    tables, residual never materialized: scalar codegen subtraction
+    inside the distance expression) with full probe + corpus-wide
+    shortlist: must equal brute force bit-for-bit — the exact gate
+    over the residual pipeline; the nprobe=2 recall gate lives in
+    tests/test_pq.py."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators import pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return pq.ivf_pq_topk_residual(
+        e, queries, k=5, coarse_k=4, nprobe=4, shortlist=e.count()
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python STREAMING DataSource end-to-end
     (sources/eventgen.py, Spark 4 SimpleDataSourceStreamReader):
@@ -5826,6 +5843,9 @@ def build_registry() -> dict[str, QuerySpec]:
         "sim_pq_full_rerank": QuerySpec(sim_pq_full_rerank, SIM_BRUTE_TOPK_ORACLE),
         "sim_ivfpq_topk": QuerySpec(sim_ivfpq_topk, None),
         "sim_ivfpq_full": QuerySpec(sim_ivfpq_full, SIM_BRUTE_TOPK_ORACLE),
+        "sim_ivfpq_residual_full": QuerySpec(
+            sim_ivfpq_residual_full, SIM_BRUTE_TOPK_ORACLE
+        ),
         "sim_ivf_index_full_probe": QuerySpec(
             sim_ivf_index_full_probe, SIM_BRUTE_TOPK_ORACLE
         ),

@@ -307,6 +307,7 @@ def test_registry_wide_plan_lint(spark):
         "sim_pq_full_rerank",
         "sim_ivfpq_topk",
         "sim_ivfpq_full",
+        "sim_ivfpq_residual_full",
         # custom streaming DataSources run a query on build; asserted
         # in tests/test_eventgen_stream.py
         "source_python_stream",

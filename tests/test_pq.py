@@ -96,3 +96,39 @@ def test_ivf_pq_recall_gate_on_clustered_data(spark):
         assert recall >= 0.85, recall
     finally:
         vectors.unpersist()
+
+
+def test_residual_full_probe_equals_brute_force(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    n = emb.count()
+    full = pq.ivf_pq_topk_residual(
+        emb, queries, k=5, coarse_k=4, nprobe=4, shortlist=n
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    assert full.exceptAll(exact).count() == 0
+    assert exact.exceptAll(full).count() == 0
+
+
+def test_residual_recall_gate_on_clustered_data(spark):
+    """Residual encoding must match the raw-vector variant's recall
+    gate (>= 0.85 at nprobe=2, shortlist=50).  On THIS synthetic
+    corpus residuals are near-isotropic noise, so no superiority is
+    claimed — the gate is parity, the full-probe test above is
+    exactness."""
+    from tests.test_similarity import _planted_clusters
+
+    vectors = _planted_clusters(spark).cache()
+    try:
+        queries = vectors.filter(F.col("vec_id") % 50 == 0)
+        exact = collections.defaultdict(set)
+        for r in brute_force_topk(vectors, queries, k=5).collect():
+            exact[r.query_id].add(r.neighbor_id)
+        got = collections.defaultdict(set)
+        for r in pq.ivf_pq_topk_residual(
+            vectors, queries, k=5, coarse_k=10, nprobe=2, shortlist=50
+        ).collect():
+            got[r.query_id].add(r.neighbor_id)
+        recall = sum(len(got[q] & exact[q]) / 5 for q in exact) / len(exact)
+        assert recall >= 0.85, recall
+    finally:
+        vectors.unpersist()

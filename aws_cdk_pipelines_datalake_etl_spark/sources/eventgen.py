@@ -49,7 +49,9 @@ class EventGenStreamReader(SimpleDataSourceStreamReader):
         # rows driver-side for pickling: iter(list), never a bare
         # generator (unpicklable) or a bare list (not an iterator)
         lo = int(start["index"])
-        hi = min(lo + self.batch_rows, self.n)
+        # never regress the offset: a checkpoint from a run with a
+        # larger n must not make end < start after reconfiguration
+        hi = max(lo, min(lo + self.batch_rows, self.n))
         return iter([event_row(i) for i in range(lo, hi)]), {"index": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):

@@ -54,6 +54,10 @@ def test_read_between_offsets_replays_identically():
     # drained source reports no new data: same offset back, zero rows
     it2, end2 = r.read({"index": 50})
     assert end2 == {"index": 50} and list(it2) == []
+    # a checkpoint offset beyond a reconfigured (smaller) n must not
+    # regress: end == start, zero rows
+    it3, end3 = r.read({"index": 70})
+    assert end3 == {"index": 70} and list(it3) == []
 
 
 def test_parallel_reader_plans_executor_slices():

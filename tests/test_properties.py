@@ -348,3 +348,38 @@ def test_interval_join_equals_nested_loop_on_random_data(spark):
             ).collect()
         }
         assert got == want, f"bin width {width_s}"
+
+
+@PROP
+@given(
+    seed=st.integers(0, 10_000),
+    run_len=st.integers(6, 12),  # >= w + k - 1 = 6
+    n_docs=st.integers(2, 5),
+)
+def test_winnow_coverage_guarantee_on_random_docs(spark, seed, run_len, n_docs):
+    """Winnowing's load-bearing property on arbitrary data: plant one
+    shared token run of length >= w+k-1 inside otherwise doc-unique
+    text — every pair of planted docs must share >= 1 selected
+    fingerprint hash."""
+    import random as _random
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    rng = _random.Random(seed)
+    shared = " ".join(f"s{rng.randrange(1000)}" for _ in range(run_len))
+    docs = []
+    for i in range(n_docs):
+        pre = " ".join(f"u{i}x{j}" for j in range(rng.randrange(0, 8)))
+        post = " ".join(f"u{i}y{j}" for j in range(rng.randrange(0, 8)))
+        docs.append((i, " ".join(p for p in (pre, shared, post) if p)))
+    rows = winnow_fingerprints(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    ).collect()
+    fps: dict[int, set] = {}
+    for r in rows:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    for a in range(n_docs):
+        for b in range(a + 1, n_docs):
+            assert fps.get(a, set()) & fps.get(b, set()), (seed, a, b)

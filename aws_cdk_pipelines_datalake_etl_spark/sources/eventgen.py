@@ -105,22 +105,47 @@ class EventGenParallelStreamReader(DataSourceStreamReader):
         self.batch_rows = int(options.get("batch_rows", 1100))
         self.parallelism = int(options.get("parallelism", 4))
         self._latest = 0
+        # False until initialOffset() runs.  Spark calls
+        # initialOffset() ONLY when the query has no checkpoint; a
+        # reader constructed for a RESTARTED query goes straight to
+        # partitions()/latestOffset().  Until one of those has synced
+        # the cursor to the checkpointed start, the in-memory cursor
+        # (0) is meaningless and must not be offered as an offset —
+        # a regressed end would make Spark re-plan from below the
+        # checkpoint and re-emit committed rows.
+        self._cursor_valid = False
 
     def initialOffset(self) -> dict:
+        self._cursor_valid = True  # fresh query: cursor 0 is the truth
         return {"index": 0}
 
     def latestOffset(self) -> dict:
-        # one bounded chunk per micro-batch planning cycle.  The chunk
-        # cursor is in-memory per query run (a restarted query's
-        # cursor re-advances from 0, which only re-offers ranges the
-        # checkpoint already holds committed offsets past — Spark
-        # starts from the checkpointed offset, and commit() re-syncs
-        # the cursor), so a bounded source drains and then goes quiet.
-        self._latest = min(self._latest + self.batch_rows, self.n)
+        # One bounded chunk per micro-batch planning cycle (poor man's
+        # admission control — the Python API has no latestOffset(start,
+        # limit)).  If the cursor has not been validated yet (restart
+        # after a cleanly committed batch: no initialOffset, no replay
+        # partitions() call before planning), chunking from the stale
+        # in-memory 0 would REGRESS the offset below the checkpoint and
+        # duplicate rows; the external truth — all n rows exist — is
+        # always safe, so offer the full range and let the final batch
+        # be unchunked.
+        if not self._cursor_valid:
+            self._latest = self.n
+            self._cursor_valid = True
+        else:
+            self._latest = min(self._latest + self.batch_rows, self.n)
         return {"index": self._latest}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["index"]), int(end["index"])
+        # Sync the chunk cursor to the batch range Spark holds: both
+        # offsets come from the offset log, so the cursor can never
+        # sit below them.  On an uncommitted-batch replay this runs
+        # BEFORE the next planning cycle, so chunked pacing resumes
+        # from the replayed batch's END, not from 0.
+        if max(lo, hi) > self._latest:
+            self._latest = max(lo, hi)
+        self._cursor_valid = True
         if hi <= lo:
             return []
         per = max(1, -(-(hi - lo) // self.parallelism))  # ceil
@@ -132,9 +157,11 @@ class EventGenParallelStreamReader(DataSourceStreamReader):
             yield event_row(i)
 
     def commit(self, end: dict) -> None:
-        # keep the chunk cursor at least at the committed point
-        # (restart resilience for the bounded test feed)
+        # keep the chunk cursor at least at the committed point —
+        # a committed end is checkpoint-proven, so it validates the
+        # cursor just like a partitions() sync does
         self._latest = max(self._latest, int(end["index"]))
+        self._cursor_valid = True
 
 
 class EventGenParDataSource(DataSource):

@@ -72,6 +72,7 @@ class JsonlDirStreamWriter(DataSourceStreamWriter):
             for m in messages:
                 if m is not None and os.path.exists(m.path):
                     os.remove(m.path)
+            self._sweep_staged_orphans(messages)
             return
         os.makedirs(batch_dir, exist_ok=True)
         total = 0
@@ -82,11 +83,38 @@ class JsonlDirStreamWriter(DataSourceStreamWriter):
             total += m.rows
         with open(marker, "w") as f:
             f.write(json.dumps({"batchId": batchId, "rows": total}))
+        self._sweep_staged_orphans(messages)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
+        self._sweep_staged_orphans(messages)
+
+    def _sweep_staged_orphans(self, messages) -> None:
+        """Remove staged files no surviving commit message references.
+
+        Failed or speculative-loser task attempts stage a file but
+        their message never reaches commit/abort, so without this the
+        ``.staged/`` dir leaks one file per failed attempt forever on
+        a long-running stream.  Safe to sweep wholesale at commit
+        time: micro-batches are sequential, and commit/abort only run
+        after every task of the batch has finished, so anything still
+        in ``.staged/`` belongs to a dead attempt (an open fd in a
+        zombie process keeps working on POSIX; its path is simply
+        never published).
+        """
+        staged_dir = os.path.join(self.path, ".staged")
+        if not os.path.isdir(staged_dir):
+            return
+        keep = {m.path for m in messages if m is not None}
+        for f in os.listdir(staged_dir):
+            p = os.path.join(staged_dir, f)
+            if p not in keep:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass  # concurrent sweep; nothing visible either way
 
 
 class JsonlDirDataSource(DataSource):
@@ -130,14 +158,22 @@ def clean(path: str) -> None:
 class JsonlDirBatchWriter(DataSourceWriter):
     """The BATCH write half (``df.write.format("jsonldir")``): same
     stage-then-publish protocol as the stream writer, one publish per
-    job — commit moves every staged task file under the target and
-    drops the marker last; abort discards staging."""
+    job into a JOB-UNIQUE directory ``batch=job-<uuid>/`` (mirroring
+    the stream writer's ``batch=<id>/`` layout) — so two append jobs
+    can never collide on part names or clobber each other's marker,
+    and ``read_committed`` reads stream and batch publications alike.
+    Commit moves every staged task file under the job dir and drops
+    the marker last; abort discards staging."""
 
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonldir sink requires option 'path'")
         self.overwrite = overwrite
+        # one id per writer instance == per job: generated on the
+        # driver, carried to executors by pickling, stable across the
+        # job's tasks
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> StagedFile:
         return JsonlDirStreamWriter({"path": self.path}).write(iterator)
@@ -147,7 +183,7 @@ class JsonlDirBatchWriter(DataSourceWriter):
             for d in os.listdir(self.path):
                 if d != ".staged":
                     shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
-        out_dir = os.path.join(self.path, "data")
+        out_dir = os.path.join(self.path, f"batch=job-{self.job_id}")
         os.makedirs(out_dir, exist_ok=True)
         total = 0
         for i, m in enumerate(messages):
@@ -156,9 +192,14 @@ class JsonlDirBatchWriter(DataSourceWriter):
             os.replace(m.path, os.path.join(out_dir, f"part-{i:05d}.jsonl"))
             total += m.rows
         with open(os.path.join(out_dir, "_COMMIT"), "w") as f:
-            f.write(json.dumps({"rows": total}))
+            f.write(json.dumps({"rows": total, "job": self.job_id}))
+        # same orphan hygiene as the stream writer
+        JsonlDirStreamWriter({"path": self.path})._sweep_staged_orphans(
+            messages
+        )
 
     def abort(self, messages) -> None:
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
+        JsonlDirStreamWriter({"path": self.path})._sweep_staged_orphans([])

@@ -67,7 +67,7 @@ def main() -> None:
     _warm(spark, registry, names, "/root/testdata/sf0.001")
     small = _time(spark, registry, names, base)
     # warm the big dir's tables too (first-touch I/O out of the timing)
-    _warm(spark, registry, names, "/root/testdata/sf0.001")
+    _warm(spark, registry, names, big)
     bigt = _time(spark, registry, names, big)
     print(
         json.dumps(

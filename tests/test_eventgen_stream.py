@@ -83,6 +83,43 @@ def test_parallel_reader_plans_executor_slices():
     assert r2.latestOffset()["index"] == 50
 
 
+def test_parallel_reader_restart_after_committed_checkpoint():
+    """A fresh reader for a RESTARTED query never regresses the offset.
+
+    Restart sequences Spark can produce on a new reader instance
+    (initialOffset is only called when there is no checkpoint):
+
+    1. cleanly committed last batch -> first call is latestOffset().
+       The stale in-memory cursor (0) must NOT be offered: the reader
+       has no way to learn the checkpointed start (e.g. 3300), so it
+       must claim an offset >= any possible checkpoint — the full n.
+    2. uncommitted last batch -> first call is partitions(start, end)
+       replay, which syncs the cursor; chunked pacing then resumes
+       from the checkpoint, not from 0.
+    """
+    # case 1: committed checkpoint at 3300; no initialOffset call
+    r = eventgen.EventGenParallelStreamReader(
+        {"n": "5000", "batch_rows": "1100", "parallelism": "4"}
+    )
+    end = r.latestOffset()["index"]
+    assert end >= 3300  # never below any committable checkpoint
+    # the batch Spark now plans is (3300, end): forward-only rows
+    parts = r.partitions({"index": 3300}, {"index": end})
+    rows = [row for p in parts for row in r.read(p)]
+    assert rows == [eventgen.event_row(i) for i in range(3300, end)]
+    # subsequent planning stays monotone and drains
+    assert r.latestOffset()["index"] == 5000
+
+    # case 2: uncommitted replay syncs the cursor before planning
+    r2 = eventgen.EventGenParallelStreamReader(
+        {"n": "5000", "batch_rows": "1100", "parallelism": "4"}
+    )
+    replay = r2.partitions({"index": 2200}, {"index": 3300})
+    assert [(p.start, p.end) for p in replay][0][0] == 2200
+    # next chunk claims from the synced cursor — never 1100
+    assert r2.latestOffset()["index"] == 4400
+
+
 @pytest.mark.streaming
 def test_parallel_stream_equals_simple_stream(spark):
     eventgen.register(spark)
@@ -160,12 +197,64 @@ def test_jsonl_batch_writer_roundtrip(spark, tmp_path):
         "id AS event_id", "id % 7 AS user_id", "id * 3 AS value"
     )
     df.write.format("jsonldir").option("path", path).mode("append").save()
-    assert os.path.exists(os.path.join(path, "data", "_COMMIT"))
-    back = spark.read.json(os.path.join(path, "data", "*.jsonl"))
+    job_dirs = [d for d in os.listdir(path) if d.startswith("batch=job-")]
+    assert len(job_dirs) == 1
+    assert os.path.exists(os.path.join(path, job_dirs[0], "_COMMIT"))
+    back = jsonl_sink.read_committed(spark, path)
     assert back.count() == 100
-    assert back.selectExpr("sum(value)").collect()[0][0] == sum(i * 3 for i in range(100))
+    assert back.selectExpr("sum(value)").collect()[0][0] == sum(
+        i * 3 for i in range(100)
+    )
     # overwrite replaces the published data
     df.limit(10).write.format("jsonldir").option("path", path).mode(
         "overwrite"
     ).save()
-    assert spark.read.json(os.path.join(path, "data", "*.jsonl")).count() == 10
+    assert jsonl_sink.read_committed(spark, path).count() == 10
+
+
+def test_jsonl_batch_append_jobs_never_collide(spark, tmp_path):
+    """Two append jobs publish into job-unique dirs: the second must
+    not clobber the first's part files or marker (the round-4 bug:
+    both jobs wrote data/part-00000.jsonl... from index 0)."""
+    from aws_cdk_pipelines_datalake_etl_spark.sources import jsonl_sink
+
+    jsonl_sink.register(spark)
+    path = str(tmp_path / "asink")
+    a = spark.range(50).selectExpr(
+        "id AS event_id", "id % 7 AS user_id", "id AS value"
+    )
+    b = spark.range(50, 80).selectExpr(
+        "id AS event_id", "id % 7 AS user_id", "id AS value"
+    )
+    a.write.format("jsonldir").option("path", path).mode("append").save()
+    b.write.format("jsonldir").option("path", path).mode("append").save()
+    job_dirs = [d for d in os.listdir(path) if d.startswith("batch=job-")]
+    assert len(job_dirs) == 2
+    back = jsonl_sink.read_committed(spark, path)
+    assert back.count() == 80
+    assert back.select("event_id").distinct().count() == 80
+    # stage dir left clean (orphan sweep)
+    staged = os.path.join(path, ".staged")
+    assert not os.path.isdir(staged) or os.listdir(staged) == []
+
+
+def test_jsonl_stream_commit_sweeps_orphaned_staging(tmp_path):
+    """A failed task attempt's staged file (no surviving commit
+    message) is swept at commit — .staged/ must not leak files on a
+    long-running stream."""
+    from pyspark.sql import Row
+
+    from aws_cdk_pipelines_datalake_etl_spark.sources import jsonl_sink
+
+    path = str(tmp_path / "osink")
+    w = jsonl_sink.JsonlDirStreamWriter({"path": path})
+    m_ok = w.write(iter([Row(event_id=1, user_id=1, value=10)]))
+    # simulate a failed attempt: staged file exists, message lost
+    m_dead = w.write(iter([Row(event_id=2, user_id=2, value=20)]))
+    assert os.path.exists(m_dead.path)
+    w.commit([m_ok], batchId=0)
+    assert not os.path.exists(m_dead.path)
+    assert os.listdir(os.path.join(path, ".staged")) == []
+    # published batch holds only the surviving message's rows
+    files = sorted(os.listdir(os.path.join(path, "batch=0")))
+    assert files == ["_COMMIT", "part-00000.jsonl"]

@@ -1,12 +1,13 @@
-"""Pure-Python image codecs: PPM/PGM (P5/P6) and uncompressed BMP.
+"""Pure-Python image codecs: PPM/PGM (P5/P6), uncompressed BMP, and
+PNG (stdlib zlib inflate + full scanline unfiltering).
 
 The multimodal operators (:mod:`..operators.multimodal`) need a REAL
 default decode path, but this environment has no pillow/ffmpeg.  These
-two formats are decodable with zero dependencies (numpy for the pixel
-math only), which de-stubs ``decode_image_batch`` /
-``resize_image_batch`` for real bytes while keeping the injectable
-seam for richer codecs (PNG/JPEG still raise a clear
-NotImplementedError).
+formats are decodable with zero dependencies (stdlib ``zlib`` for PNG
+DEFLATE; numpy for the pixel math only), which de-stubs
+``decode_image_batch`` / ``resize_image_batch`` for real bytes while
+keeping the injectable seam for richer codecs (JPEG still raises a
+clear NotImplementedError — it genuinely needs an external library).
 
 Determinism: luma uses integer ITU-R BT.601 weights (299/587/114 over
 1000) summed exactly, so ``mean_luma`` is bit-identical everywhere.
@@ -14,19 +15,25 @@ Determinism: luma uses integer ITU-R BT.601 weights (299/587/114 over
 
 from __future__ import annotations
 
+import struct
+import zlib
+
 import numpy as np
 
 #: formats this module can decode, by magic bytes
 _MAGIC_PPM = (b"P5", b"P6")
 _MAGIC_BMP = b"BM"
+_MAGIC_PNG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """``'ppm'``, ``'bmp'`` or None for unrecognized bytes."""
+    """``'ppm'``, ``'bmp'``, ``'png'`` or None for unrecognized bytes."""
     if payload[:2] in _MAGIC_PPM:
         return "ppm"
     if payload[:2] == _MAGIC_BMP:
         return "bmp"
+    if payload[:8] == _MAGIC_PNG:
+        return "png"
     return None
 
 
@@ -101,6 +108,181 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     return w, h, 3, px[:, :, 2::-1].copy()
 
 
+#: PNG color type -> raw channel count (depth 8)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Iterate (type, data) over PNG chunks, verifying each CRC."""
+    pos = 8
+    n = len(payload)
+    while pos + 8 <= n:
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(payload[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r}: CRC mismatch")
+        yield typ, data
+        pos += 12 + ln
+        if typ == b"IEND":
+            return
+    raise ValueError("truncated PNG (no IEND)")
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (types 0-4: None, Sub, Up,
+    Average, Paeth) -> (h, w*ch) uint8.  Sub is a per-lane cumsum;
+    Up is a vector add; Average/Paeth carry a left-dependency so they
+    walk the row (fine: decode is a per-row control loop over
+    fixture-sized images; corpus-scale decode distributes per image
+    across executors, never per pixel)."""
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # Sub: recon[x] = raw[x] + recon[x-ch]
+            rec = line.reshape(-1, ch).cumsum(axis=0).reshape(-1) & 0xFF
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            rec = line.copy()
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = line.copy()
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        prev = rec
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode an 8-bit-depth, non-interlaced PNG (color types 0 gray,
+    2 RGB, 3 palette, 4 gray+alpha, 6 RGBA) using stdlib zlib.
+    Returns (width, height, n_channels, pixels): gray forms -> c=1,
+    color forms -> c=3; alpha is dropped (feature extraction wants
+    luma/geometry, not compositing)."""
+    if payload[:8] != _MAGIC_PNG:
+        raise ValueError("not a PNG")
+    ihdr = plte = None
+    idat = bytearray()
+    for typ, data in _png_chunks(payload):
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat += data
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (8 only)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color type {ctype} invalid")
+    ch = _PNG_CHANNELS[ctype]
+    px = _png_unfilter(zlib.decompress(bytes(idat)), w, h, ch).reshape(
+        h, w, ch
+    )
+    if ctype == 3:  # palette -> RGB
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return w, h, 3, pal[px[:, :, 0]]
+    if ctype == 4:  # gray+alpha -> gray
+        return w, h, 1, px[:, :, :1].copy()
+    if ctype == 6:  # RGBA -> RGB
+        return w, h, 3, px[:, :, :3].copy()
+    return w, h, ch, px
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _png_filter_row(
+    line: np.ndarray, prev: np.ndarray, ftype: int, ch: int
+) -> np.ndarray:
+    """Apply PNG filter ``ftype`` to a reconstructed scanline (the
+    encoder half; exact inverse of :func:`_png_unfilter`'s cases)."""
+    line = line.astype(np.int32)
+    prev = prev.astype(np.int32)
+    left = np.concatenate([np.zeros(ch, np.int32), line[:-ch]])
+    upleft = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+    if ftype == 0:
+        out = line
+    elif ftype == 1:
+        out = line - left
+    elif ftype == 2:
+        out = line - prev
+    elif ftype == 3:
+        out = line - ((left + prev) >> 1)
+    elif ftype == 4:
+        p = left + prev - upleft
+        pa, pb, pc = (
+            np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+        )
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+        )
+        out = line - pred
+    else:
+        raise ValueError(f"PNG filter type {ftype} invalid")
+    return (out & 0xFF).astype(np.uint8)
+
+
+def encode_png(pixels: np.ndarray, filters: "list[int] | None" = None) -> bytes:
+    """Encode (h, w, 1|3) uint8 pixels as a non-interlaced 8-bit PNG
+    (gray or RGB).  ``filters`` optionally pins the per-row filter
+    types (default: row y uses y % 5, exercising every filter — this
+    encoder exists for fixtures and round-trip tests, not ratio)."""
+    h, w, c = pixels.shape
+    ctype = 0 if c == 1 else 2
+    rows = bytearray()
+    prev = np.zeros(w * c, dtype=np.uint8)
+    for y in range(h):
+        line = pixels[y].reshape(-1)
+        ftype = filters[y] if filters is not None else y % 5
+        rows.append(ftype)
+        rows += _png_filter_row(line, prev, ftype, c).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _MAGIC_PNG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(rows), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> dict:
     """Decode recognized bytes into the ``decode_image_batch`` feature
     dict: width, height, n_channels, mean_luma (string, 4 dp).
@@ -113,11 +295,12 @@ def decode_image(payload: bytes) -> dict:
         w, h, c, px = decode_ppm(payload)
     elif fmt == "bmp":
         w, h, c, px = decode_bmp(payload)
+    elif fmt == "png":
+        w, h, c, px = decode_png(payload)
     else:
         raise NotImplementedError(
-            "unrecognized image format (PPM/PGM/BMP decode natively; "
-            "for PNG/JPEG inject a decoder= or run where pillow is "
-            "installed)"
+            "unrecognized image format (PPM/PGM/BMP/PNG decode natively; "
+            "for JPEG inject a decoder= or run where pillow is installed)"
         )
     flat = px.astype(np.int64)
     if c == 1:
@@ -199,9 +382,11 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
         w, h, c, px = decode_ppm(payload)
     elif fmt == "bmp":
         w, h, c, px = decode_bmp(payload)
+    elif fmt == "png":
+        w, h, c, px = decode_png(payload)
     else:
         raise NotImplementedError(
-            "unrecognized image format (PPM/PGM/BMP resize natively; "
+            "unrecognized image format (PPM/PGM/BMP/PNG resize natively; "
             "inject resizer= for other formats)"
         )
     ys = np.minimum((np.arange(height) * h) // height, h - 1)

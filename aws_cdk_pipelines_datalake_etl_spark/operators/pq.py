@@ -159,6 +159,96 @@ def pq_encode(
     return nv.select(F.col("id").alias(id_col), codes.alias("codes"))
 
 
+def _codebook_entry_lit(codebooks: list[list[list[float]]]):
+    """The full codebook as ONE literal array of (j, code, cent)
+    structs — m*ksub*dsub doubles, a model artifact, constant in both
+    corpus and query-batch size."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.lit(c).alias("code"),
+                F.array(*[F.lit(float(x)) for x in codebooks[j][c]]).alias(
+                    "cent"
+                ),
+            )
+            for j in range(len(codebooks))
+            for c in range(len(codebooks[j]))
+        ]
+    )
+
+
+def _query_distance_tables(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """``(query_id, j, code, pd)`` — every query's ADC partial-distance
+    table as DATA, not as plan literals.  Computed fully distributed
+    (explode the codebook literal against the normalized queries; no
+    driver collect), sized nq*m*ksub rows — broadcastable for any
+    realistic query batch (10^5 queries * 256 cells ~ 25.6M skinny
+    rows would still be the corpus's smaller side by orders of
+    magnitude).  Terms sum in subspace order, matching the numpy
+    literal path bit-for-bit on the same doubles."""
+    dsub = len(codebooks[0][0])
+    nv = _normalized(queries, id_col, vec_col)
+    e = nv.select(
+        F.col("id").alias("query_id"),
+        "nv",
+        F.explode(_codebook_entry_lit(codebooks)).alias("e"),
+    )
+    sub = F.slice("nv", F.col("e.j") * dsub + 1, F.lit(dsub))
+    pd_ = F.round(
+        F.aggregate(
+            F.zip_with(sub, F.col("e.cent"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        9,
+    )
+    return e.select(
+        "query_id", F.col("e.j").alias("j"), F.col("e.code").alias("code"),
+        pd_.alias("pd"),
+    )
+
+
+def _adc_join_topk(
+    codes: DataFrame,
+    dtab: DataFrame,
+    k: int,
+    id_col: str,
+    join_on: list[str],
+) -> DataFrame:
+    """Shared broadcast-ADC tail: posexplode the code array, broadcast
+    hash-join the distance tables on ``join_on``, partial-sum the m
+    lookups map-side (hash agg in the join stage — the exchange
+    carries nq*|matched corpus| rows, same as the literal form's
+    window input), then the per-query top-k window."""
+    ex = codes.select(
+        F.col(id_col),
+        *[c for c in codes.columns if c not in (id_col, "codes")],
+        F.posexplode("codes").alias("j", "code"),
+    )
+    joined = ex.join(F.broadcast(dtab), join_on)
+    agg = (
+        joined.groupBy("query_id", id_col)
+        .agg(F.round(F.sum("pd"), 6).alias("adc_dist"))
+        .filter(F.col("query_id") != F.col(id_col))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return agg.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _count_at_most(df: DataFrame, limit: int) -> int:
+    """Row count capped at ``limit + 1`` — an O(limit) job that answers
+    "more than limit?" without scanning an unbounded query table."""
+    return df.limit(limit + 1).count()
+
+
 def pq_adc_topk(
     codes: DataFrame,
     codebooks: list[list[list[float]]],
@@ -166,15 +256,41 @@ def pq_adc_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tables: str = "auto",
+    broadcast_threshold: int = 16,
 ) -> DataFrame:
-    """Approximate top-k by asymmetric distance: per collected query a
-    numpy ``m × ksub`` partial-distance table is inlined as a literal,
-    and every stored code row costs m ``element_at`` lookups + adds —
-    ONE scan of the code table serves ALL queries (posexploded
-    distance array), then a per-query top-k window.
+    """Approximate top-k by asymmetric distance — one scan of the code
+    table serves ALL queries, then a per-query top-k window.
+
+    Two physical strategies for the query distance tables, chosen by
+    ``tables``:
+
+    - ``"literal"``: per collected query a numpy ``m × ksub``
+      partial-distance table is inlined as plan literals; every stored
+      code row costs m ``element_at`` lookups + adds, zero extra
+      shuffle.  Fastest for a BOUNDED probe set, but the expression
+      tree grows with nq — a 10^3+-query batch makes the PLAN the
+      bottleneck (codegen size, driver memory).
+    - ``"broadcast"``: the tables are a small DataFrame keyed by
+      (query_id, j, code), broadcast-hash-joined onto the posexploded
+      codes (:func:`_adc_join_topk`).  Plan size is constant in nq —
+      the 100 TB / large-batch path.
+    - ``"auto"`` (default): ``"broadcast"`` when the query table holds
+      more than ``broadcast_threshold`` rows, else ``"literal"``.
 
     Returns ``(query_id, vec_id, adc_dist, rank)``; ties broken by
     vec_id for a deterministic row set."""
+    if tables == "auto":
+        tables = (
+            "broadcast"
+            if _count_at_most(queries, broadcast_threshold)
+            > broadcast_threshold
+            else "literal"
+        )
+    if tables == "broadcast":
+        dtab = _query_distance_tables(queries, codebooks, id_col, vec_col)
+        return _adc_join_topk(codes, dtab, k, id_col, ["j", "code"])
+
     import numpy as np
 
     m = len(codebooks)
@@ -221,6 +337,127 @@ def pq_adc_topk(
         exploded.filter(F.col("query_id") != F.col(id_col))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared exact-cosine re-rank tail: fetch ONLY the shortlisted
+    candidates' full vectors (semi-join-sized read), broadcast the
+    queries, rank by exact cosine."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.rounding import pround
+    from aws_cdk_pipelines_datalake_etl_spark.functions.vector import cosine
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("v")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("q")
+    )
+    scored = (
+        cand.join(v, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", pround(cosine("q", "v"), 6))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _probe_pairs_df(
+    queries: DataFrame,
+    centroids: dict[int, list[float]],
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """``(query_id, centroid_id, cvec)`` — each query's ``nprobe``
+    nearest coarse buckets, computed distributed (coarse centroids are
+    a bounded literal; ties by sim desc then centroid_id, matching the
+    literal path's stable argsort)."""
+    ents = F.array(
+        *[
+            F.struct(
+                F.lit(int(b)).alias("centroid_id"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cvec"),
+            )
+            for b, cv in sorted(centroids.items())
+        ]
+    )
+    nv = _normalized(queries, id_col, vec_col)
+    e = nv.select(
+        F.col("id").alias("query_id"), "nv", F.explode(ents).alias("e")
+    )
+    sim = F.aggregate(
+        F.zip_with("nv", F.col("e.cvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("centroid_id")
+    )
+    return (
+        e.select(
+            "query_id",
+            F.col("e.centroid_id").alias("centroid_id"),
+            F.col("e.cvec").alias("cvec"),
+            sim.alias("sim"),
+        )
+        .withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "centroid_id", "cvec")
+    )
+
+
+def _query_distance_tables_residual(
+    queries: DataFrame,
+    centroids: dict[int, list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Residual ADC tables as data: ``(query_id, centroid_id, j, code,
+    pd)`` — one m×ksub table per (query, probed bucket), because the
+    query's residual differs per bucket.  nq*nprobe*m*ksub skinny rows,
+    still broadcast-sized for any realistic batch."""
+    dsub = len(codebooks[0][0])
+    pp = _probe_pairs_df(queries, centroids, nprobe, id_col, vec_col)
+    rows = pp.select(
+        "query_id", "centroid_id", "cvec",
+        F.explode(_codebook_entry_lit(codebooks)).alias("e"),
+    ).join(
+        _normalized(queries, id_col, vec_col).select(
+            F.col("id").alias("query_id"), "nv"
+        ),
+        "query_id",
+    )
+    qs = F.slice("nv", F.col("e.j") * dsub + 1, F.lit(dsub))
+    cs = F.slice("cvec", F.col("e.j") * dsub + 1, F.lit(dsub))
+    dq = F.zip_with(qs, cs, lambda x, y: x - y)
+    pd_ = F.round(
+        F.aggregate(
+            F.zip_with(dq, F.col("e.cent"), lambda d, cc: (d - cc) * (d - cc)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        9,
+    )
+    return rows.select(
+        "query_id", "centroid_id", F.col("e.j").alias("j"),
+        F.col("e.code").alias("code"), pd_.alias("pd"),
     )
 
 
@@ -280,6 +517,8 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     codebooks: list[list[list[float]]] | None = None,
     coarse: "DataFrame | None" = None,
+    tables: str = "auto",
+    broadcast_threshold: int = 16,
 ) -> DataFrame:
     """The full IVF+PQ retrieval stack composed from the engine's own
     parts: k-means||-trained coarse centroids route every vector to a
@@ -327,61 +566,81 @@ def ivf_pq_topk(
     ).select(F.col(id_col), F.col("centroid_id"))
     codes = pq_encode(vectors, codebooks, id_col, vec_col).join(bucketed, id_col)
 
-    mm = len(codebooks)
-    ksub_n = len(codebooks[0])
-    dsub = len(codebooks[0][0])
-    q_rows = _normalized(queries, id_col, vec_col).orderBy("id").collect()
-    C = np.array([centroids[j] for j in sorted(centroids)], dtype=np.float64)
-
-    per_query = []
-    for qr in q_rows:
-        qv = np.array(qr["nv"], dtype=np.float64)
-        sims = C @ qv
-        probed = [int(j) for j in np.argsort(-sims, kind="stable")[:nprobe]]
-        tbl = [
-            [
-                float(
-                    np.round(
-                        (
-                            (qv[j * dsub : (j + 1) * dsub] - np.array(codebooks[j][c]))
-                            ** 2
-                        ).sum(),
-                        9,
-                    )
-                )
-                for c in range(ksub_n)
-            ]
-            for j in range(mm)
-        ]
-        dist = None
-        for j in range(mm):
-            t = F.element_at(
-                F.array(*[F.lit(x) for x in tbl[j]]),
-                F.element_at("codes", j + 1) + 1,
-            )
-            dist = t if dist is None else dist + t
-        gated = F.when(
-            F.col("centroid_id").isin(probed), F.round(dist, 6)
-        ).otherwise(F.lit(None))
-        per_query.append(
-            F.struct(
-                F.lit(int(qr["id"])).alias("query_id"),
-                gated.alias("adc_dist"),
-            )
+    if tables == "auto":
+        tables = (
+            "broadcast"
+            if _count_at_most(queries, broadcast_threshold)
+            > broadcast_threshold
+            else "literal"
         )
+    if tables == "broadcast":
+        # distance tables and probed buckets as broadcast DATA — plan
+        # size constant in the query-batch size (the 10^3+-query path)
+        probe = _probe_pairs_df(
+            queries, centroids, nprobe, id_col, vec_col
+        ).select("query_id", "centroid_id")
+        dtab = _query_distance_tables(
+            queries, codebooks, id_col, vec_col
+        ).join(probe, "query_id")
+        cand = _adc_join_topk(
+            codes, dtab, shortlist, id_col, ["centroid_id", "j", "code"]
+        ).select("query_id", F.col(id_col).alias("neighbor_id"))
+    else:
+        mm = len(codebooks)
+        ksub_n = len(codebooks[0])
+        dsub = len(codebooks[0][0])
+        q_rows = _normalized(queries, id_col, vec_col).orderBy("id").collect()
+        C = np.array([centroids[j] for j in sorted(centroids)], dtype=np.float64)
 
-    exploded = (
-        codes.select(F.col(id_col), F.explode(F.array(*per_query)).alias("qd"))
-        .select("qd.query_id", id_col, "qd.adc_dist")
-        .filter(F.col("adc_dist").isNotNull())
-        .filter(F.col("query_id") != F.col(id_col))
-    )
-    wsl = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc(id_col))
-    cand = (
-        exploded.withColumn("r", F.row_number().over(wsl))
-        .filter(F.col("r") <= shortlist)
-        .select("query_id", F.col(id_col).alias("neighbor_id"))
-    )
+        per_query = []
+        for qr in q_rows:
+            qv = np.array(qr["nv"], dtype=np.float64)
+            sims = C @ qv
+            probed = [int(j) for j in np.argsort(-sims, kind="stable")[:nprobe]]
+            tbl = [
+                [
+                    float(
+                        np.round(
+                            (
+                                (qv[j * dsub : (j + 1) * dsub] - np.array(codebooks[j][c]))
+                                ** 2
+                            ).sum(),
+                            9,
+                        )
+                    )
+                    for c in range(ksub_n)
+                ]
+                for j in range(mm)
+            ]
+            dist = None
+            for j in range(mm):
+                t = F.element_at(
+                    F.array(*[F.lit(x) for x in tbl[j]]),
+                    F.element_at("codes", j + 1) + 1,
+                )
+                dist = t if dist is None else dist + t
+            gated = F.when(
+                F.col("centroid_id").isin(probed), F.round(dist, 6)
+            ).otherwise(F.lit(None))
+            per_query.append(
+                F.struct(
+                    F.lit(int(qr["id"])).alias("query_id"),
+                    gated.alias("adc_dist"),
+                )
+            )
+
+        exploded = (
+            codes.select(F.col(id_col), F.explode(F.array(*per_query)).alias("qd"))
+            .select("qd.query_id", id_col, "qd.adc_dist")
+            .filter(F.col("adc_dist").isNotNull())
+            .filter(F.col("query_id") != F.col(id_col))
+        )
+        wsl = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc(id_col))
+        cand = (
+            exploded.withColumn("r", F.row_number().over(wsl))
+            .filter(F.col("r") <= shortlist)
+            .select("query_id", F.col(id_col).alias("neighbor_id"))
+        )
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("v")
     )
@@ -523,12 +782,20 @@ def ivf_pq_topk_residual(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tables: str = "auto",
+    broadcast_threshold: int = 16,
 ) -> DataFrame:
     """IVF+PQ with residual encoding: each probed bucket gets its own
     query distance table (the query's residual differs per bucket), so
     the per-row ADC cost is the same m lookups, gated by a bucket CASE
     — still one scan for all queries, still hash-equal to brute force
-    at full probe + corpus shortlist (the rerank covers everything)."""
+    at full probe + corpus shortlist (the rerank covers everything).
+
+    ``tables`` works as in :func:`pq_adc_topk`: ``"literal"`` inlines
+    one m×ksub table per (query, probed bucket) into the plan;
+    ``"broadcast"`` materializes them as a broadcast DataFrame keyed by
+    (query_id, centroid_id, j, code) so the plan stays constant-size
+    for large query batches."""
     import numpy as np
 
     from aws_cdk_pipelines_datalake_etl_spark.functions.rounding import pround
@@ -549,6 +816,23 @@ def ivf_pq_topk_residual(
         id_col=id_col, vec_col=vec_col,
     )
     codes = pq_encode_residual(vectors, coarse, books, id_col, vec_col)
+
+    if tables == "auto":
+        tables = (
+            "broadcast"
+            if _count_at_most(queries, broadcast_threshold)
+            > broadcast_threshold
+            else "literal"
+        )
+    if tables == "broadcast":
+        centroids = {b: list(cv) for b, cv in cent_rows}
+        dtab = _query_distance_tables_residual(
+            queries, centroids, books, nprobe, id_col, vec_col
+        )
+        cand = _adc_join_topk(
+            codes, dtab, shortlist, id_col, ["centroid_id", "j", "code"]
+        ).select("query_id", F.col(id_col).alias("neighbor_id"))
+        return _exact_rerank(cand, vectors, queries, k, id_col, vec_col)
 
     dsub = len(books[0][0])
     ksub_n = len(books[0])

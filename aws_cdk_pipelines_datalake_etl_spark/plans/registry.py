@@ -2088,6 +2088,74 @@ FROM vals
 """
 
 
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG decode end-to-end (round-5 de-stub of the compressed-
+    format seam): per-doc gradient RGB images (w in {8,10,16} by
+    doc%3, h=5, every channel 32+(doc*5+x*3+y*7)%96) are encoded as
+    REAL non-interlaced 8-bit PNGs — stdlib zlib DEFLATE, one scanline
+    per filter type 0-4 (h=5 rows, row y filtered y%5, so every PNG
+    filter is exercised per image) — then decoded back by
+    ``decode_image_batch``'s DEFAULT codec (functions/imagecodec.py:
+    chunk walk + CRC check + inflate + unfilter).  Channels are equal
+    so luma == pixel value; the oracle replays the mean from the
+    closed form.  Dims are chosen so w*h has only 2/5 factors — the
+    mean is an exact <=4-dp decimal, so the %.4f formatting admits no
+    rounding ties."""
+    from pyspark.sql.types import BinaryType
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        decode_image_batch,
+    )
+
+    @F.pandas_udf(BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from aws_cdk_pipelines_datalake_etl_spark.functions.imagecodec import (
+            encode_png,
+        )
+
+        def mk(i: int) -> bytes:
+            w = (8, 10, 16)[i % 3]
+            xs, ys = np.arange(w), np.arange(5)
+            v = (32 + (i * 5 + xs[None, :] * 3 + ys[:, None] * 7) % 96).astype(
+                np.uint8
+            )
+            return encode_png(np.repeat(v[:, :, None], 3, axis=2))
+
+        return ids.map(lambda i: mk(int(i)))
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("blob", synth("doc_id"))
+    )
+    return decode_image_batch(d)
+
+
+MULTIMODAL_PNG_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 10 ELSE 16 END AS w
+  FROM documents
+), vals AS (
+  SELECT doc_id, w,
+         sum(32 + (doc_id * 5 + x * 3 + y * 7) % 96) AS total
+  FROM dims,
+       (SELECT unnest(generate_series(0, 15)) AS x),
+       (SELECT unnest(generate_series(0, 4)) AS y)
+  WHERE x < w
+  GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(5 AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       printf('%.4f', CAST(total AS DOUBLE) / (w * 5)) AS mean_luma
+FROM vals
+"""
+
+
 def multimodal_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blob → embedding bridge with the DEFAULT extractor: the 256-bin
     byte histogram (raw counts, exact in float32) of each document's
@@ -5131,10 +5199,10 @@ _DRIVER_WINDOW = [
     "sim_ivfpq_full",
     "sim_ivfpq_residual_full",
     "multimodal_image_resize",
+    "multimodal_decode_png",
     "multimodal_embed_topk",
     # --- re-confirmation slots: oracle entries last driver-verified in
     # rounds 1-2, re-pinned so the hard signal stays fresh -------------
-    "q03_filter_project",
     "q04_topk_orders",
     "q08_semi_join",
     "q12_window_running_sum",
@@ -5866,6 +5934,9 @@ def build_registry() -> dict[str, QuerySpec]:
         "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_ORACLE),
         "multimodal_image_resize": QuerySpec(
             multimodal_image_resize, MULTIMODAL_RESIZE_ORACLE
+        ),
+        "multimodal_decode_png": QuerySpec(
+            multimodal_decode_png, MULTIMODAL_PNG_ORACLE
         ),
         "multimodal_audio_features": QuerySpec(
             multimodal_audio_features, MULTIMODAL_AUDIO_ORACLE

@@ -437,3 +437,109 @@ def test_extract_embedding_default_histogram(spark):
     assert out[1][ord("a")] == 2.0 and out[1][ord("b")] == 1.0
     assert sum(out[1]) == 3.0
     assert out[2][0] == 1.0 and out[2][255] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# PNG: stdlib-zlib decode (chunk walk + CRC + inflate + unfilter)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_every_filter_type():
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions import imagecodec as ic
+
+    rng = np.random.RandomState(11)
+    for c in (1, 3):
+        px = rng.randint(0, 256, (7, 5, c)).astype(np.uint8)
+        for f in range(5):  # each filter type alone...
+            b = ic.encode_png(px, filters=[f] * 7)
+            w, h, cc, out = ic.decode_png(b)
+            assert (w, h, cc) == (5, 7, c) and (out == px).all(), (c, f)
+        # ...and mixed per-row (the default: y % 5)
+        w, h, cc, out = ic.decode_png(ic.encode_png(px))
+        assert (out == px).all()
+        assert ic.sniff_format(ic.encode_png(px)) == "png"
+
+
+def test_png_color_type_variants_decode():
+    """RGBA drops alpha, gray+alpha drops alpha, palette expands to
+    RGB — hand-built PNGs through the raw chunk writer."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions import imagecodec as ic
+
+    def build(ctype, ch, w, h, raster, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        rows = b"".join(
+            b"\x00" + raster[y * w * ch : (y + 1) * w * ch] for y in range(h)
+        )
+        return (
+            ic._MAGIC_PNG
+            + ic._png_chunk(b"IHDR", ihdr)
+            + extra
+            + ic._png_chunk(b"IDAT", _z.compress(rows))
+            + ic._png_chunk(b"IEND", b"")
+        )
+
+    # RGBA 2x1: pixels (10,20,30,255), (40,50,60,0) -> alpha dropped
+    w, h, c, px = ic.decode_png(
+        build(6, 4, 2, 1, bytes([10, 20, 30, 255, 40, 50, 60, 0]))
+    )
+    assert (w, h, c) == (2, 1, 3)
+    assert px.tolist() == [[[10, 20, 30], [40, 50, 60]]]
+    # gray+alpha 2x1
+    w, h, c, px = ic.decode_png(build(4, 2, 2, 1, bytes([7, 255, 9, 0])))
+    assert (w, h, c) == (2, 1, 1) and px.reshape(-1).tolist() == [7, 9]
+    # palette 2x1: indices 1, 0 over a 2-entry PLTE
+    plte = ic._png_chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))
+    w, h, c, px = ic.decode_png(build(3, 1, 2, 1, bytes([1, 0]), extra=plte))
+    assert (w, h, c) == (2, 1, 3)
+    assert px.tolist() == [[[0, 255, 0], [255, 0, 0]]]
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import numpy as np
+    import pytest as _pytest
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions import imagecodec as ic
+
+    px = np.full((4, 4, 3), 9, dtype=np.uint8)
+    good = ic.encode_png(px)
+    # flip a raster byte: CRC must catch it
+    bad = bytearray(good)
+    bad[len(bad) - 20] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        ic.decode_png(bytes(bad))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        ic.decode_png(b"nope")
+
+
+def test_png_through_default_decode_and_resize(spark):
+    """decode_image_batch / resize_image_batch handle PNG blobs with
+    NO injected codec — the seam is only for JPEG now."""
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions import imagecodec as ic
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        decode_image_batch,
+        resize_image_batch,
+    )
+
+    px = np.zeros((6, 8, 3), dtype=np.uint8)
+    px[:, :, :] = np.arange(8, dtype=np.uint8)[None, :, None] * 10
+    df = spark.createDataFrame(
+        [(1, bytearray(ic.encode_png(px)))], ["doc_id", "blob"]
+    )
+    feats = decode_image_batch(df).collect()[0]
+    assert (feats.width, feats.height, feats.n_channels) == (8, 6, 3)
+    # equal channels -> luma == value; mean of 0,10..70 = 35
+    assert feats.mean_luma == "35.0000"
+    thumb = resize_image_batch(df, width=4, height=3).collect()[0].blob
+    w, h, c, out = ic.decode_ppm(bytes(thumb))
+    assert (w, h, c) == (4, 3, 3)
+    # nearest-neighbor x map: src = (t*8)//4 -> columns 0,2,4,6
+    assert out[0, :, 0].tolist() == [0, 20, 40, 60]

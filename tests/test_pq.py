@@ -132,3 +132,81 @@ def test_residual_recall_gate_on_clustered_data(spark):
         assert recall >= 0.85, recall
     finally:
         vectors.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-table ADC (the large-query-batch path): the distance
+# tables travel as a broadcast DataFrame instead of plan literals, so
+# the expression tree is constant-size in nq.  Property: bit-equal
+# result sets vs the literal form; plan: BroadcastHashJoin, no
+# per-query literal arrays.
+# ---------------------------------------------------------------------------
+
+
+def _rowset(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_adc_broadcast_equals_literal(spark, emb, books):
+    codes = pq.pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 10)
+    lit = pq.pq_adc_topk(codes, books, queries, k=5, tables="literal")
+    bc = pq.pq_adc_topk(codes, books, queries, k=5, tables="broadcast")
+    cols = ["query_id", "vec_id", "adc_dist", "rank"]
+    assert _rowset(lit, cols) == _rowset(bc, cols)
+    # the broadcast plan: hash join on the table data, constant-size
+    # expressions (no element_at(array(<ksub lits>)) per query)
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_ivf_pq_broadcast_equals_literal(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    n = emb.count()
+    cols = ["query_id", "neighbor_id", "cosine", "rank"]
+    # full probe + corpus shortlist: both forms must equal brute force
+    lit = pq.ivf_pq_topk(
+        emb, queries, k=5, coarse_k=4, nprobe=4, shortlist=n, tables="literal"
+    )
+    bc = pq.ivf_pq_topk(
+        emb, queries, k=5, coarse_k=4, nprobe=4, shortlist=n, tables="broadcast"
+    )
+    assert _rowset(lit, cols) == _rowset(bc, cols)
+    # partial probe: the pruning decisions themselves must agree
+    litp = pq.ivf_pq_topk(
+        emb, queries, k=5, coarse_k=4, nprobe=2, shortlist=50, tables="literal"
+    )
+    bcp = pq.ivf_pq_topk(
+        emb, queries, k=5, coarse_k=4, nprobe=2, shortlist=50, tables="broadcast"
+    )
+    assert _rowset(litp, cols) == _rowset(bcp, cols)
+
+
+def test_residual_broadcast_equals_literal(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    cols = ["query_id", "neighbor_id", "cosine", "rank"]
+    lit = pq.ivf_pq_topk_residual(
+        emb, queries, k=5, coarse_k=4, nprobe=2, shortlist=50, tables="literal"
+    )
+    bc = pq.ivf_pq_topk_residual(
+        emb, queries, k=5, coarse_k=4, nprobe=2, shortlist=50, tables="broadcast"
+    )
+    assert _rowset(lit, cols) == _rowset(bc, cols)
+
+
+def test_adc_auto_dispatch(spark, emb, books):
+    """auto -> literal for a bounded probe set, broadcast past the
+    threshold; both by construction return the same rows (above), so
+    here only the strategy choice is pinned via the plan."""
+    codes = pq.pq_encode(emb, books)
+    small = emb.filter(F.col("vec_id") < 10)
+    big = emb.limit(80)
+    p_small = pq.pq_adc_topk(
+        codes, books, small, k=5, tables="auto", broadcast_threshold=64
+    )._jdf.queryExecution().executedPlan().toString()
+    p_big = pq.pq_adc_topk(
+        codes, books, big, k=5, tables="auto", broadcast_threshold=64
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in p_small
+    assert "BroadcastHashJoin" in p_big

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import NullType, StructType
 
@@ -83,15 +83,103 @@ class ConformResult(NamedTuple):
     n_rows: int  # rows written, observed during the write itself
 
 
+#: integer widening chain for schema_policy="merge"
+_INT_RANK = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+#: physical parquet widening reads Spark 4 supports (SPARK-40876):
+#: int8/16/32 -> wider int / double, float -> double.  int64 -> double
+#: is NOT a supported read widening (lossy), hence the long+fractional
+#: refusal below.
+_FRACTIONAL = {"float", "double"}
+
+
+def _merged_type(old: str, new: str, col: str) -> str:
+    """Unified type for a drifting column under ``merge`` policy, or
+    raise if no type exists that (a) the new data casts to losslessly
+    enough and (b) the OLD parquet files remain physically readable as
+    — the second constraint is the one last-writer-wins violates (the
+    narrowing-poisons case in tests/test_pipeline_e2e.py)."""
+    if old == new:
+        return old
+    if old in _INT_RANK and new in _INT_RANK:
+        return old if _INT_RANK[old] >= _INT_RANK[new] else new
+    if old in _FRACTIONAL and new in _FRACTIONAL:
+        return "double"
+    # int-backed old files are readable as double; new fractional data
+    # must not be narrowed -> double wins
+    if old in _INT_RANK and old != "bigint" and new in _FRACTIONAL:
+        return "double"
+    # new integers cast up to the old fractional type losslessly
+    # (<= 2^53 for double — CSV-scale ints)
+    if old in _FRACTIONAL and new in _INT_RANK:
+        return "double" if old == "double" or new == "bigint" else "float"
+    if old == "string":
+        return "string"  # anything serializes; old files stay readable
+    raise ValueError(
+        f"schema_policy='merge': column '{col}' drifted {old} -> {new}; "
+        "no merged type keeps the existing parquet files readable "
+        "(e.g. long+double, or numeric -> string).  Repair "
+        "operationally: re-conform history or correct the source."
+    )
+
+
+def reconcile_schema(
+    df: DataFrame,
+    existing: StructType,
+    partition_cols: tuple[str, ...] = ("year", "month", "day"),
+) -> DataFrame:
+    """schema_policy="merge": reconcile a new file's inferred schema
+    with the already-published table so the catalog only ever WIDENS.
+
+    - common columns: cast the new data to :func:`_merged_type` (so a
+      narrowing file — double history, int file — is cast back UP and
+      the table never poisons);
+    - columns only in the existing table: appended as typed nulls (new
+      files carry the full schema; no read-time surprises);
+    - columns only in the new file: kept — parquet reads of old files
+      return null for them, the correct union semantics.
+    """
+    have = {f.name: f for f in df.schema.fields}
+    casts: dict[str, Column] = {}
+    appends: list[Column] = []
+    for f in existing.fields:
+        if f.name in partition_cols:
+            continue
+        new_f = have.get(f.name)
+        if new_f is None:
+            appends.append(F.lit(None).cast(f.dataType).alias(f.name))
+            continue
+        target = _merged_type(
+            f.dataType.simpleString(), new_f.dataType.simpleString(), f.name
+        )
+        if target != new_f.dataType.simpleString():
+            casts[f.name] = F.col(f.name).cast(target)
+    if casts:
+        df = df.withColumns(casts)
+    if appends:
+        df = df.select("*", *appends)
+    return df
+
+
 def conform(
     spark: SparkSession,
     params: JobParams,
     conformed_root: str,
     schema: StructType | None = None,
     sample_rows: int = 0,
+    schema_policy: str = "last_writer",
 ) -> ConformResult:
     """Run the conformance job for one raw file
     (parity: etl_raw_to_conformed.py:176-221 ``main``).
+
+    ``schema_policy``: ``"last_writer"`` (default) is the reference's
+    semantics — the newest file's inferred schema wins the catalog
+    (etl_raw_to_conformed.py:147-154; widening drift reads fine,
+    narrowing drift poisons reads until repaired — pinned by
+    tests/test_pipeline_e2e.py).  ``"merge"`` opts into schema
+    EVOLUTION: the new data is reconciled against the published table
+    (:func:`reconcile_schema`) so the catalog only ever widens, new
+    columns union in, dropped columns persist as typed nulls, and a
+    narrowing file is cast back up instead of poisoning history.
 
     The row count comes from an ``Observation`` attached to the write
     plan, not a re-read of the written table: the write materializes
@@ -101,6 +189,8 @@ def conform(
     parsed), and the count costs nothing extra.  At 100 TB that's one
     full table scan saved per ingested file.
     """
+    if schema_policy not in ("last_writer", "merge"):
+        raise ValueError(f"unknown schema_policy {schema_policy!r}")
     df = read_raw(spark, params.source_path, schema=schema)
     if sample_rows:  # K8 tap 1: post-read (etl_raw_to_conformed.py:196)
         df.show(sample_rows)
@@ -108,6 +198,10 @@ def conform(
     if sample_rows:  # K8 tap 2: post-stamp (etl_raw_to_conformed.py:199)
         df.show(sample_rows)
     df = repair_null_columns(df)
+    if schema_policy == "merge":
+        fqn = f"`{params.target_database_name}`.`{params.table_name}`"
+        if spark.catalog.tableExists(fqn):
+            df = reconcile_schema(df, spark.table(fqn).schema)
     if sample_rows:  # K8 tap 3: pre-write (etl_raw_to_conformed.py:215)
         df.show(sample_rows)
 

@@ -937,12 +937,13 @@ def udaf_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     same single exchange a builtin agg pays, with per-group state =
     the group's values (exact medians are holistic — the sketch twin
     for unbounded groups is ``approx_quantiles``)."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # explicit GROUPED_AGG: annotations are stringified in this module
-    # (future import), so the functionType cannot be inferred
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def mad(v):
+    # Series -> scalar type hints mark this GROUPED_AGG (the
+    # PandasUDFType constant is deprecated); the stringified
+    # annotations (future import) resolve fine — pd is module-global
+    @pandas_udf("double")
+    def mad(v: pd.Series) -> float:
         return float((v - v.median()).abs().median())
 
     ev = _t(spark, sf_dir, "events")

@@ -95,6 +95,11 @@ class PipelineRunner:
     # is by audit status, not rollback; a corrected re-run overwrites
     # idempotently (K1).
     dq_checks: Callable[[DataFrame], DataFrame] | None = None
+    # Schema-drift policy for the conformed zone: "last_writer"
+    # (reference semantics, default) or "merge" (opt-in evolution —
+    # catalog only widens, new columns union in, narrowing files cast
+    # back up; operators/conform.py::reconcile_schema)
+    schema_policy: str = "last_writer"
 
     def __post_init__(self) -> None:
         self.audit = AuditLog(self.spark, self.layout.audit, clock=self.clock)
@@ -191,6 +196,7 @@ class PipelineRunner:
                 params,
                 self.layout.conformed,
                 sample_rows=self.debug_sample_rows,
+                schema_policy=self.schema_policy,
             )
             conformed_rows = conformed.n_rows  # observed during the write
             if self.dq_checks is not None:

@@ -39,6 +39,11 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "sim_brute_topk",
     "stream_tumbling",
+    # round-4 operator families, benched from round 5 on (appended so
+    # the original 18 stay directly comparable across rounds)
+    "dedup_winnow_overlap",
+    "sim_ivf_index_full_probe",
+    "sketch_cm_heavy_hitters",
 ]
 
 

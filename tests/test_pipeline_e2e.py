@@ -509,3 +509,103 @@ def test_backfill_pins_ingest_date_and_touches_only_its_partitions(
         .count()
         == 4
     )
+
+
+def test_schema_policy_merge_survives_drift_matrix(spark, lake_root):
+    """Opt-in schema evolution (schema_policy="merge"): the catalog
+    only ever widens, so the narrowing case that poisons last-writer
+    (test above) stays readable, new columns union in, and dropped
+    columns persist as typed nulls."""
+    from datetime import datetime, timezone
+
+    clock_value = [datetime(2020, 8, 15, tzinfo=timezone.utc)]
+    r = PipelineRunner(
+        spark=spark,
+        layout=LakeLayout(lake_root),
+        transforms_dir=os.path.join(
+            os.path.dirname(__file__), "..", "transforms"
+        ),
+        notifier=lambda s, m: None,
+        clock=lambda: clock_value[0],
+        schema_policy="merge",
+    )
+
+    def write_raw(key: str, content: str) -> None:
+        path = os.path.join(lake_root, "raw", key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(content)
+
+    def day(d: int) -> None:
+        clock_value[0] = datetime(2020, 8, d, tzinfo=timezone.utc)
+
+    write_raw("shop/mergy/a.csv", "id,v\n1,10\n2,20\n")
+    assert r.on_file("shop/mergy/a.csv").status == "SUCCEEDED"
+    assert dict(spark.table("shop.mergy").dtypes)["v"] == "int"
+
+    # widening drift (int -> double): catalog widens, old files read up
+    day(16)
+    write_raw("shop/mergy/b.csv", "id,v\n3,3.5\n4,4.25\n")
+    assert r.on_file("shop/mergy/b.csv").status == "SUCCEEDED"
+    assert dict(spark.table("shop.mergy").dtypes)["v"] == "double"
+
+    # NARROWING drift (double -> int): the poison case under
+    # last_writer — merge casts the new file back UP, catalog stays
+    # double, everything remains readable
+    day(17)
+    write_raw("shop/mergy/c.csv", "id,v\n5,7\n6,8\n")
+    assert r.on_file("shop/mergy/c.csv").status == "SUCCEEDED"
+    assert dict(spark.table("shop.mergy").dtypes)["v"] == "double"
+    got = {(row.id, row.v) for row in spark.table("shop.mergy").collect()}
+    assert got == {
+        (1, 10.0), (2, 20.0), (3, 3.5), (4, 4.25), (5, 7.0), (6, 8.0)
+    }
+
+    # column ADDED: old rows read null for it
+    day(18)
+    write_raw("shop/mergy/d.csv", "id,v,extra\n7,9.5,hi\n")
+    assert r.on_file("shop/mergy/d.csv").status == "SUCCEEDED"
+    t = spark.table("shop.mergy")
+    assert dict(t.dtypes)["extra"] == "string"
+    assert t.filter("id = 7").collect()[0].extra == "hi"
+    assert t.filter("id = 1").collect()[0].extra is None
+
+    # column DROPPED from the source: persists as typed nulls
+    day(19)
+    write_raw("shop/mergy/e.csv", "id,v\n8,1.25\n")
+    assert r.on_file("shop/mergy/e.csv").status == "SUCCEEDED"
+    t = spark.table("shop.mergy")
+    assert t.filter("id = 8").collect()[0].extra is None
+    assert t.filter("id = 7").collect()[0].extra == "hi"
+    # full history still collects cleanly after the whole matrix
+    assert t.count() == 8
+
+
+def test_schema_policy_merge_refuses_unreadable_union(spark, lake_root):
+    """merge raises a CLEAR error when no merged type keeps history
+    readable (numeric history + string file), instead of silently
+    poisoning like last_writer would."""
+    from datetime import datetime, timezone
+
+    r = PipelineRunner(
+        spark=spark,
+        layout=LakeLayout(lake_root),
+        transforms_dir=os.path.join(
+            os.path.dirname(__file__), "..", "transforms"
+        ),
+        notifier=lambda s, m: None,
+        clock=lambda: datetime(2020, 8, 15, tzinfo=timezone.utc),
+        schema_policy="merge",
+    )
+    path = os.path.join(lake_root, "raw", "shop/strict/a.csv")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("id,v\n1,10\n")
+    assert r.on_file("shop/strict/a.csv").status == "SUCCEEDED"
+    with open(path, "w") as f:
+        f.write("id,v\n2,abc\n")
+    res = r.on_file("shop/strict/a.csv")
+    assert res.status == "FAILED"
+    assert "schema_policy='merge'" in res.error_message
+    # history untouched and still readable
+    assert [row.v for row in spark.table("shop.strict").collect()] == [10]

@@ -461,6 +461,145 @@ def _query_distance_tables_residual(
     )
 
 
+def _ivfpq_cand_broadcast(
+    codes: DataFrame,
+    centroids: dict[int, list[float]],
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    nprobe: int,
+    shortlist: int,
+    id_col: str,
+    vec_col: str,
+    residual: bool,
+) -> DataFrame:
+    """Shared broadcast-table IVF(+residual) ADC shortlist:
+    ``(query_id, neighbor_id)`` candidates from a codes table carrying
+    ``centroid_id`` — used by the in-memory topk ops and the persisted
+    index probe alike."""
+    if residual:
+        dtab = _query_distance_tables_residual(
+            queries, centroids, codebooks, nprobe, id_col, vec_col
+        )
+    else:
+        probe = _probe_pairs_df(
+            queries, centroids, nprobe, id_col, vec_col
+        ).select("query_id", "centroid_id")
+        dtab = _query_distance_tables(
+            queries, codebooks, id_col, vec_col
+        ).join(probe, "query_id")
+    return _adc_join_topk(
+        codes, dtab, shortlist, id_col, ["centroid_id", "j", "code"]
+    ).select("query_id", F.col(id_col).alias("neighbor_id"))
+
+
+def write_ivfpq_index(
+    vectors: DataFrame,
+    path: str,
+    coarse_k: int = 8,
+    m: int = 16,
+    ksub: int = 16,
+    seed: int = 42,
+    residual: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Materialize the production IVF+PQ index: train the coarse
+    codebook (k-means||) and PQ sub-quantizers, write the code table
+    PARTITIONED BY centroid_id under ``<path>/codes`` (a probe reads
+    only its nprobe buckets' files via partition pruning — the rest of
+    a 100 TB corpus is never opened, and the opened part is the
+    ~32x-compressed codes, not the vectors), and persist the model
+    artifacts (centroids + codebooks, kilobytes) as a JSON sidecar
+    under ``<path>/meta``.  Returns the meta dict.
+
+    Mirrors :func:`..operators.similarity.write_ivf_index`, which
+    stores full vectors; this stores codes — the variant whose probe
+    I/O stays constant-size per bucket as dimensionality grows."""
+    import json
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.similarity import (
+        assign_ivf_buckets,
+        train_ivf_codebook,
+    )
+
+    spark = vectors.sparkSession
+    coarse = train_ivf_codebook(
+        vectors, n_centroids=coarse_k, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    centroids = {
+        int(r["centroid_id"]): list(r["embedding"]) for r in coarse.collect()
+    }
+    if residual:
+        books = train_pq_codebooks_residual(
+            vectors,
+            [centroids[b] for b in sorted(centroids)],
+            m=m, ksub=ksub, seed=seed, id_col=id_col, vec_col=vec_col,
+        )
+        codes = pq_encode_residual(vectors, coarse, books, id_col, vec_col)
+    else:
+        books = train_pq_codebooks(
+            vectors, m=m, ksub=ksub, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+        bucketed = assign_ivf_buckets(
+            vectors, coarse, id_col=id_col, vec_col=vec_col
+        ).select(F.col(id_col), "centroid_id")
+        codes = pq_encode(vectors, books, id_col, vec_col).join(
+            bucketed, id_col
+        )
+    codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/codes"
+    )
+    meta = {"residual": residual, "centroids": centroids, "codebooks": books}
+    # JSON round-trips python floats exactly (shortest-repr), so the
+    # reloaded codebooks reproduce bit-identical ADC tables
+    spark.createDataFrame(
+        [(json.dumps(meta, sort_keys=True),)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/meta")
+    return meta
+
+
+def ivfpq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against the PERSISTED IVF+PQ index: reload
+    the model sidecar (one bounded row), compute each query's probed
+    buckets, scan ONLY those partitions of the code table (the
+    ``isin`` on the partition column reaches the file index as a
+    PartitionFilter — plan-asserted in tests), broadcast-ADC the
+    shortlist, and exact-rerank against ``vectors`` (a
+    shortlist-sized semi-join read).  The two ``collect()``s are the
+    sidecar and the probed-bucket id list — probe-side constants,
+    never corpus-sized."""
+    import json
+
+    meta = json.loads(
+        spark.read.text(f"{path}/meta").collect()[0]["value"]
+    )
+    centroids = {int(b): v for b, v in meta["centroids"].items()}
+    books = meta["codebooks"]
+    probe = _probe_pairs_df(queries, centroids, nprobe, id_col, vec_col)
+    buckets = [
+        r["centroid_id"]
+        for r in probe.select("centroid_id").distinct().collect()
+    ]
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("centroid_id").isin(buckets)
+    )
+    cand = _ivfpq_cand_broadcast(
+        codes, centroids, books, queries, nprobe, shortlist,
+        id_col, vec_col, bool(meta["residual"]),
+    )
+    return _exact_rerank(cand, vectors, queries, k, id_col, vec_col)
+
+
 def pq_shortlist_rerank(
     codes: DataFrame,
     vectors: DataFrame,
@@ -576,15 +715,10 @@ def ivf_pq_topk(
     if tables == "broadcast":
         # distance tables and probed buckets as broadcast DATA — plan
         # size constant in the query-batch size (the 10^3+-query path)
-        probe = _probe_pairs_df(
-            queries, centroids, nprobe, id_col, vec_col
-        ).select("query_id", "centroid_id")
-        dtab = _query_distance_tables(
-            queries, codebooks, id_col, vec_col
-        ).join(probe, "query_id")
-        cand = _adc_join_topk(
-            codes, dtab, shortlist, id_col, ["centroid_id", "j", "code"]
-        ).select("query_id", F.col(id_col).alias("neighbor_id"))
+        cand = _ivfpq_cand_broadcast(
+            codes, centroids, codebooks, queries, nprobe, shortlist,
+            id_col, vec_col, residual=False,
+        )
     else:
         mm = len(codebooks)
         ksub_n = len(codebooks[0])
@@ -826,12 +960,10 @@ def ivf_pq_topk_residual(
         )
     if tables == "broadcast":
         centroids = {b: list(cv) for b, cv in cent_rows}
-        dtab = _query_distance_tables_residual(
-            queries, centroids, books, nprobe, id_col, vec_col
+        cand = _ivfpq_cand_broadcast(
+            codes, centroids, books, queries, nprobe, shortlist,
+            id_col, vec_col, residual=True,
         )
-        cand = _adc_join_topk(
-            codes, dtab, shortlist, id_col, ["centroid_id", "j", "code"]
-        ).select("query_id", F.col(id_col).alias("neighbor_id"))
         return _exact_rerank(cand, vectors, queries, k, id_col, vec_col)
 
     dsub = len(books[0][0])

@@ -1652,6 +1652,29 @@ def sim_ivf_index_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+def sim_ivfpq_index_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVF+PQ index end-to-end (operators/pq.py
+    write_ivfpq_index + ivfpq_topk_from_index): residual-encoded codes
+    written partitioned by centroid_id with the model artifacts as a
+    JSON sidecar; the probe reloads the sidecar, scans only probed
+    buckets (partition pruning, plan-asserted in tests/test_pq.py),
+    broadcast-ADCs a corpus-wide shortlist and exact-reranks.  At full
+    probe the result must equal brute force — same oracle — so a hash
+    match proves train -> encode -> write -> reload -> prune -> probe
+    through real files AND the JSON float round-trip of the model."""
+    import tempfile
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators import pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivfpq_index_q_") + "/idx"
+    pq.write_ivfpq_index(e, path, coarse_k=4, m=16, ksub=16, residual=True)
+    queries = e.filter(F.col("vec_id") < 10)
+    return pq.ivfpq_topk_from_index(
+        spark, path, queries, e, k=5, nprobe=4, shortlist=e.count()
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k over a k-means||-TRAINED codebook
     (operators/similarity.py train_ivf_codebook): distributed seeded
@@ -5908,6 +5931,9 @@ def build_registry() -> dict[str, QuerySpec]:
         "sim_pq_full_rerank": QuerySpec(sim_pq_full_rerank, SIM_BRUTE_TOPK_ORACLE),
         "sim_ivfpq_topk": QuerySpec(sim_ivfpq_topk, None),
         "sim_ivfpq_full": QuerySpec(sim_ivfpq_full, SIM_BRUTE_TOPK_ORACLE),
+        "sim_ivfpq_index_full_probe": QuerySpec(
+            sim_ivfpq_index_full_probe, SIM_BRUTE_TOPK_ORACLE
+        ),
         "sim_ivfpq_residual_full": QuerySpec(
             sim_ivfpq_residual_full, SIM_BRUTE_TOPK_ORACLE
         ),

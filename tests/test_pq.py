@@ -210,3 +210,50 @@ def test_adc_auto_dispatch(spark, emb, books):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in p_small
     assert "BroadcastHashJoin" in p_big
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF+PQ index: write codes partitioned by bucket + model
+# sidecar; probe prunes partitions and must equal brute force at full
+# probe + corpus shortlist (both encodings).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("residual", [False, True])
+def test_ivfpq_index_full_probe_equals_brute_force(
+    spark, emb, tmp_path, residual
+):
+    path = str(tmp_path / ("idx_res" if residual else "idx_raw"))
+    meta = pq.write_ivfpq_index(
+        emb, path, coarse_k=4, m=16, ksub=16, residual=residual
+    )
+    assert set(meta) == {"residual", "centroids", "codebooks"}
+    queries = emb.filter(F.col("vec_id") < 10)
+    n = emb.count()
+    got = pq.ivfpq_topk_from_index(
+        spark, path, queries, emb, k=5, nprobe=4, shortlist=n
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    assert got.exceptAll(exact).count() == 0
+    assert exact.exceptAll(got).count() == 0
+
+
+def test_ivfpq_index_probe_prunes_partitions(spark, emb, tmp_path):
+    """nprobe=1: the code-table scan must carry a PartitionFilter on
+    centroid_id (only probed buckets' files are opened) and read the
+    codes, never the vectors."""
+    path = str(tmp_path / "idx_prune")
+    pq.write_ivfpq_index(emb, path, coarse_k=4, m=16, ksub=16)
+    queries = emb.filter(F.col("vec_id") < 3)
+    plan = (
+        pq.ivfpq_topk_from_index(
+            spark, path, queries, emb, k=5, nprobe=1, shortlist=20
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [centroid_id" in plan.replace("#", " #").replace(
+        "centroid_id #", "centroid_id#"
+    ) or "centroid_id IN" in plan
+    assert "BroadcastHashJoin" in plan

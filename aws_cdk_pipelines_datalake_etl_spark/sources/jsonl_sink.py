@@ -46,6 +46,20 @@ class StagedFile(WriterCommitMessage):
     rows: int
 
 
+def _stage_rows(staged_dir: str, iterator) -> StagedFile:
+    """Task-side staging shared by the stream and batch writers: rows
+    stream to a uniquely-named file under ``staged_dir``; nothing is
+    visible until a commit publishes it."""
+    os.makedirs(staged_dir, exist_ok=True)
+    staged = os.path.join(staged_dir, f"{uuid.uuid4().hex}.jsonl")
+    n = 0
+    with open(staged, "w") as f:
+        for row in iterator:
+            f.write(json.dumps(row.asDict(), default=str) + "\n")
+            n += 1
+    return StagedFile(path=staged, rows=n)
+
+
 class JsonlDirStreamWriter(DataSourceStreamWriter):
     def __init__(self, options):
         self.path = options.get("path")
@@ -53,15 +67,7 @@ class JsonlDirStreamWriter(DataSourceStreamWriter):
             raise ValueError("jsonldir sink requires option 'path'")
 
     def write(self, iterator) -> StagedFile:
-        staged_dir = os.path.join(self.path, ".staged")
-        os.makedirs(staged_dir, exist_ok=True)
-        staged = os.path.join(staged_dir, f"{uuid.uuid4().hex}.jsonl")
-        n = 0
-        with open(staged, "w") as f:
-            for row in iterator:
-                f.write(json.dumps(row.asDict(), default=str) + "\n")
-                n += 1
-        return StagedFile(path=staged, rows=n)
+        return _stage_rows(os.path.join(self.path, ".staged"), iterator)
 
     def commit(self, messages, batchId: int) -> None:
         batch_dir = os.path.join(self.path, f"batch={batchId}")
@@ -175,8 +181,16 @@ class JsonlDirBatchWriter(DataSourceWriter):
         # job's tasks
         self.job_id = uuid.uuid4().hex[:12]
 
+    def _stage_root(self) -> str:
+        # job-scoped staging dir: a concurrent batch job's commit-time
+        # sweep must never be able to touch THIS job's staged files
+        # (the stream writer sweeps the shared .staged/ safely because
+        # one query owns the sink and micro-batches are sequential; two
+        # batch jobs appending concurrently have no such ordering)
+        return os.path.join(self.path, ".staged", f"job-{self.job_id}")
+
     def write(self, iterator) -> StagedFile:
-        return JsonlDirStreamWriter({"path": self.path}).write(iterator)
+        return _stage_rows(self._stage_root(), iterator)
 
     def commit(self, messages) -> None:
         if self.overwrite and os.path.isdir(self.path):
@@ -193,13 +207,9 @@ class JsonlDirBatchWriter(DataSourceWriter):
             total += m.rows
         with open(os.path.join(out_dir, "_COMMIT"), "w") as f:
             f.write(json.dumps({"rows": total, "job": self.job_id}))
-        # same orphan hygiene as the stream writer
-        JsonlDirStreamWriter({"path": self.path})._sweep_staged_orphans(
-            messages
-        )
+        # whole-dir orphan hygiene: everything left under this job's
+        # staging root belongs to failed attempts of THIS job
+        shutil.rmtree(self._stage_root(), ignore_errors=True)
 
     def abort(self, messages) -> None:
-        for m in messages:
-            if m is not None and os.path.exists(m.path):
-                os.remove(m.path)
-        JsonlDirStreamWriter({"path": self.path})._sweep_staged_orphans([])
+        shutil.rmtree(self._stage_root(), ignore_errors=True)

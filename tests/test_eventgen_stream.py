@@ -258,3 +258,26 @@ def test_jsonl_stream_commit_sweeps_orphaned_staging(tmp_path):
     # published batch holds only the surviving message's rows
     files = sorted(os.listdir(os.path.join(path, "batch=0")))
     assert files == ["_COMMIT", "part-00000.jsonl"]
+
+
+def test_jsonl_batch_concurrent_jobs_staging_isolated(spark, tmp_path):
+    """Two in-flight batch jobs stage under job-scoped dirs: one job's
+    commit (which sweeps ITS staging wholesale) must not touch the
+    other's staged-but-uncommitted files."""
+    from pyspark.sql import Row
+
+    from aws_cdk_pipelines_datalake_etl_spark.sources import jsonl_sink
+
+    path = str(tmp_path / "csink")
+    a = jsonl_sink.JsonlDirBatchWriter({"path": path}, overwrite=False)
+    b = jsonl_sink.JsonlDirBatchWriter({"path": path}, overwrite=False)
+    ma = a.write(iter([Row(event_id=1, user_id=1, value=10)]))
+    mb = b.write(iter([Row(event_id=2, user_id=2, value=20)]))
+    a.commit([ma])  # sweeps only a's staging root
+    assert os.path.exists(mb.path)
+    b.commit([mb])
+    back = jsonl_sink.read_committed(spark, path)
+    assert {r.event_id for r in back.collect()} == {1, 2}
+    # both staging roots gone after their commits
+    staged = os.path.join(path, ".staged")
+    assert not os.path.isdir(staged) or os.listdir(staged) == []

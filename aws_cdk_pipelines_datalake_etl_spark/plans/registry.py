@@ -1652,6 +1652,25 @@ def sim_ivf_index_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+def sim_ivfpq_bcast_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ with BROADCAST distance tables (operators/pq.py
+    tables='broadcast' — the large-query-batch path: every query's
+    m x ksub ADC table travels as data broadcast-hash-joined onto the
+    posexploded codes, so the PLAN is constant-size in nq) at full
+    probe + corpus shortlist: must equal brute force bit-for-bit —
+    the exact gate over the scale formulation.  The literal-tables
+    twin is ``sim_ivfpq_full``; tests/test_pq.py proves the two forms
+    row-identical at partial probe too."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators import pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return pq.ivf_pq_topk(
+        e, queries, k=5, coarse_k=4, nprobe=4, shortlist=e.count(),
+        tables="broadcast",
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 def sim_ivfpq_index_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERSISTED IVF+PQ index end-to-end (operators/pq.py
     write_ivfpq_index + ivfpq_topk_from_index): residual-encoded codes
@@ -5933,6 +5952,9 @@ def build_registry() -> dict[str, QuerySpec]:
         "sim_ivfpq_full": QuerySpec(sim_ivfpq_full, SIM_BRUTE_TOPK_ORACLE),
         "sim_ivfpq_index_full_probe": QuerySpec(
             sim_ivfpq_index_full_probe, SIM_BRUTE_TOPK_ORACLE
+        ),
+        "sim_ivfpq_bcast_full": QuerySpec(
+            sim_ivfpq_bcast_full, SIM_BRUTE_TOPK_ORACLE
         ),
         "sim_ivfpq_residual_full": QuerySpec(
             sim_ivfpq_residual_full, SIM_BRUTE_TOPK_ORACLE

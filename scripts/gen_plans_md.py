@@ -86,6 +86,12 @@ SHOWCASE = {
         "rightmost-min selection is 6 lag/lead columns over ONE Window "
         "(single Exchange in the plan) + a scalar filter"
     ),
+    "sim_ivfpq_bcast_full": (
+        "the ADC distance tables are broadcast DATA, not plan literals: "
+        "BroadcastHashJoin on (centroid_id, j, code) after posexplode of "
+        "the code arrays, partial-sum HashAggregate in the join stage — "
+        "plan size constant in the query-batch size"
+    ),
     "q69_suppliers_who_kept_waiting": (
         "both correlated branches decorrelated: EXISTS -> LeftSemi, "
         "NOT EXISTS (two outer references) -> LeftAnti with the date "

@@ -265,6 +265,11 @@ def encode_png(pixels: np.ndarray, filters: "list[int] | None" = None) -> bytes:
     types (default: row y uses y % 5, exercising every filter — this
     encoder exists for fixtures and round-trip tests, not ratio)."""
     h, w, c = pixels.shape
+    if c not in (1, 3):
+        raise ValueError(
+            f"encode_png: {c}-channel pixels unsupported (1=gray, 3=RGB); "
+            "drop alpha before encoding"
+        )
     ctype = 0 if c == 1 else 2
     rows = bytearray()
     prev = np.zeros(w * c, dtype=np.uint8)

@@ -108,16 +108,23 @@ def _merged_type(old: str, new: str, col: str) -> str:
     # must not be narrowed -> double wins
     if old in _INT_RANK and old != "bigint" and new in _FRACTIONAL:
         return "double"
-    # new integers cast up to the old fractional type losslessly
-    # (<= 2^53 for double — CSV-scale ints)
-    if old in _FRACTIONAL and new in _INT_RANK:
-        return "double" if old == "double" or new == "bigint" else "float"
+    # new integers must cast LOSSLESSLY: tinyint/smallint fit float
+    # (< 2^24) so the old float files can stay float; int needs double
+    # (float would corrupt >= 2^24, and float->double is a supported
+    # read widening of the old files); bigint fits NEITHER (> 2^53
+    # overflows double) and falls through to the refusal
+    if old in _FRACTIONAL and new in _INT_RANK and new != "bigint":
+        if old == "float" and new in ("tinyint", "smallint"):
+            return "float"
+        return "double"
     if old == "string":
         return "string"  # anything serializes; old files stay readable
     raise ValueError(
         f"schema_policy='merge': column '{col}' drifted {old} -> {new}; "
-        "no merged type keeps the existing parquet files readable "
-        "(e.g. long+double, or numeric -> string).  Repair "
+        "no merged type both keeps the existing parquet files readable "
+        "and preserves the new data losslessly (e.g. bigint+double — "
+        "int64 is not a supported parquet read-widening and > 2^53 "
+        "overflows double — or numeric -> string).  Repair "
         "operationally: re-conform history or correct the source."
     )
 

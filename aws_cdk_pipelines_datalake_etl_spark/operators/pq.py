@@ -249,6 +249,36 @@ def _count_at_most(df: DataFrame, limit: int) -> int:
     return df.limit(limit + 1).count()
 
 
+def _resolve_tables(queries: DataFrame, tables: str, threshold: int) -> str:
+    """Shared ``tables=`` dispatch: validate the strategy name (a typo
+    must not silently fall through to the literal path and inline an
+    unbounded query batch into the plan) and resolve ``auto`` by a
+    bounded count."""
+    if tables not in ("auto", "literal", "broadcast"):
+        raise ValueError(
+            f"tables={tables!r}: expected 'auto', 'literal' or 'broadcast'"
+        )
+    if tables != "auto":
+        return tables
+    return (
+        "broadcast"
+        if _count_at_most(queries, threshold) > threshold
+        else "literal"
+    )
+
+
+def _seq_sq_sum(diffs) -> float:
+    """Strictly SEQUENTIAL sum of squared differences, matching the SQL
+    ``aggregate`` fold's left-to-right association bit-for-bit.  numpy's
+    ``.sum()`` switches to pairwise summation above 8 elements, which
+    can differ in the last ulp and flip a 9-dp round — the literal and
+    broadcast ADC tables must agree exactly at any ``dsub``."""
+    acc = 0.0
+    for d in diffs:
+        acc += float(d) * float(d)
+    return acc
+
+
 def pq_adc_topk(
     codes: DataFrame,
     codebooks: list[list[list[float]]],
@@ -280,13 +310,7 @@ def pq_adc_topk(
 
     Returns ``(query_id, vec_id, adc_dist, rank)``; ties broken by
     vec_id for a deterministic row set."""
-    if tables == "auto":
-        tables = (
-            "broadcast"
-            if _count_at_most(queries, broadcast_threshold)
-            > broadcast_threshold
-            else "literal"
-        )
+    tables = _resolve_tables(queries, tables, broadcast_threshold)
     if tables == "broadcast":
         dtab = _query_distance_tables(queries, codebooks, id_col, vec_col)
         return _adc_join_topk(codes, dtab, k, id_col, ["j", "code"])
@@ -305,7 +329,10 @@ def pq_adc_topk(
             [
                 float(
                     np.round(
-                        ((qv[j * dsub : (j + 1) * dsub] - np.array(codebooks[j][c])) ** 2).sum(),
+                        _seq_sq_sum(
+                            qv[j * dsub : (j + 1) * dsub]
+                            - np.array(codebooks[j][c])
+                        ),
                         9,
                     )
                 )
@@ -428,13 +455,20 @@ def _query_distance_tables_residual(
     nprobe: int,
     id_col: str,
     vec_col: str,
+    probe: "DataFrame | None" = None,
 ) -> DataFrame:
     """Residual ADC tables as data: ``(query_id, centroid_id, j, code,
     pd)`` — one m×ksub table per (query, probed bucket), because the
     query's residual differs per bucket.  nq*nprobe*m*ksub skinny rows,
-    still broadcast-sized for any realistic batch."""
+    still broadcast-sized for any realistic batch.  Pass a precomputed
+    ``probe`` (from :func:`_probe_pairs_df`) to avoid recomputing the
+    coarse assignment when the caller already needed it."""
     dsub = len(codebooks[0][0])
-    pp = _probe_pairs_df(queries, centroids, nprobe, id_col, vec_col)
+    pp = (
+        probe
+        if probe is not None
+        else _probe_pairs_df(queries, centroids, nprobe, id_col, vec_col)
+    )
     rows = pp.select(
         "query_id", "centroid_id", "cvec",
         F.explode(_codebook_entry_lit(codebooks)).alias("e"),
@@ -471,22 +505,25 @@ def _ivfpq_cand_broadcast(
     id_col: str,
     vec_col: str,
     residual: bool,
+    probe: "DataFrame | None" = None,
 ) -> DataFrame:
     """Shared broadcast-table IVF(+residual) ADC shortlist:
     ``(query_id, neighbor_id)`` candidates from a codes table carrying
     ``centroid_id`` — used by the in-memory topk ops and the persisted
-    index probe alike."""
+    index probe alike.  ``probe`` optionally reuses an already-computed
+    :func:`_probe_pairs_df` result (one coarse-assignment job, not
+    two)."""
+    if probe is None:
+        probe = _probe_pairs_df(queries, centroids, nprobe, id_col, vec_col)
     if residual:
         dtab = _query_distance_tables_residual(
-            queries, centroids, codebooks, nprobe, id_col, vec_col
+            queries, centroids, codebooks, nprobe, id_col, vec_col,
+            probe=probe,
         )
     else:
-        probe = _probe_pairs_df(
-            queries, centroids, nprobe, id_col, vec_col
-        ).select("query_id", "centroid_id")
         dtab = _query_distance_tables(
             queries, codebooks, id_col, vec_col
-        ).join(probe, "query_id")
+        ).join(probe.select("query_id", "centroid_id"), "query_id")
     return _adc_join_topk(
         codes, dtab, shortlist, id_col, ["centroid_id", "j", "code"]
     ).select("query_id", F.col(id_col).alias("neighbor_id"))
@@ -585,7 +622,9 @@ def ivfpq_topk_from_index(
     )
     centroids = {int(b): v for b, v in meta["centroids"].items()}
     books = meta["codebooks"]
-    probe = _probe_pairs_df(queries, centroids, nprobe, id_col, vec_col)
+    probe = _probe_pairs_df(
+        queries, centroids, nprobe, id_col, vec_col
+    ).cache()
     buckets = [
         r["centroid_id"]
         for r in probe.select("centroid_id").distinct().collect()
@@ -595,7 +634,7 @@ def ivfpq_topk_from_index(
     )
     cand = _ivfpq_cand_broadcast(
         codes, centroids, books, queries, nprobe, shortlist,
-        id_col, vec_col, bool(meta["residual"]),
+        id_col, vec_col, bool(meta["residual"]), probe=probe,
     )
     return _exact_rerank(cand, vectors, queries, k, id_col, vec_col)
 
@@ -620,26 +659,10 @@ def pq_shortlist_rerank(
     result whenever the true top-k survives into the ADC shortlist —
     the recall gate the tests measure.
     """
-    from aws_cdk_pipelines_datalake_etl_spark.functions.rounding import pround
-    from aws_cdk_pipelines_datalake_etl_spark.functions.vector import cosine
-
     cand = pq_adc_topk(codes, codebooks, queries, k=shortlist, id_col=id_col).select(
         "query_id", F.col(id_col).alias("neighbor_id")
     )
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("v"))
-    q = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("q"))
-    scored = (
-        cand.join(v, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .withColumn("cosine", pround(cosine("q", "v"), 6))
-        .select("query_id", "neighbor_id", "cosine")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _exact_rerank(cand, vectors, queries, k, id_col, vec_col)
 
 
 def ivf_pq_topk(
@@ -681,8 +704,6 @@ def ivf_pq_topk(
     """
     import numpy as np
 
-    from aws_cdk_pipelines_datalake_etl_spark.functions.rounding import pround
-    from aws_cdk_pipelines_datalake_etl_spark.functions.vector import cosine
     from aws_cdk_pipelines_datalake_etl_spark.operators.similarity import (
         assign_ivf_buckets,
         train_ivf_codebook,
@@ -705,13 +726,7 @@ def ivf_pq_topk(
     ).select(F.col(id_col), F.col("centroid_id"))
     codes = pq_encode(vectors, codebooks, id_col, vec_col).join(bucketed, id_col)
 
-    if tables == "auto":
-        tables = (
-            "broadcast"
-            if _count_at_most(queries, broadcast_threshold)
-            > broadcast_threshold
-            else "literal"
-        )
+    tables = _resolve_tables(queries, tables, broadcast_threshold)
     if tables == "broadcast":
         # distance tables and probed buckets as broadcast DATA — plan
         # size constant in the query-batch size (the 10^3+-query path)
@@ -735,10 +750,10 @@ def ivf_pq_topk(
                 [
                     float(
                         np.round(
-                            (
-                                (qv[j * dsub : (j + 1) * dsub] - np.array(codebooks[j][c]))
-                                ** 2
-                            ).sum(),
+                            _seq_sq_sum(
+                                qv[j * dsub : (j + 1) * dsub]
+                                - np.array(codebooks[j][c])
+                            ),
                             9,
                         )
                     )
@@ -775,26 +790,7 @@ def ivf_pq_topk(
             .filter(F.col("r") <= shortlist)
             .select("query_id", F.col(id_col).alias("neighbor_id"))
         )
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("v")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("q")
-    )
-    scored = (
-        cand.join(v, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .withColumn("cosine", pround(cosine("q", "v"), 6))
-        .select("query_id", "neighbor_id", "cosine")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _exact_rerank(cand, vectors, queries, k, id_col, vec_col)
 
 
 # ---------------------------------------------------------------------------
@@ -932,8 +928,6 @@ def ivf_pq_topk_residual(
     for large query batches."""
     import numpy as np
 
-    from aws_cdk_pipelines_datalake_etl_spark.functions.rounding import pround
-    from aws_cdk_pipelines_datalake_etl_spark.functions.vector import cosine
     from aws_cdk_pipelines_datalake_etl_spark.operators.similarity import (
         train_ivf_codebook,
     )
@@ -951,13 +945,7 @@ def ivf_pq_topk_residual(
     )
     codes = pq_encode_residual(vectors, coarse, books, id_col, vec_col)
 
-    if tables == "auto":
-        tables = (
-            "broadcast"
-            if _count_at_most(queries, broadcast_threshold)
-            > broadcast_threshold
-            else "literal"
-        )
+    tables = _resolve_tables(queries, tables, broadcast_threshold)
     if tables == "broadcast":
         centroids = {b: list(cv) for b, cv in cent_rows}
         cand = _ivfpq_cand_broadcast(
@@ -982,10 +970,10 @@ def ivf_pq_topk_residual(
                 [
                     float(
                         np.round(
-                            (
-                                (rq[j * dsub : (j + 1) * dsub] - np.array(books[j][c]))
-                                ** 2
-                            ).sum(),
+                            _seq_sq_sum(
+                                rq[j * dsub : (j + 1) * dsub]
+                                - np.array(books[j][c])
+                            ),
                             9,
                         )
                     )
@@ -1025,23 +1013,4 @@ def ivf_pq_topk_residual(
         .filter(F.col("r") <= shortlist)
         .select("query_id", F.col(id_col).alias("neighbor_id"))
     )
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("v")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("q")
-    )
-    scored = (
-        cand.join(v, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .withColumn("cosine", pround(cosine("q", "v"), 6))
-        .select("query_id", "neighbor_id", "cosine")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _exact_rerank(cand, vectors, queries, k, id_col, vec_col)

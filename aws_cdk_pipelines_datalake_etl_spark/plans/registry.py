@@ -1638,13 +1638,16 @@ def sim_ivf_index_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning, plan-asserted in tests).  Probing every bucket must equal
     exact brute force — same oracle — so a hash match proves the whole
     write→prune→probe path."""
+    import os
     import tempfile
 
     e = _t(spark, sf_dir, "embeddings")
     centroids = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    path = tempfile.mkdtemp(prefix="ivf_index_q_") + "/idx"
+    # stable path + mode("overwrite") inside write_ivf_index: repeated
+    # sweeps REPLACE the index instead of accumulating tempdirs
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_idx", "ivf")
     sim.write_ivf_index(e, centroids, path)
     return sim.ivf_topk_from_index(
         spark, path, e.filter(F.col("vec_id") < 10), centroids, k=5, nprobe=8,
@@ -1681,12 +1684,14 @@ def sim_ivfpq_index_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe the result must equal brute force — same oracle — so a hash
     match proves train -> encode -> write -> reload -> prune -> probe
     through real files AND the JSON float round-trip of the model."""
+    import os
     import tempfile
 
     from aws_cdk_pipelines_datalake_etl_spark.operators import pq
 
     e = _t(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="ivfpq_index_q_") + "/idx"
+    # stable path, overwritten per run — no tempdir accumulation
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_idx", "ivfpq")
     pq.write_ivfpq_index(e, path, coarse_k=4, m=16, ksub=16, residual=True)
     queries = e.filter(F.col("vec_id") < 10)
     return pq.ivfpq_topk_from_index(

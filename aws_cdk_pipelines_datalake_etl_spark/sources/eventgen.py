@@ -146,7 +146,19 @@ class EventGenParallelStreamReader(DataSourceStreamReader):
         if max(lo, hi) > self._latest:
             self._latest = max(lo, hi)
         self._cursor_valid = True
-        if hi <= lo:
+        if hi < lo:
+            # A strictly backward batch can only mean the checkpoint
+            # holds an offset beyond this run's configured n (the
+            # restart fallback claims at most n).  Letting it through
+            # would WAL the regressed end, and a LATER restart with n
+            # restored would replay already-delivered rows — fail loud
+            # with the operational fix instead of silently duplicating.
+            raise ValueError(
+                f"eventgenpar: checkpointed offset {lo} exceeds the "
+                f"configured n={self.n}; restart with n >= {lo} or use "
+                "a fresh checkpoint location"
+            )
+        if hi == lo:
             return []
         per = max(1, -(-(hi - lo) // self.parallelism))  # ceil
         return [_Range(a, min(a + per, hi)) for a in range(lo, hi, per)]

@@ -40,18 +40,20 @@ def test_parallel_source_restart_with_checkpoint_no_duplicates(
             .start()
         )
 
-    # run 1: drain a couple of micro-batches, stop cleanly (committed
-    # checkpoint), leaving the source mid-stream
+    # run 1: drain the bounded source fully, stop cleanly — the
+    # checkpoint now holds a committed offset (5000) far above any
+    # fresh reader's in-memory cursor.  (The MID-stream committed-
+    # checkpoint restart is the second test below, via a capped first
+    # run.)
     q = start()
     try:
-        while not any(p["numInputRows"] > 0 for p in q.recentProgress):
-            q.processAllAvailable()  # bounded source: drains fully
-            break
+        q.processAllAvailable()
     finally:
         q.stop()
 
     # restart 1..2: each constructs a fresh reader whose cursor starts
-    # at 0 — the bug would re-emit from the regressed offset
+    # at 0 — the round-4 bug re-offered offsets below the checkpoint
+    # here and re-emitted committed rows
     for _ in range(2):
         q = start()
         try:

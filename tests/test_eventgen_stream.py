@@ -281,3 +281,14 @@ def test_jsonl_batch_concurrent_jobs_staging_isolated(spark, tmp_path):
     # both staging roots gone after their commits
     staged = os.path.join(path, ".staged")
     assert not os.path.isdir(staged) or os.listdir(staged) == []
+
+
+def test_parallel_reader_rejects_backward_batch():
+    """A strictly backward batch (checkpoint beyond a reconfigured
+    smaller n) must fail LOUD: silently WALing the regressed end would
+    replay already-delivered rows on a later restart with n restored."""
+    r = eventgen.EventGenParallelStreamReader({"n": "1400", "batch_rows": "700"})
+    with pytest.raises(ValueError, match="exceeds the configured n"):
+        r.partitions({"index": 3300}, {"index": 1400})
+    # empty (start == end) batches remain fine
+    assert r.partitions({"index": 1400}, {"index": 1400}) == []

@@ -543,3 +543,13 @@ def test_png_through_default_decode_and_resize(spark):
     assert (w, h, c) == (4, 3, 3)
     # nearest-neighbor x map: src = (t*8)//4 -> columns 0,2,4,6
     assert out[0, :, 0].tolist() == [0, 20, 40, 60]
+
+
+def test_encode_png_rejects_unsupported_channels():
+    import numpy as np
+    import pytest as _pytest
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions import imagecodec as ic
+
+    with _pytest.raises(ValueError, match="channel"):
+        ic.encode_png(np.zeros((2, 2, 4), dtype=np.uint8))

@@ -609,3 +609,34 @@ def test_schema_policy_merge_refuses_unreadable_union(spark, lake_root):
     assert "schema_policy='merge'" in res.error_message
     # history untouched and still readable
     assert [row.v for row in spark.table("shop.strict").collect()] == [10]
+
+
+def test_merged_type_matrix():
+    """Unit pin of the merge-policy type lattice: lossless-or-refuse in
+    BOTH directions (the reviewed round-5 bug: old float + new int must
+    widen to double, not narrow ints >= 2^24 into float; bigint +
+    fractional refuses both ways)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.conform import (
+        _merged_type,
+    )
+
+    assert _merged_type("int", "int", "c") == "int"
+    assert _merged_type("int", "bigint", "c") == "bigint"
+    assert _merged_type("bigint", "smallint", "c") == "bigint"
+    assert _merged_type("int", "double", "c") == "double"
+    assert _merged_type("float", "double", "c") == "double"
+    assert _merged_type("double", "int", "c") == "double"
+    assert _merged_type("float", "smallint", "c") == "float"
+    assert _merged_type("float", "tinyint", "c") == "float"
+    # int does NOT fit float (>= 2^24): widen to double instead
+    assert _merged_type("float", "int", "c") == "double"
+    assert _merged_type("string", "int", "c") == "string"
+    # refusals: no lossless + history-readable merged type
+    for old, new in [
+        ("bigint", "double"),
+        ("double", "bigint"),
+        ("float", "bigint"),
+        ("int", "string"),
+    ]:
+        with pytest.raises(ValueError, match="schema_policy='merge'"):
+            _merged_type(old, new, "c")

@@ -257,3 +257,10 @@ def test_ivfpq_index_probe_prunes_partitions(spark, emb, tmp_path):
         "centroid_id #", "centroid_id#"
     ) or "centroid_id IN" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_tables_strategy_validated(spark, emb, books):
+    codes = pq.pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="expected 'auto'"):
+        pq.pq_adc_topk(codes, books, queries, tables="broadcsat")

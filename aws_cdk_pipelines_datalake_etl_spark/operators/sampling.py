@@ -147,6 +147,58 @@ def stratified_predicate_sql(
     return " OR ".join(clauses)
 
 
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str = "source",
+    tau: float = 2.0,
+    target_fraction: float = 0.5,
+) -> DataFrame:
+    """Temperature-based data-mixture sampling — the standard
+    multi-source LM recipe (e.g. multilingual-pretraining sampling,
+    public literature): source ``i``'s share of the output is
+    proportional to ``n_i^(1/tau)`` (``tau > 1`` flattens the mixture
+    toward uniform, ``tau = 1`` keeps natural proportions), scaled so
+    the expected output is ``target_fraction`` of the corpus; each
+    source's keep fraction is capped at 1.
+
+    Per-row decisions use the deterministic :func:`row_uniform`
+    (exactly reproducible; SQL twin in the registry oracle), so the
+    only non-row-local work is one tiny per-source count aggregate
+    broadcast against the corpus scan.
+
+    Engine-portability of the thresholds: ``tau == 2`` uses ``sqrt``
+    (IEEE-exact on every engine, unlike ``pow`` whose last ulp is
+    libm-dependent), and the normalizer is quantized to integer
+    micro-units before summing so its value is independent of float
+    summation order — the same devices the registry's other
+    hash-matched float predicates use.  Other ``tau`` values work but
+    carry a documented cross-engine last-ulp caveat via ``pow``."""
+    pw = (
+        F.sqrt(F.col("_n").cast("double"))
+        if tau == 2.0
+        else F.pow("_n", 1.0 / tau)
+    )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    tot = counts.agg(
+        F.sum("_n").alias("_total"),
+        F.sum(F.floor(pw * 1000000 + F.lit(0.5)).cast("long")).alias("_zq"),
+    )
+    frac = F.least(
+        F.lit(1.0),
+        F.lit(target_fraction)
+        * F.col("_total")
+        * pw
+        / ((F.col("_zq") / 1000000.0) * F.col("_n")),
+    )
+    return (
+        df.join(F.broadcast(counts), source_col)
+        .join(F.broadcast(tot))
+        .filter(row_uniform(id_col) < frac)
+        .drop("_n", "_total", "_zq")
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     id_col: str,

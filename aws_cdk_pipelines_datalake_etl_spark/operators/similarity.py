@@ -591,6 +591,63 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style bucketed near-duplicate pairs (Abbas et al.,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", 2023 — public literature): assign every vector to
+    its nearest centroid (:func:`assign_ivf_buckets`), then compare
+    pairs ONLY within a bucket.  The pair join is bucket-local — at
+    100 TB the quadratic term is bounded by the largest cluster, never
+    the corpus (grow ``centroids`` with corpus size to keep clusters
+    bounded)."""
+    b = assign_ivf_buckets(vectors, centroids, id_col, vec_col)
+    a1 = b.select(
+        F.col(id_col).alias("id1"), "centroid_id", F.col("v").alias("v1")
+    )
+    a2 = b.select(
+        F.col(id_col).alias("id2"), "centroid_id", F.col("v").alias("v2")
+    )
+    return (
+        a1.join(a2, "centroid_id")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", pround(cosine("v1", "v2"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("centroid_id", "id1", "id2", "cosine")
+    )
+
+
+def semantic_dedup_survivors(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup keep-set: drop every vector that is the LARGER
+    id of an epsilon-similar pair within its semantic cluster (i.e.
+    each near-dup pair keeps its smaller id — a deterministic,
+    SQL-checkable representative rule; SemDeDup's keep-one-per-group
+    collapses to exactly this under pairwise epsilon since dropping
+    id2 of every pair leaves the per-group minimum).  Returns
+    ``(vec_id, centroid_id)`` survivors; one anti-join over the
+    bucket-local pair set."""
+    pairs = semantic_dedup_pairs(
+        vectors, centroids, threshold, id_col, vec_col
+    )
+    dropped = pairs.select(F.col("id2").alias(id_col)).distinct()
+    return (
+        assign_ivf_buckets(vectors, centroids, id_col, vec_col)
+        .join(dropped, id_col, "left_anti")
+        .select(id_col, "centroid_id")
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -4910,6 +4910,86 @@ WHERE {_U32_SQL} < mn * 0.5 / c.n
 """
 
 
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (operators/sampling.py
+    temperature_mix): source share proportional to n^(1/tau) with
+    tau=2 — the standard multilingual/multi-source LM flattening —
+    scaled to half the corpus in expectation, keep decisions by the
+    deterministic row uniform.  sqrt (IEEE-exact both engines) + a
+    micro-unit-quantized normalizer make the float predicate
+    hash-reproducible; the oracle replays the whole mixture rule."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_mix(
+        d, "doc_id", source_col="source", tau=2.0, target_fraction=0.5
+    )
+
+
+SAMPLE_TEMPERATURE_ORACLE = f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+tot AS (
+  SELECT sum(n) AS total,
+         sum(CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS zq
+  FROM counts
+)
+SELECT d.doc_id, d.source
+FROM documents d
+JOIN counts c ON d.source = c.source
+CROSS JOIN tot
+WHERE {_U32_SQL} <
+      least(1.0, 0.5 * total * sqrt(CAST(c.n AS DOUBLE)) / ((zq / 1000000.0) * c.n))
+"""
+
+
+def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.py
+    semantic_dedup_survivors): vectors are clustered to fixed
+    centroids (embeddings vec_id<8, same device as the IVF entries so
+    the oracle can replay the assignment), near-dup pairs are found
+    ONLY within a cluster (bucket-local join — the quadratic term is
+    bounded by the largest cluster, never the corpus), and each
+    epsilon-pair keeps its smaller id.  Returns survivors
+    ``(vec_id, centroid_id)``."""
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return sim.semantic_dedup_survivors(e, centroids, threshold=0.4)
+
+
+DEDUP_SEMANTIC_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, e AS c FROM v WHERE vec_id < 8),
+scored AS (
+  SELECT v.vec_id, cent.centroid_id,
+         round(list_cosine_similarity(v.e, cent.c), 6) AS sim
+  FROM v, cent
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a2.vec_id AS id2
+  FROM assign a1
+  JOIN assign a2 ON a1.centroid_id = a2.centroid_id
+                AND a1.vec_id < a2.vec_id
+  JOIN v v1 ON v1.vec_id = a1.vec_id
+  JOIN v v2 ON v2.vec_id = a2.vec_id
+  WHERE round(list_cosine_similarity(v1.e, v2.e), 6) >= 0.4
+)
+SELECT a.vec_id, a.centroid_id
+FROM assign a
+WHERE a.vec_id NOT IN (SELECT id2 FROM pairs)
+"""
+
+
 def text_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition removal: keep each token's FIRST
     occurrence, preserving order — the within-doc dedup quality pass.
@@ -5854,6 +5934,12 @@ def build_registry() -> dict[str, QuerySpec]:
         "sample_cap_per_class": QuerySpec(sample_cap_per_class, SAMPLE_CAP_ORACLE),
         "sample_quality_weighted": QuerySpec(
             sample_quality_weighted, SAMPLE_WEIGHTED_ORACLE
+        ),
+        "sample_temperature_mix": QuerySpec(
+            sample_temperature_mix, SAMPLE_TEMPERATURE_ORACLE
+        ),
+        "dedup_semantic_survivors": QuerySpec(
+            dedup_semantic_survivors, DEDUP_SEMANTIC_ORACLE
         ),
         "sample_source_rebalance": QuerySpec(
             sample_source_rebalance, SAMPLE_REBALANCE_ORACLE

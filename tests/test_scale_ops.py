@@ -199,3 +199,40 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_temperature_mix_flattens_mixture(spark):
+    """tau=2 moves source shares toward uniform relative to the
+    natural mixture, the output is ~target_fraction of the corpus,
+    and the kept set is deterministic."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        temperature_mix,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import load_table
+
+    from tests.conftest import SF_DIR_SMOKE
+
+    # a deliberately skewed mixture (the testdata sources are uniform,
+    # where flattening is a no-op): 1600 / 320 / 80 rows
+    d = spark.range(2000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id < 1600 THEN 'web' WHEN id < 1920 THEN 'books' "
+        "ELSE 'code' END AS source",
+    )
+    n = d.count()
+    kept = temperature_mix(d, "doc_id", tau=2.0, target_fraction=0.5)
+    k1 = {r.doc_id for r in kept.collect()}
+    assert k1 == {r.doc_id for r in kept.collect()}  # deterministic
+    assert 0.35 * n <= len(k1) <= 0.65 * n  # ~half in expectation
+    nat = {r.source: r.n for r in d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    got = {r.source: r.n for r in kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # flattening: tau=2 shrinks the dominant/minority share ratio
+    # (sqrt mixture: 20x natural -> ~4.5x expected); generous slack
+    # for hash-sampling noise still separates it from no-op
+    nat_ratio = max(nat.values()) / min(nat.values())  # 20x
+    got_ratio = max(got.values()) / min(got.values())
+    assert got_ratio < nat_ratio / 2
+    # and the small source is UPWEIGHTED in relative share
+    assert got["code"] / len(k1) > nat["code"] / n

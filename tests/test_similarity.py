@@ -203,3 +203,45 @@ def test_persisted_ivf_index_equals_in_memory_probe(spark, tmp_path):
     plan = formatted_plan(from_index)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("centroid_id" in ln for ln in pf), plan
+
+
+def test_semantic_dedup_survivors_properties(spark):
+    """Bucket-locality + representative rule: every dropped id is the
+    larger member of an epsilon-pair WITHIN its bucket, and every
+    cross-bucket near-dup pair survives intact."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.similarity import (
+        assign_ivf_buckets,
+        embedding_near_dup_pairs,
+        semantic_dedup_pairs,
+        semantic_dedup_survivors,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import load_table
+
+    from tests.conftest import SF_DIR_SMOKE
+
+    e = load_table(spark, SF_DIR_SMOKE, "embeddings").cache()
+    cents = e.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    pairs = semantic_dedup_pairs(e, cents, threshold=0.4).collect()
+    assign = {
+        r.vec_id: r.centroid_id
+        for r in assign_ivf_buckets(e, cents).collect()
+    }
+    # pairs are bucket-local by construction
+    for p in pairs:
+        assert assign[p.id1] == assign[p.id2] == p.centroid_id
+        assert p.id1 < p.id2 and p.cosine >= 0.4
+    surv = {r.vec_id for r in semantic_dedup_survivors(e, cents, 0.4).collect()}
+    dropped = {p.id2 for p in pairs}
+    n = e.count()
+    assert surv | dropped == set(assign) and not (surv & dropped)
+    assert len(surv) == n - len(dropped)
+    # subset relation vs the exact all-pairs near-dup set: bucketing
+    # only SPLITS comparisons, never invents pairs
+    exact_pairs = {
+        (r.id1, r.id2)
+        for r in embedding_near_dup_pairs(e, threshold=0.4).collect()
+    }
+    assert {(p.id1, p.id2) for p in pairs} <= exact_pairs
+    e.unpersist()

@@ -36,3 +36,9 @@ def norm(a: str) -> Column:
 def cosine(a: str, b: str) -> Column:
     """Cosine similarity; NULL when either vector has zero norm."""
     return dot(a, b) / (norm(a) * norm(b))
+
+
+# NOTE: an unrolled known-dim codegen dot (128-term element_at chain)
+# was tried for the pair-join hot path and measured ~2.5x SLOWER than
+# the lambda fold at dim 64 — winnow's codegen-beats-lambda rule holds
+# for small closed forms only (see SCALE.md, semantic dedup probe).

@@ -606,17 +606,33 @@ def semantic_dedup_pairs(
     100 TB the quadratic term is bounded by the largest cluster, never
     the corpus (grow ``centroids`` with corpus size to keep clusters
     bounded)."""
-    b = assign_ivf_buckets(vectors, centroids, id_col, vec_col)
+    from aws_cdk_pipelines_datalake_etl_spark.functions.vector import dot, norm
+
+    # per-VECTOR norm computed once (same fold arithmetic as cosine()),
+    # so the quadratic pair stage pays one dot fold + a divide per pair
+    # instead of three folds — bit-identical values.  (An unrolled
+    # codegen dot was measured SLOWER here: a 128-term element_at chain
+    # exceeds what whole-stage codegen handles well, unlike winnow's
+    # small closed forms — the lambda fold's optimized loop wins at
+    # dim 64.)
+    b = assign_ivf_buckets(vectors, centroids, id_col, vec_col).withColumn(
+        "nrm", norm("v")
+    )
     a1 = b.select(
-        F.col(id_col).alias("id1"), "centroid_id", F.col("v").alias("v1")
+        F.col(id_col).alias("id1"), "centroid_id",
+        F.col("v").alias("v1"), F.col("nrm").alias("n1"),
     )
     a2 = b.select(
-        F.col(id_col).alias("id2"), "centroid_id", F.col("v").alias("v2")
+        F.col(id_col).alias("id2"), "centroid_id",
+        F.col("v").alias("v2"), F.col("nrm").alias("n2"),
     )
     return (
         a1.join(a2, "centroid_id")
         .filter(F.col("id1") < F.col("id2"))
-        .withColumn("cosine", pround(cosine("v1", "v2"), 6))
+        .withColumn(
+            "cosine",
+            pround(dot("v1", "v2") / (F.col("n1") * F.col("n2")), 6),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("centroid_id", "id1", "id2", "cosine")
     )

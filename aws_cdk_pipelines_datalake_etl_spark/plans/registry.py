@@ -5329,10 +5329,11 @@ _DRIVER_WINDOW = [
     "multimodal_image_resize",
     "multimodal_decode_png",
     "multimodal_embed_topk",
+    # round-5 additions, driver-verified the round they ship
+    "dedup_semantic_survivors",
+    "sample_temperature_mix",
     # --- re-confirmation slots: oracle entries last driver-verified in
     # rounds 1-2, re-pinned so the hard signal stays fresh -------------
-    "q04_topk_orders",
-    "q08_semi_join",
     "q12_window_running_sum",
     "q22_cube",
     "q25_exists_correlated",

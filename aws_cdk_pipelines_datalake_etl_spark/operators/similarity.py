@@ -591,22 +591,91 @@ def embedding_near_dup_pairs(
     )
 
 
+def derive_semantic_centroids(
+    vectors: DataFrame,
+    target_cluster_rows: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train_rows: int = 262_144,
+    **trainer_kwargs,
+) -> DataFrame:
+    """Auto-derive a SemDeDup codebook sized to the corpus:
+    ``n_centroids = ceil(N / target_cluster_rows)`` so the *expected*
+    cluster size stays constant as the corpus grows (the SemDeDup
+    contract "grow centroids with corpus size", now computed rather
+    than hand-tuned).  Training runs :func:`train_ivf_codebook` on a
+    deterministic Bernoulli sample capped at ``max_train_rows`` —
+    codebook quality does not need the full population, and the
+    driver-side cost is one ``count()`` plus the k-row centroid
+    collects the trainer already bounds.
+
+    Note the driver memory envelope: k grows linearly with N at fixed
+    ``target_cluster_rows`` (k x dim doubles on the driver).  For
+    very large corpora raise ``target_cluster_rows`` so k stays in
+    the 1e4-1e6 range — the *hard* per-task bound is enforced
+    downstream by :func:`semantic_dedup_pairs`' block grid either
+    way, so an undersized codebook degrades cost, not correctness or
+    memory safety."""
+    n = vectors.count()
+    if n == 0:
+        raise ValueError("cannot derive centroids from an empty corpus")
+    k = max(1, -(-n // target_cluster_rows))
+    frac = min(1.0, max_train_rows / n)
+    return train_ivf_codebook(
+        vectors,
+        n_centroids=k,
+        seed=seed,
+        sample_fraction=None if frac >= 1.0 else frac,
+        id_col=id_col,
+        vec_col=vec_col,
+        **trainer_kwargs,
+    )
+
+
 def semantic_dedup_pairs(
     vectors: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None = None,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_rows: int | None = 4096,
+    target_cluster_rows: int = 4096,
+    seed: int = 42,
 ) -> DataFrame:
     """SemDeDup-style bucketed near-duplicate pairs (Abbas et al.,
     "SemDeDup: Data-efficient learning at web-scale through semantic
     deduplication", 2023 — public literature): assign every vector to
     its nearest centroid (:func:`assign_ivf_buckets`), then compare
-    pairs ONLY within a bucket.  The pair join is bucket-local — at
-    100 TB the quadratic term is bounded by the largest cluster, never
-    the corpus (grow ``centroids`` with corpus size to keep clusters
-    bounded)."""
+    pairs ONLY within a bucket.  ``centroids=None`` auto-derives a
+    corpus-proportional codebook (:func:`derive_semantic_centroids`).
+
+    **Skew guard (mechanism, not knob).**  A single mega-cluster —
+    boilerplate in real web corpora — would make the naive
+    bucket-local self-join quadratic *in one task*.  With
+    ``max_bucket_rows`` set (the default), each bucket is split into
+    ``B = ceil(n_bucket / max_bucket_rows)`` deterministic hash
+    blocks and the self-join runs over the upper-triangular *block
+    grid*: the left side carries block ``b1`` and is exploded to
+    target blocks ``b1..B-1``; the right side joins on its own block.
+    Every unordered pair is produced exactly once (within-block pairs
+    by the ``id1 < id2`` filter, cross-block pairs by the triangular
+    explode), so the pair set — and therefore the survivor set — is
+    **provably identical** to the unguarded join (property-tested),
+    while per-task candidate volume is bounded by
+    ``max_bucket_rows**2`` whatever the cluster-size distribution.
+    The inherent quadratic work of a mega-cluster is spread over
+    ``B*(B+1)/2`` even tasks instead of one straggler; left-side
+    shuffle volume grows by the ~``B/2`` replication factor, the
+    price of exact semantics.  ``max_bucket_rows=None`` keeps the
+    legacy single-key join (used by the invariance test).
+    """
     from aws_cdk_pipelines_datalake_etl_spark.functions.vector import dot, norm
+
+    if centroids is None:
+        centroids = derive_semantic_centroids(
+            vectors, target_cluster_rows, seed, id_col, vec_col
+        )
 
     # per-VECTOR norm computed once (same fold arithmetic as cosine()),
     # so the quadratic pair stage pays one dot fold + a divide per pair
@@ -618,32 +687,84 @@ def semantic_dedup_pairs(
     b = assign_ivf_buckets(vectors, centroids, id_col, vec_col).withColumn(
         "nrm", norm("v")
     )
-    a1 = b.select(
+    sim_expr = pround(dot("v1", "v2") / (F.col("n1") * F.col("n2")), 6)
+
+    if max_bucket_rows is None:
+        a1 = b.select(
+            F.col(id_col).alias("id1"), "centroid_id",
+            F.col("v").alias("v1"), F.col("nrm").alias("n1"),
+        )
+        a2 = b.select(
+            F.col(id_col).alias("id2"), "centroid_id",
+            F.col("v").alias("v2"), F.col("nrm").alias("n2"),
+        )
+        return (
+            a1.join(a2, "centroid_id")
+            .filter(F.col("id1") < F.col("id2"))
+            .withColumn("cosine", sim_expr)
+            .filter(F.col("cosine") >= threshold)
+            .select("centroid_id", "id1", "id2", "cosine")
+        )
+
+    # Block grid: one tiny per-bucket count agg (broadcast back), then
+    # deterministic block ids — no driver action, fully declarative.
+    # Buckets at or under the cap get B=1 and degrade to the legacy
+    # shape (block 0 joins block 0) at the cost of one constant key.
+    counts = b.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("_bn"))
+    bb = (
+        b.join(F.broadcast(counts), "centroid_id")
+        .withColumn(
+            "_nb", F.ceil(F.col("_bn") / F.lit(max_bucket_rows)).cast("int")
+        )
+        .withColumn(
+            "_blk",
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.col("_nb")).cast(
+                "int"
+            ),
+        )
+    )
+    a1 = bb.select(
         F.col(id_col).alias("id1"), "centroid_id",
         F.col("v").alias("v1"), F.col("nrm").alias("n1"),
-    )
-    a2 = b.select(
-        F.col(id_col).alias("id2"), "centroid_id",
+        F.col("_blk").alias("_b1"),
+        F.explode(F.sequence(F.col("_blk"), F.col("_nb") - 1)).alias("_tgt"),
+    ).alias("a1")
+    a2 = bb.select(
+        F.col(id_col).alias("id2"),
+        F.col("centroid_id").alias("_c2"),
         F.col("v").alias("v2"), F.col("nrm").alias("n2"),
-    )
+        F.col("_blk").alias("_b2"),
+    ).alias("a2")
     return (
-        a1.join(a2, "centroid_id")
-        .filter(F.col("id1") < F.col("id2"))
-        .withColumn(
-            "cosine",
-            pround(dot("v1", "v2") / (F.col("n1") * F.col("n2")), 6),
+        a1.join(
+            a2,
+            (F.col("centroid_id") == F.col("_c2"))
+            & (F.col("_tgt") == F.col("_b2")),
         )
+        # within a block both orderings appear -> keep id1 < id2; across
+        # blocks the triangular explode already yields each pair once,
+        # in arbitrary id order -> keep all and canonicalize below
+        .filter((F.col("_b1") < F.col("_b2")) | (F.col("id1") < F.col("id2")))
+        .withColumn("cosine", sim_expr)
         .filter(F.col("cosine") >= threshold)
-        .select("centroid_id", "id1", "id2", "cosine")
+        .select(
+            "centroid_id",
+            F.least("id1", "id2").alias("id1"),
+            F.greatest("id1", "id2").alias("id2"),
+            "cosine",
+        )
     )
 
 
 def semantic_dedup_survivors(
     vectors: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None = None,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_rows: int | None = 4096,
+    target_cluster_rows: int = 4096,
+    seed: int = 42,
 ) -> DataFrame:
     """Semantic dedup keep-set: drop every vector that is the LARGER
     id of an epsilon-similar pair within its semantic cluster (i.e.
@@ -652,9 +773,18 @@ def semantic_dedup_survivors(
     collapses to exactly this under pairwise epsilon since dropping
     id2 of every pair leaves the per-group minimum).  Returns
     ``(vec_id, centroid_id)`` survivors; one anti-join over the
-    bucket-local pair set."""
+    bucket-local pair set.  Pair generation runs the
+    :func:`semantic_dedup_pairs` block-grid skew guard (identical
+    pair set, bounded per-task volume); ``centroids=None``
+    auto-derives the codebook ONCE and reuses it for both the pair
+    stage and the final assignment."""
+    if centroids is None:
+        centroids = derive_semantic_centroids(
+            vectors, target_cluster_rows, seed, id_col, vec_col
+        )
     pairs = semantic_dedup_pairs(
-        vectors, centroids, threshold, id_col, vec_col
+        vectors, centroids, threshold, id_col, vec_col,
+        max_bucket_rows, target_cluster_rows, seed,
     )
     dropped = pairs.select(F.col("id2").alias(id_col)).distinct()
     return (

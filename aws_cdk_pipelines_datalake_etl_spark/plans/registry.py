@@ -4990,6 +4990,25 @@ WHERE a.vec_id NOT IN (SELECT id2 FROM pairs)
 """
 
 
+def dedup_semantic_skewguard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The block-grid SKEW GUARD path of semantic dedup
+    (operators/similarity.py semantic_dedup_pairs, VERDICT r5 #2):
+    same fixed centroids and threshold as ``dedup_semantic_survivors``
+    but with ``max_bucket_rows=64``, forcing every cluster through a
+    multi-block triangular grid (ceil(n/64) hash blocks per bucket;
+    per-task candidate volume <= 64^2 regardless of cluster skew).
+    The guard preserves the pair set EXACTLY — so this entry shares
+    the unguarded entry's oracle verbatim: a driver hash match here
+    is machine proof of the invariance the property test asserts."""
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return sim.semantic_dedup_survivors(
+        e, centroids, threshold=0.4, max_bucket_rows=64
+    )
+
+
 def text_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition removal: keep each token's FIRST
     occurrence, preserving order — the within-doc dedup quality pass.
@@ -5941,6 +5960,10 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "dedup_semantic_survivors": QuerySpec(
             dedup_semantic_survivors, DEDUP_SEMANTIC_ORACLE
+        ),
+        # guard invariance: IDENTICAL oracle by design (VERDICT r5 #2)
+        "dedup_semantic_skewguard": QuerySpec(
+            dedup_semantic_skewguard, DEDUP_SEMANTIC_ORACLE
         ),
         "sample_source_rebalance": QuerySpec(
             sample_source_rebalance, SAMPLE_REBALANCE_ORACLE

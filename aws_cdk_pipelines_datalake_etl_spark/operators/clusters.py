@@ -30,6 +30,7 @@ def connected_components(
     id1: str = "id1",
     id2: str = "id2",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Min-label connected components over an undirected edge list.
 
@@ -37,7 +38,17 @@ def connected_components(
     least one edge, where ``cluster_rep`` is the smallest node id in
     the component.  Raises if the fixpoint is not reached within
     ``max_iterations`` (= graph diameter bound).
+
+    Lineage truncation per round uses ``localCheckpoint`` by default
+    (fast, but blocks live in non-replicated executor storage — an
+    executor loss aborts the job).  Pass ``checkpoint_dir`` to use
+    RELIABLE ``checkpoint`` instead: label blocks are written to
+    that (HDFS/S3-class) directory each round, so a 1000-executor
+    run survives executor churn at the cost of one distributed write
+    per round (VERDICT r5 #6).
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     edges = (
         pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
         .union(pairs.select(F.col(id2).alias("a"), F.col(id1).alias("b")))
@@ -69,9 +80,13 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        # localCheckpoint truncates the per-round lineage so the plan
-        # doesn't grow exponentially with iterations
-        labels = new_labels.localCheckpoint(eager=True)
+        # checkpointing truncates the per-round lineage so the plan
+        # doesn't grow exponentially with iterations; reliable when a
+        # checkpoint_dir was given, executor-local otherwise
+        if checkpoint_dir is not None:
+            labels = new_labels.checkpoint(eager=True)
+        else:
+            labels = new_labels.localCheckpoint(eager=True)
         if changed == 0:
             break
     else:
@@ -80,12 +95,16 @@ def connected_components(
 
 
 def dedup_cluster_representatives(
-    pairs: DataFrame, id1: str = "id1", id2: str = "id2"
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """One row per clustered document: (doc, its cluster's min id).
     Docs in no pair are implicitly their own representative and are
     not emitted (keeps the output proportional to the duplicate set,
-    not the corpus)."""
-    return connected_components(pairs, id1, id2).select(
-        F.col("node").alias("doc_id"), "cluster_rep"
-    )
+    not the corpus).  ``checkpoint_dir`` selects reliable
+    checkpointing (see :func:`connected_components`)."""
+    return connected_components(
+        pairs, id1, id2, checkpoint_dir=checkpoint_dir
+    ).select(F.col("node").alias("doc_id"), "cluster_rep")

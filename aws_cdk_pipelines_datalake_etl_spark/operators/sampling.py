@@ -167,35 +167,46 @@ def temperature_mix(
     only non-row-local work is one tiny per-source count aggregate
     broadcast against the corpus scan.
 
-    Engine-portability of the thresholds: ``tau == 2`` uses ``sqrt``
-    (IEEE-exact on every engine, unlike ``pow`` whose last ulp is
-    libm-dependent), and the normalizer is quantized to integer
-    micro-units before summing so its value is independent of float
-    summation order — the same devices the registry's other
-    hash-matched float predicates use.  Other ``tau`` values work but
-    carry a documented cross-engine last-ulp caveat via ``pow``."""
+    Engine-portability of the thresholds, at ANY ``tau``: the
+    per-source weight ``n^(1/tau)`` is quantized to integer
+    micro-units (``wq = floor(w * 1e6 + 0.5)`` as a long) and ALL
+    downstream arithmetic — the normalizer sum, the keep-threshold —
+    runs on those integers with an identical expression tree on both
+    engines, so the only libm-dependent value is ``w`` itself.  For
+    ``tau == 2`` the weight comes from ``sqrt`` (correctly rounded by
+    IEEE 754 on every engine), making ``wq`` *fully* exact.  For
+    other ``tau`` a cross-engine ``pow`` discrepancy (<= 1 ulp,
+    ~1e-16 relative) flips ``wq`` only if ``w * 1e6`` lands within
+    one ulp of a half-integer boundary — a ~1e-10 per-source event,
+    nine orders of magnitude of margin versus comparing raw ``pow``
+    outputs.  This is the same micro-unit device the registry's
+    other hash-matched float predicates use; driver-verified at
+    tau=2 and tau=3."""
     pw = (
         F.sqrt(F.col("_n").cast("double"))
         if tau == 2.0
-        else F.pow("_n", 1.0 / tau)
+        else F.pow(F.col("_n").cast("double"), 1.0 / tau)
     )
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_wq", F.floor(pw * 1000000 + F.lit(0.5)).cast("long"))
+    )
     tot = counts.agg(
-        F.sum("_n").alias("_total"),
-        F.sum(F.floor(pw * 1000000 + F.lit(0.5)).cast("long")).alias("_zq"),
+        F.sum("_n").alias("_total"), F.sum("_wq").alias("_zq")
     )
     frac = F.least(
         F.lit(1.0),
         F.lit(target_fraction)
         * F.col("_total")
-        * pw
-        / ((F.col("_zq") / 1000000.0) * F.col("_n")),
+        * F.col("_wq")
+        / (F.col("_zq").cast("double") * F.col("_n")),
     )
     return (
         df.join(F.broadcast(counts), source_col)
         .join(F.broadcast(tot))
         .filter(row_uniform(id_col) < frac)
-        .drop("_n", "_total", "_zq")
+        .drop("_n", "_wq", "_total", "_zq")
     )
 
 

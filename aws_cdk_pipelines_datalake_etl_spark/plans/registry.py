@@ -1385,6 +1385,77 @@ WHERE cm_est >= 70
 """
 
 
+def sketch_cm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-shaped count-min heavy hitters (VERDICT r5 #3):
+    ``sketch_cm_heavy_hitters`` stays as the correctness gate but
+    probes the sketch with the whole fact table and joins exact
+    counts — it measures the comparison harness.  This entry is the
+    shape a real pipeline runs: the sketch summarizes the FULL
+    history (bounded 4x512 cells), the candidate list is the distinct
+    keys of the most recent day only (at scale: one partition-pruned
+    date slice, never the history), and the answer is the estimated
+    top-20 via TakeOrderedAndProject (distributed top-k, no global
+    sort, no exact-count join anywhere in the measured path).  The
+    last-day cutoff is integer microseconds (max ts - 86_400e6) so
+    both engines compute the identical candidate set."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators import sketches as sk
+
+    ev = _t(spark, sf_dir, "events")
+    cells = sk.build_cm_rollup(ev, "user_id")
+    cut = ev.agg(
+        (F.max(F.unix_micros("ts")) - F.lit(86_400_000_000)).alias("_cut")
+    )
+    cand = (
+        ev.join(F.broadcast(cut))
+        .filter(F.unix_micros("ts") >= F.col("_cut"))
+        .select("user_id")
+    )
+    top = (
+        sk.cm_estimate(cells, cand, "user_id")
+        .orderBy(F.col("cm_est").desc(), "user_id")
+        .limit(20)
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("cm_est").desc(), "user_id")
+    )
+    return top.select("user_id", "cm_est", rk.alias("rk"))
+
+
+def _cm_topk_oracle() -> str:
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sketches import (
+        CM_DEPTH,
+        CM_WIDTH,
+    )
+
+    h = (
+        f"(('0x' || substr(md5(d::VARCHAR || ':' || user_id::VARCHAR), 1, 12))"
+        f"::BIGINT % {CM_WIDTH})"
+    )
+    return f"""
+WITH pos AS (
+  SELECT user_id, d, {h} AS cell
+  FROM events, (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS d)
+), cells AS (
+  SELECT d, cell, count(*) AS cnt FROM pos GROUP BY d, cell
+), cand AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE epoch_us(ts) >= (SELECT max(epoch_us(ts)) - 86400000000 FROM events)
+), ppos AS (
+  SELECT user_id, d, {h} AS cell
+  FROM cand, (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS d)
+), est AS (
+  SELECT user_id, min(coalesce(cells.cnt, 0)) AS cm_est
+  FROM ppos LEFT JOIN cells USING (d, cell)
+  GROUP BY user_id
+)
+SELECT user_id, cm_est,
+       CAST(row_number() OVER (ORDER BY cm_est DESC, user_id) AS INTEGER) AS rk
+FROM est
+ORDER BY cm_est DESC, user_id
+LIMIT 20
+"""
+
+
 def q70_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAP-type surface: per-user event-type counts assembled into a
     real MapType column (map_from_entries over a key-sorted entry
@@ -4915,9 +4986,10 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     temperature_mix): source share proportional to n^(1/tau) with
     tau=2 — the standard multilingual/multi-source LM flattening —
     scaled to half the corpus in expectation, keep decisions by the
-    deterministic row uniform.  sqrt (IEEE-exact both engines) + a
-    micro-unit-quantized normalizer make the float predicate
-    hash-reproducible; the oracle replays the whole mixture rule."""
+    deterministic row uniform.  The per-source WEIGHT is quantized to
+    integer micro-units (VERDICT r5 #5), so every value downstream of
+    the (sqrt, IEEE-exact) weight is integer-derived and the float
+    predicate hash-reproduces; the oracle replays the whole rule."""
     from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
         temperature_mix,
     )
@@ -4928,20 +5000,51 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SAMPLE_TEMPERATURE_ORACLE = f"""
-WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
-tot AS (
-  SELECT sum(n) AS total,
-         sum(CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS zq
-  FROM counts
-)
+def _temperature_oracle(w_sql: str, target: float) -> str:
+    """DuckDB replay of temperature_mix for a given weight expression
+    over the per-source count ``n`` — weight micro-unit-quantized,
+    identical expression tree as the Spark side."""
+    return f"""
+WITH counts AS (
+  SELECT source, count(*) AS n,
+         CAST(floor({w_sql} * 1000000 + 0.5) AS BIGINT) AS wq
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n) AS total, sum(wq) AS zq FROM counts)
 SELECT d.doc_id, d.source
 FROM documents d
 JOIN counts c ON d.source = c.source
 CROSS JOIN tot
 WHERE {_U32_SQL} <
-      least(1.0, 0.5 * total * sqrt(CAST(c.n AS DOUBLE)) / ((zq / 1000000.0) * c.n))
+      least(1.0, {target!r} * total * wq / (CAST(zq AS DOUBLE) * c.n))
 """
+
+
+SAMPLE_TEMPERATURE_ORACLE = _temperature_oracle("sqrt(CAST(n AS DOUBLE))", 0.5)
+
+
+def sample_temperature_mix_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing at tau=3 (VERDICT r5 #5: exactness beyond
+    the sqrt case).  The weight n^(1/3) comes from ``pow`` — libm-
+    dependent in its last ulp — but micro-unit quantization means a
+    cross-engine flip needs the weight to land within one ulp of a
+    half-micro-unit boundary (~1e-10 per source); everything after
+    ``wq`` is integer-derived and bit-identical.  Driver hash match
+    here retires the docstring caveat that tau!=2 was only
+    approximately portable."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_mix(
+        d, "doc_id", source_col="source", tau=3.0, target_fraction=0.5
+    )
+
+
+SAMPLE_TEMPERATURE_T3_ORACLE = _temperature_oracle(
+    f"pow(CAST(n AS DOUBLE), {1.0 / 3.0!r})", 0.5
+)
 
 
 def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5958,6 +6061,9 @@ def build_registry() -> dict[str, QuerySpec]:
         "sample_temperature_mix": QuerySpec(
             sample_temperature_mix, SAMPLE_TEMPERATURE_ORACLE
         ),
+        "sample_temperature_mix_t3": QuerySpec(
+            sample_temperature_mix_t3, SAMPLE_TEMPERATURE_T3_ORACLE
+        ),
         "dedup_semantic_survivors": QuerySpec(
             dedup_semantic_survivors, DEDUP_SEMANTIC_ORACLE
         ),
@@ -6008,6 +6114,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "sketch_cm_heavy_hitters": QuerySpec(
             sketch_cm_heavy_hitters, _cm_heavy_hitters_oracle()
         ),
+        "sketch_cm_topk": QuerySpec(sketch_cm_topk, _cm_topk_oracle()),
         "dedup_winnow_fingerprints": QuerySpec(
             dedup_winnow_fingerprints, _winnow_fp_oracle
         ),

@@ -20,6 +20,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from aws_cdk_pipelines_datalake_etl_spark.plans.registry import build_registry
 from aws_cdk_pipelines_datalake_etl_spark.session import get_spark
 
+# Host-drift calibration (VERDICT r5 #4): a fixed, sf-independent,
+# pure-codegen workload whose cost depends only on the host (CPU +
+# JVM), never on repo code or data.  Its best-of-N time divided by the
+# frozen reference below scales the normalized total, so cross-round
+# deltas are attributable to code; the raw total is still reported.
+# CALIBRATION_REF_SEC was measured on the round-6 host (best of 5) and
+# is FROZEN — do not re-measure it in later rounds, that would defeat
+# the normalization.
+CALIBRATION_REF_SEC = 0.74  # round-6 host floor, best of 5 (frozen)
+
+
+def _calibration(spark) -> float:
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(5):
+        t0 = time.time()
+        (
+            spark.range(0, 1_000_000_000, 1, 32)
+            .select(
+                F.sum((F.col("id") % 7) * (F.col("id") % 11)).alias("s"),
+                F.sum(F.xxhash64("id") % 13).alias("h"),
+                F.avg(F.col("id") % 97).alias("a"),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        took = time.time() - t0
+        best = took if best is None else min(best, took)
+    return round(best, 4)
+
+
 HEADLINE = [
     "q01_pricing_summary",
     "q02_taxi_shape_agg",
@@ -44,6 +77,11 @@ HEADLINE = [
     "dedup_winnow_overlap",
     "sim_ivf_index_full_probe",
     "sketch_cm_heavy_hitters",
+    # round-6 additions: the production-shaped sketch probe (bounded
+    # candidate list, no exact-count join) and the semantic-dedup
+    # block-grid skew guard
+    "sketch_cm_topk",
+    "dedup_semantic_skewguard",
 ]
 
 
@@ -87,16 +125,18 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — keep bench robust
                 pass
 
-    # Best-of-2 per query: the second pass runs against warm code +
-    # page cache and damps host-level jitter (shared-machine noise was
-    # measured at +-40% on single shots) — standard benchmarking
-    # practice; the reported number is the query's demonstrated cost.
+    # Best-of-3 per query (raised from best-of-2 in round 6 after a
+    # uniform +12% host drift was observed across untouched plans):
+    # later passes run against warm code + page cache and damp
+    # host-level jitter (shared-machine noise was measured at +-40% on
+    # single shots) — the reported number is the query's demonstrated
+    # cost.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = registry[name].fn
         best: float | None = None
-        for _attempt in range(2):
+        for _attempt in range(3):
             t0 = time.time()
             try:
                 df = fn(spark, sf_dir)
@@ -117,13 +157,21 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    cal = _calibration(spark)
+    total = round(sum(timings.values()), 3)
     payload: dict = {
         "metric": "headline_queries_total_wall_seconds",
-        "value": round(sum(timings.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "calibration_sec": cal,
     }
+    if CALIBRATION_REF_SEC:
+        payload["host_factor"] = round(cal / CALIBRATION_REF_SEC, 4)
+        payload["value_normalized"] = round(
+            total * CALIBRATION_REF_SEC / cal, 3
+        )
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))

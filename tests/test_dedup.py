@@ -96,6 +96,37 @@ def test_connected_components_known_graph(spark):
     }
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= switches lineage truncation to RELIABLE
+    checkpoint (survives executor loss, unlike localCheckpoint's
+    executor-block storage): same fixpoint as the default path, and
+    RDD checkpoint files actually land in the given directory."""
+    import os
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.clusters import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id1", "id2"],
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    out = {
+        r.node: r.cluster_rep
+        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+    written = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "reliable checkpoint wrote no files"
+
+
 def test_incremental_fingerprint_composes_to_full(spark, docs):
     """Corpus representatives + incremental batch survivors must cover
     every fingerprint of corpus+batch exactly once (first-seen-wins),

@@ -24,16 +24,20 @@ import numpy as np
 _MAGIC_PPM = (b"P5", b"P6")
 _MAGIC_BMP = b"BM"
 _MAGIC_PNG = b"\x89PNG\r\n\x1a\n"
+_MAGIC_JPEG = b"\xff\xd8\xff"
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """``'ppm'``, ``'bmp'``, ``'png'`` or None for unrecognized bytes."""
+    """``'ppm'``, ``'bmp'``, ``'png'``, ``'jpeg'`` or None for
+    unrecognized bytes."""
     if payload[:2] in _MAGIC_PPM:
         return "ppm"
     if payload[:2] == _MAGIC_BMP:
         return "bmp"
     if payload[:8] == _MAGIC_PNG:
         return "png"
+    if payload[:3] == _MAGIC_JPEG:
+        return "jpeg"
     return None
 
 
@@ -302,10 +306,18 @@ def decode_image(payload: bytes) -> dict:
         w, h, c, px = decode_bmp(payload)
     elif fmt == "png":
         w, h, c, px = decode_png(payload)
+    elif fmt == "jpeg":
+        from aws_cdk_pipelines_datalake_etl_spark.functions.jpegcodec import (
+            decode_jpeg,
+        )
+
+        w, h, c, px = decode_jpeg(payload)
+        if c == 1:
+            px = px.reshape(h, w)
     else:
         raise NotImplementedError(
-            "unrecognized image format (PPM/PGM/BMP/PNG decode natively; "
-            "for JPEG inject a decoder= or run where pillow is installed)"
+            "unrecognized image format (PPM/PGM/BMP/PNG/baseline-JPEG "
+            "decode natively; inject a decoder= for anything richer)"
         )
     flat = px.astype(np.int64)
     if c == 1:

@@ -1,0 +1,523 @@
+"""Pure-Python baseline-sequential JPEG codec (VERDICT r5 #7).
+
+Closes the last compressed-image seam without external libraries:
+both halves are built from the public JPEG specification (ITU-T T.81
+/ ISO 10918-1) — marker structure from Annex B, the example
+quantization and Huffman tables from Annex K, the DCT definition from
+A.3.3 — with numpy used for the 8x8 transform math only.
+
+Scope (and honest non-scope):
+
+- **Decoder**: baseline sequential DCT (SOF0), 8-bit samples, 1 or 3
+  components, 4:4:4 only (all sampling factors 1x1).  Progressive
+  (SOF2), subsampled, 12-bit, arithmetic-coded, and
+  restart-interval streams raise ``NotImplementedError`` with the
+  exact reason — same policy as the PNG decoder's Adam7 gate.
+- **Encoder**: the matching subset (SOF0, 4:4:4, Annex-K example
+  tables at their spec values), used to synthesize REAL JPEG bytes
+  for the round-trip oracle entry and the tests.
+
+Determinism: the 2-D DCT/IDCT is an exact orthonormal matrix product
+in float64 (the JPEG A.3.3 definition, not a fast factorization), so
+decode output is bit-identical across platforms — IEEE 754 matmul on
+the same inputs, then one round-half-away-from-zero to uint8.
+
+Exact-fixed-point device used by the registry oracle: an 8x8 block
+holding one CONSTANT value ``v`` has a single nonzero coefficient,
+DC = 8*(v-128).  With the Annex-K luminance DC step of 16, the
+quantized DC is exactly (v-128)/2 whenever ``v-128`` is even, so
+quantize -> dequantize -> IDCT reproduces ``v`` EXACTLY (the matmul
+reconstructs a constant within ~1e-13, and the final rounding lands
+it).  Per-block-constant gray images with even offsets therefore
+round-trip bit-exactly through the real entropy coder — a closed
+form a SQL oracle can replay — while the Huffman/marker layers are
+exercised for real (nonzero DC diffs, EOBs, byte stuffing).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAGIC_JPEG = b"\xff\xd8\xff"
+
+# --- ITU-T T.81 Annex K.1: example quantization tables (natural order)
+STD_LUMA_QT = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+STD_CHROMA_QT = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# zigzag scan: ZIGZAG[k] = natural-order index of the k-th coefficient
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# --- Annex K.3: typical Huffman tables as (BITS[1..16], HUFFVAL) ---
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix M: the JPEG A.3.3 transform is
+    exactly F = M @ f @ M.T (M[0,:] = 1/(2*sqrt(2)); M[u,x] =
+    cos((2x+1)u*pi/16) / 2)."""
+    m = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            m[u, x] = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    m[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _blocks(plane: np.ndarray) -> np.ndarray:
+    """(h, w) float64 plane -> (n_blocks_y, n_blocks_x, 8, 8), padding
+    by edge replication (the standard encoder convention)."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return (
+        padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    )
+
+
+# --------------------------------------------------------------------
+# Huffman machinery (spec Annex C: canonical codes from BITS/HUFFVAL)
+# --------------------------------------------------------------------
+
+
+def _build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length)."""
+    table: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG byte stuffing (a 0xFF data
+    byte is followed by 0x00 so it can't be mistaken for a marker)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> bytes:
+        if self._n:
+            self.put(0x7F, 8 - self._n)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with unstuffing;
+    raises on markers inside the scan (no restart support)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy-coded segment")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise NotImplementedError(
+                        f"marker 0xFF{nxt:02X} inside scan (restart "
+                        "intervals / multi-scan streams not supported)"
+                    )
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (size, appended bits)."""
+    if v == 0:
+        return 0, 0
+    size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    if v < 0:
+        v = v + (1 << size) - 1
+    return size, v
+
+
+def _extend(bits_val: int, size: int) -> int:
+    """Inverse of :func:`_magnitude` (spec F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    if bits_val < (1 << (size - 1)):
+        return bits_val - (1 << size) + 1
+    return bits_val
+
+
+# --------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 -> (h, w, 3) float64 YCbCr (JFIF full range)."""
+    f = px.astype(np.float64)
+    r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=2)
+
+
+def _ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
+    """(h, w, 3) float64 YCbCr -> (h, w, 3) uint8 RGB (JFIF)."""
+    y, cb, cr = planes[:, :, 0], planes[:, :, 1] - 128.0, planes[:, :, 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+def _encode_plane_blocks(
+    plane: np.ndarray, qt: np.ndarray
+) -> tuple[np.ndarray, int, int]:
+    """Plane -> (by, bx, 64) int32 quantized zigzagged coefficients."""
+    blocks = _blocks(plane.astype(np.float64) - 128.0)
+    coeffs = np.einsum("ux,ijxy,vy->ijuv", _DCT_M, blocks, _DCT_M)
+    q = qt.reshape(8, 8).astype(np.float64)
+    # round half away from zero, like every reference implementation
+    quant = np.sign(coeffs) * np.floor(np.abs(coeffs) / q + 0.5)
+    zz = quant.reshape(blocks.shape[0], blocks.shape[1], 64)[
+        :, :, ZIGZAG
+    ].astype(np.int32)
+    return zz, blocks.shape[0], blocks.shape[1]
+
+
+def encode_jpeg(pixels: np.ndarray) -> bytes:
+    """Encode (h, w, 1|3) uint8 pixels as a baseline-sequential 4:4:4
+    JPEG with the Annex-K example quantization and Huffman tables."""
+    h, w, nc = pixels.shape
+    if nc not in (1, 3):
+        raise ValueError(f"channels {nc} (1 or 3)")
+    if nc == 3:
+        planes = _rgb_to_ycbcr(pixels)
+    else:
+        planes = pixels.astype(np.float64)
+
+    qts = [STD_LUMA_QT] + ([STD_CHROMA_QT] if nc == 3 else [])
+    comp_qt = [0] + [1, 1][: max(0, nc - 1)]
+    zz = []
+    for ci in range(nc):
+        plane = planes[:, :, ci] if nc == 3 else planes[:, :, 0]
+        z, by, bx = _encode_plane_blocks(plane, qts[comp_qt[ci]])
+        zz.append(z)
+
+    dc_enc = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)]
+    ac_enc = [_build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)]
+    if nc == 3:
+        dc_enc.append(_build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS))
+        ac_enc.append(_build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS))
+    comp_ht = comp_qt  # table 0 for luma, 1 for chroma
+
+    wtr = _BitWriter()
+    pred = [0] * nc
+    for my in range(by):
+        for mx in range(bx):
+            for ci in range(nc):
+                block = zz[ci][my, mx]
+                t = comp_ht[ci]
+                diff = int(block[0]) - pred[ci]
+                pred[ci] = int(block[0])
+                size, bits_val = _magnitude(diff)
+                code, ln = dc_enc[t][size]
+                wtr.put(code, ln)
+                if size:
+                    wtr.put(bits_val, size)
+                run = 0
+                for k in range(1, 64):
+                    v = int(block[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_enc[t][0xF0]  # ZRL
+                        wtr.put(code, ln)
+                        run -= 16
+                    size, bits_val = _magnitude(v)
+                    code, ln = ac_enc[t][(run << 4) | size]
+                    wtr.put(code, ln)
+                    wtr.put(bits_val, size)
+                    run = 0
+                if run:
+                    code, ln = ac_enc[t][0x00]  # EOB
+                    wtr.put(code, ln)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for i, qt in enumerate(qts):
+        out += seg(0xDB, bytes([i]) + bytes(int(qt[z]) for z in ZIGZAG))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, comp_qt[ci]])
+    out += seg(0xC0, sof)
+    hts = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+    if nc == 3:
+        hts += [
+            (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ]
+    for tc, bits, vals in hts:
+        out += seg(0xC4, bytes([tc]) + bytes(bits) + bytes(vals))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, (comp_ht[ci] << 4) | comp_ht[ci]])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += wtr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a baseline-sequential 4:4:4 JPEG: returns
+    ``(w, h, channels, pixels)`` with pixels (h, w) for grayscale or
+    (h, w, 3) RGB uint8."""
+    if payload[:3] != _MAGIC_JPEG:
+        raise ValueError("not a JPEG stream")
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    comps: list[tuple[int, int]] = []  # (component id, qt id)
+    scan_ht: list[tuple[int, int]] = []  # (dc table, ac table) per comp
+    h = w = nc = 0
+    pos = 2
+    data = payload
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                if prec != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                nat = np.zeros(64, dtype=np.int32)
+                nat[ZIGZAG] = np.frombuffer(
+                    body[i + 1 : i + 65], dtype=np.uint8
+                ).astype(np.int32)
+                qts[tid] = nat
+                i += 65
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"SOF{marker - 0xC0} (only baseline sequential SOF0)"
+            )
+        elif marker == 0xC0:  # SOF0
+            prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit samples (8 only)")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc} components (1 or 3)")
+            for ci in range(nc):
+                cid, hv, qid = body[6 + 3 * ci : 9 + 3 * ci]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        f"sampling factors {hv >> 4}x{hv & 15} (4:4:4 only)"
+                    )
+                comps.append((cid, qid))
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                tc, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                (ac_tabs if tc else dc_tabs)[tid] = _build_decode_table(
+                    bits, vals
+                )
+                i += 17 + nv
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals (DRI)")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            if ns != nc:
+                raise NotImplementedError("multi-scan streams")
+            for si in range(ns):
+                tabs = body[2 + 2 * si]
+                scan_ht.append((tabs >> 4, tabs & 0x0F))
+            pos = pos + 2 + ln
+            break
+        # APPn / COM / anything else: skip
+        pos = pos + 2 + ln
+    else:
+        raise ValueError("no SOS marker found")
+
+    if not comps or not qts:
+        raise ValueError("missing SOF0/DQT before scan")
+    by, bx = -(-h // 8), -(-w // 8)
+    rdr = _BitReader(data, pos)
+    planes = np.zeros((nc, by * 8, bx * 8), dtype=np.float64)
+    pred = [0] * nc
+    for my in range(by):
+        for mx in range(bx):
+            for ci in range(nc):
+                dc_t = dc_tabs[scan_ht[ci][0]]
+                ac_t = ac_tabs[scan_ht[ci][1]]
+                zz = np.zeros(64, dtype=np.float64)
+                size = rdr.huff(dc_t)
+                diff = _extend(rdr.bits(size), size) if size else 0
+                pred[ci] += diff
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = rdr.huff(ac_t)
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    zz[k] = _extend(rdr.bits(size), size)
+                    k += 1
+                nat = np.zeros(64, dtype=np.float64)
+                nat[ZIGZAG] = zz
+                nat *= qts[comps[ci][1]]
+                block = _DCT_M.T @ nat.reshape(8, 8) @ _DCT_M
+                planes[
+                    ci, my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8
+                ] = block + 128.0
+
+    planes = planes[:, :h, :w]
+    if nc == 1:
+        px = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        return w, h, 1, px
+    rgb = _ycbcr_to_rgb(planes.transpose(1, 2, 0))
+    return w, h, 3, rgb

@@ -553,3 +553,167 @@ def test_encode_png_rejects_unsupported_channels():
 
     with _pytest.raises(ValueError, match="channel"):
         ic.encode_png(np.zeros((2, 2, 4), dtype=np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# JPEG: pure-stdlib baseline codec (functions/jpegcodec.py, round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_fixed_point_exact():
+    """Per-block-constant images with even offsets are mathematical
+    fixed points of the codec (DC = 8*(v-128) divides the Annex-K DC
+    step 16): encode -> decode reproduces every pixel EXACTLY, for
+    gray-RGB and single-channel alike — through the real entropy
+    coder (nonzero DC diffs, EOBs, stuffing)."""
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(0)
+    for _ in range(4):
+        bw, bh = rng.randint(1, 4), rng.randint(1, 4)
+        vals = 128 + 2 * rng.randint(-24, 24, size=(bh, bw))
+        img = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+        rgb = np.repeat(img[:, :, None], 3, axis=2)
+        w, h, c, out = decode_jpeg(encode_jpeg(rgb))
+        assert (w, h, c) == (bw * 8, bh * 8, 3)
+        assert np.array_equal(out, rgb)
+    w, h, c, out = decode_jpeg(encode_jpeg(img[:, :, None]))
+    assert c == 1 and np.array_equal(out, img)
+
+
+def test_jpeg_lossy_roundtrip_bounded():
+    """Real lossy behavior: smooth ramps survive within a few counts,
+    color ramps within ~2x that (chroma quantizes coarser), and
+    non-multiple-of-8 dims round-trip at the declared size (edge
+    padding never leaks into the output)."""
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    x, y = np.arange(32), np.arange(24)
+    gray = (40 + x[None, :] * 3 + y[:, None] * 4).astype(np.uint8)
+    rgb = np.stack([gray] * 3, axis=2)
+    _, _, _, out = decode_jpeg(encode_jpeg(rgb))
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 5
+
+    r = (30 + x[None, :] * 2 + y[:, None] * 3).astype(np.uint8)
+    g = (60 + x[None, :] * 1 + y[:, None] * 2).astype(np.uint8)
+    b = (90 + x[None, :] * 3 + y[:, None] * 1).astype(np.uint8)
+    color = np.stack([r, g, b], axis=2)
+    _, _, _, out = decode_jpeg(encode_jpeg(color))
+    assert np.abs(out.astype(int) - color.astype(int)).max() <= 12
+
+    odd = np.random.RandomState(1).randint(0, 256, (17, 29, 3)).astype(np.uint8)
+    w, h, c, out = decode_jpeg(encode_jpeg(odd))
+    assert (w, h, c) == (29, 17, 3) and out.shape == (17, 29, 3)
+
+
+def test_jpeg_handbuilt_spec_vector():
+    """Decoder vs the SPEC, not vs our encoder: a minimal one-block
+    grayscale stream hand-assembled from ITU-T T.81 — Annex-K DC code
+    for size 2 is '011', appended bits '10' EXTEND to +2, Annex-K AC
+    EOB is '1010' (4 bits: lengths 2,2,3 go to 0x01,0x02,0x03; EOB is
+    the first length-4 code), so the entropy bytes 0b01110101,
+    0b01111111 (9 code bits + 1-bit padding) mean quantized DC 2 ->
+    dequantized 32 -> IDCT constant 32/8 -> every pixel 132.  Any
+    error in table construction, marker parsing, EXTEND, or the IDCT
+    normalization breaks this."""
+    import struct
+
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.jpegcodec import (
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        STD_LUMA_QT,
+        ZIGZAG,
+        decode_jpeg,
+    )
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    stream = b"\xff\xd8"
+    stream += seg(0xDB, bytes([0]) + bytes(int(STD_LUMA_QT[z]) for z in ZIGZAG))
+    stream += seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    stream += seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    stream += seg(0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    stream += seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+    stream += bytes([0b01110101, 0b01111111])  # DC '011'+'10', EOB '1010', pad
+    stream += b"\xff\xd9"
+    w, h, c, px = decode_jpeg(stream)
+    assert (w, h, c) == (8, 8, 1)
+    assert np.array_equal(px, np.full((8, 8), 132, dtype=np.uint8))
+
+
+def test_jpeg_rejects_unsupported():
+    """The honest gates: progressive, subsampled, restart-interval,
+    and 16-bit-DQT streams raise NotImplementedError naming the
+    feature (same policy as the PNG Adam7 gate)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = bytearray(encode_jpeg(np.full((8, 8, 1), 128, dtype=np.uint8)))
+
+    sof2 = bytearray(good)
+    i = sof2.find(b"\xff\xc0")
+    sof2[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(bytes(sof2))
+
+    sub = bytearray(good)
+    i = sub.find(b"\xff\xc0")
+    sub[i + 11] = 0x22  # sampling factors of the first component
+    with _pytest.raises(NotImplementedError, match="4:4:4"):
+        decode_jpeg(bytes(sub))
+
+    dri = bytearray(good)
+    i = dri.find(b"\xff\xda")
+    dri[i:i] = struct.pack(">BBH", 0xFF, 0xDD, 4) + b"\x00\x08"
+    with _pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg(bytes(dri))
+
+    with _pytest.raises(ValueError, match="JPEG"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+
+
+def test_jpeg_through_default_decode(spark):
+    """decode_image_batch's DEFAULT codec now takes real JPEG bytes:
+    a per-block-constant gray image (the exact-fixed-point device)
+    flows through sniff -> decode_jpeg -> BT.601 luma with an exactly
+    predictable mean."""
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.jpegcodec import (
+        encode_jpeg,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        decode_image_batch,
+    )
+
+    vals = np.array([[130, 150], [170, 110]])  # even offsets
+    img = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(rgb)))], ["doc_id", "blob"]
+    )
+    feats = decode_image_batch(df).collect()[0]
+    assert (feats.width, feats.height, feats.n_channels) == (16, 16, 3)
+    assert feats.mean_luma == "140.0000"  # (130+150+170+110)/4

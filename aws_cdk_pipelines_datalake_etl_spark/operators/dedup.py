@@ -517,3 +517,68 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+
+
+def substring_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    key: str = "hash",
+) -> DataFrame:
+    """Exact duplicated-substring statistics (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    substring pass, approximated at word-``k``-gram granularity): for
+    every document, how many of its word ``k``-gram positions are
+    covered by a ``k``-gram that also occurs in a *different*
+    document.  High ``n_dup_grams / n_grams`` flags boilerplate and
+    near-verbatim syndication that document-level MinHash misses.
+
+    Plan: one narrow explode of per-position ``k``-grams, one hash
+    aggregation on the gram key to find cross-doc grams (partial
+    map-side agg), one join back, one per-doc count — no all-pairs
+    stage anywhere, so cost is O(total tokens), not O(docs^2).
+
+    ``key='hash'`` (default, the 100 TB path) joins on ``xxhash64`` of
+    the gram so shuffle rows are 8-byte longs instead of strings;
+    ``key='text'`` joins on the raw gram (what the DuckDB oracle can
+    replicate — results are identical barring a 2^-64 hash collision).
+
+    Suffix-array exactness (arbitrary-length spans) is the reference
+    algorithm's upper bound; fixed-``k`` shingles are the standard
+    distributed approximation (same recall for spans >= k tokens).
+    """
+    w = F.split(F.lower(F.col(text_col)), " ")
+    d = df.select(F.col(id_col).alias("id"), w.alias("w"))
+    grams_arr = F.when(
+        F.size("w") >= k,
+        F.expr(
+            f"transform(sequence(0, size(w) - {k}), i -> "
+            f"array_join(slice(w, i + 1, {k}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("id", F.explode(grams_arr).alias("gram"))
+    if key == "hash":
+        g = g.select("id", F.xxhash64("gram").alias("gram"))
+    elif key != "text":
+        raise ValueError(f"key must be 'hash' or 'text', got {key!r}")
+    multi = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("gram")
+    )
+    per_doc = g.join(multi, "gram").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams")
+    )
+    totals = d.select(
+        "id", F.greatest(F.size("w") - (k - 1), F.lit(0)).alias("n_grams")
+    )
+    return (
+        totals.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+        )
+    )

@@ -836,3 +836,40 @@ def dequantize_embeddings(
         out_col,
         F.transform(F.col(q_col), lambda c: c.cast("double") * F.col(scale_col)),
     )
+
+
+def random_projection_microunits(
+    df: DataFrame,
+    dim: int,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a
+    deterministic Rademacher (+-1) matrix — the standard cheap
+    pre-step before LSH bucketing or coarse clustering when the
+    native embedding dim is large.
+
+    The sign matrix is arithmetic, not RNG-seeded:
+    ``sign(i, j) = 1 - 2*((i*7 + j*13) mod 2)`` — portable to any
+    engine, so the DuckDB oracle reproduces it bit-for-bit.  Each
+    input component is quantized to integer micro-units
+    (``floor(x*1e6 + 0.5)``, the engine-exactness device used
+    throughout the registry) BEFORE the signed sum, so the projection
+    is integer arithmetic: associative, order-independent,
+    cross-engine exact.
+
+    Plan: pure row-local ``aggregate`` over a literal index sequence —
+    zero shuffle, whole-stage codegen, no Python.  At 100 TB this is a
+    narrow map whose cost is dim*out_dim multiply-adds per row.
+    """
+    cols = [F.col(id_col)]
+    for j in range(out_dim):
+        cols.append(
+            F.expr(
+                f"aggregate(sequence(0, {dim - 1}), 0L, (acc, i) -> acc + "
+                f"CAST(floor(CAST(element_at({vec_col}, i + 1) AS DOUBLE) "
+                f"* 1000000 + 0.5) AS BIGINT) * (1 - 2 * ((i * 7 + {j} * 13) % 2)))"
+            ).alias(f"p{j}")
+        )
+    return df.select(*cols)

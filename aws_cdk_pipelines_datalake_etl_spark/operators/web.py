@@ -1,0 +1,174 @@
+"""Web/URL operators: URL normalization, registered-domain extraction,
+URL- and domain-level dedup stats.
+
+The standard front half of a web-crawl training-data pipeline
+(CommonCrawl-style): canonicalize URLs so that trivially-distinct
+spellings of the same page (scheme case, ``www.``, default ports,
+tracking parameters, parameter order, fragments, trailing slash)
+collapse to one key, then roll pages up to their *registered domain*
+(the public-suffix boundary) for domain-level filtering and stats.
+
+Scale posture: every function here is a pure Catalyst ``Column``
+expression (regexp + array ops, whole-stage codegen) — URL
+normalization is a zero-shuffle narrow map at any corpus size; the
+domain rollup is one hash aggregation on the domain key.
+
+The reference repo has no web stage (it ingests curated taxi CSVs,
+etl_raw_to_conformed.py:1); this is part of the declared Tier-E
+LLM-pipeline surface (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Query parameters that identify a *click*, not a *page* — dropped
+# during normalization.  Prefix match for the utm_ family, exact match
+# for the rest.
+TRACKING_PREFIXES = ("utm_",)
+TRACKING_EXACT = ("fbclid", "gclid", "msclkid", "ref")
+
+# Minimal embedded public-suffix excerpt: second-level suffixes under
+# which the registered domain is three labels, not two.  A real
+# deployment would broadcast the full Mozilla PSL (a ~10k-row dim
+# table, trivially broadcastable); the *algorithm* — longest-matching
+# suffix, then one more label — is what this implements.
+MULTI_LABEL_SUFFIXES = (
+    "co.uk",
+    "org.uk",
+    "gov.uk",
+    "ac.uk",
+    "co.jp",
+    "ne.jp",
+    "com.au",
+    "net.au",
+    "com.br",
+    "co.in",
+    "co.kr",
+    "com.mx",
+    "co.nz",
+    "com.sg",
+    "com.cn",
+)
+
+
+def _auth(url: Column) -> Column:
+    """authority (host[:port]) of a ``scheme://`` URL."""
+    return F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+
+
+def url_scheme(url: Column) -> Column:
+    """Lower-cased scheme (``https``), '' if the URL has none."""
+    return F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+
+def url_host(url: Column) -> Column:
+    """Lower-cased host with any leading ``www.`` stripped."""
+    host = F.lower(F.regexp_extract(_auth(url), r"^([^:]*)", 1))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def url_port(url: Column) -> Column:
+    """Explicit port as a string ('' when absent)."""
+    return F.regexp_extract(_auth(url), r":(\d+)$", 1)
+
+
+def url_path(url: Column) -> Column:
+    """Path component, trailing slash stripped (non-root)."""
+    p = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    return F.regexp_replace(p, r"(.)/$", "$1")
+
+
+def url_query_normalized(url: Column) -> Column:
+    """Query string with tracking params dropped and the remaining
+    ``k=v`` pairs sorted; '' when nothing survives."""
+    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    parts = F.when(q == "", F.array().cast("array<string>")).otherwise(
+        F.split(q, "&")
+    )
+    kept = F.filter(
+        parts,
+        lambda p: ~(
+            _any_prefix(p, TRACKING_PREFIXES)
+            | F.split(p, "=").getItem(0).isin(*TRACKING_EXACT)
+        ),
+    )
+    return F.array_join(F.array_sort(kept), "&")
+
+
+def _any_prefix(col: Column, prefixes: tuple[str, ...]) -> Column:
+    out = F.lit(False)
+    for pre in prefixes:
+        out = out | col.startswith(pre)
+    return out
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form of ``url``.
+
+    Steps (each SQL-expressible, mirrored verbatim by the DuckDB
+    oracle): lower-case scheme and host; strip leading ``www.``; drop
+    the port when it is the scheme default (443/https, 80/http), keep
+    any other; strip a trailing slash from a non-root path; drop
+    tracking query params (utm_* prefix + fbclid/gclid/msclkid/ref),
+    sort the survivors; drop the fragment.  Idempotent (property-
+    tested in tests/test_web.py).
+    """
+    scheme = url_scheme(url)
+    host = url_host(url)
+    port = url_port(url)
+    keep_port = (
+        (port != "")
+        & ~((scheme == F.lit("https")) & (port == "443"))
+        & ~((scheme == F.lit("http")) & (port == "80"))
+    )
+    port_part = F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit(""))
+    path = url_path(url)
+    q = url_query_normalized(url)
+    q_part = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
+    return F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+
+
+def registered_domain(host: Column) -> Column:
+    """Registered (pay-level) domain of a host: the public suffix plus
+    one label.  Two labels normally; three when the trailing two
+    labels are a known second-level suffix (``example.co.uk``)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(labels, -3),
+        F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    return F.when(n <= 2, host).otherwise(
+        F.when(last2.isin(*MULTI_LABEL_SUFFIXES), last3).otherwise(last2)
+    )
+
+
+def url_normalize(
+    df: DataFrame, url_col: str = "url", out_col: str = "url_norm"
+) -> DataFrame:
+    """Append ``out_col`` (canonical URL) and ``domain`` (registered
+    domain) columns.  Pure narrow map — zero shuffle."""
+    u = F.col(url_col)
+    return df.withColumn(out_col, normalize_url(u)).withColumn(
+        "domain", registered_domain(url_host(u))
+    )
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Domain-level rollup after URL canonicalization: pages seen,
+    distinct canonical URLs (the URL-dedup survivor count), and the
+    canonical min id per domain.  One hash aggregation on the domain
+    key; partial aggregation map-side."""
+    d = url_normalize(df, url_col)
+    return d.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("url_norm").alias("n_unique_urls"),
+        F.min(id_col).alias("first_id"),
+    )

@@ -5447,6 +5447,267 @@ FROM nation
 
 
 # --------------------------------------------------------------------------
+# Tier-E (round 6): web/URL canonicalization, substring-span dedup,
+# JL random projection, ORC format parity
+# --------------------------------------------------------------------------
+
+
+def _synth_url() -> F.Column:
+    """Deterministic messy URL per doc_id (the registry's established
+    synthesize-then-process pattern, cf. multimodal blob entries):
+    scheme-case / www / optional 'blog.' subdomain / default-and-
+    explicit ports / trailing slash / tracking params / fragments all
+    vary arithmetically so every normalization rule fires."""
+    did = F.col("doc_id")
+    m2, m3, m4, m5, m6, m7, m11, m23 = [did % n for n in (2, 3, 4, 5, 6, 7, 11, 23)]
+    scheme = F.when(m3 == 0, "HTTPS").when(m3 == 1, "https").otherwise("http")
+    suffix = (
+        F.when(m4 == 0, "com").when(m4 == 1, "co.uk").when(m4 == 2, "org").otherwise("net")
+    )
+    port = (
+        F.when(m5 == 0, F.when(m3 == 2, ":80").otherwise(":443"))
+        .when(m7 == 0, ":8080")
+        .otherwise("")
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        F.when(m2 == 0, "WWW.").otherwise(""),
+        F.when(m6.isin(3, 4), "blog.").otherwise(""),
+        F.lit("Site"),
+        m23.cast("string"),
+        F.lit("."),
+        suffix,
+        port,
+        F.lit("/p/"),
+        m11.cast("string"),
+        F.when(m2 == 1, "/").otherwise(""),
+        F.when(m4 == 0, "?b=2&utm_source=feed&a=1")
+        .when(m4 == 1, "?a=1&fbclid=xyz")
+        .when(m4 == 2, "?utm_campaign=x")
+        .otherwise(""),
+        F.when(m3 == 1, "#sec").otherwise(""),
+    )
+
+
+def web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/web.py): per-document messy URL
+    -> canonical URL + registered domain.  Pure codegen narrow map —
+    zero shuffle at any corpus size.  The DuckDB oracle reimplements
+    every normalization rule independently in SQL."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.web import url_normalize
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url().alias("url_raw")
+    )
+    return url_normalize(d, "url_raw", "url_norm").select(
+        "doc_id", "url_raw", "url_norm", "domain"
+    )
+
+
+def web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain rollup after canonicalization (operators/web.py):
+    pages, URL-dedup survivor count, canonical min id per registered
+    domain.  One hash agg on the domain key (map-side partials)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.web import domain_stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url().alias("url_raw")
+    )
+    return domain_stats(d, "url_raw", "doc_id")
+
+
+_WEB_URL_SQL = """
+u AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'https' ELSE 'http' END
+         || '://'
+         || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+         || CASE WHEN doc_id % 6 IN (3, 4) THEN 'blog.' ELSE '' END
+         || 'Site' || CAST(doc_id % 23 AS VARCHAR) || '.'
+         || CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                            WHEN 2 THEN 'org' ELSE 'net' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN (CASE WHEN doc_id % 3 = 2 THEN ':80' ELSE ':443' END)
+                 WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
+         || '/p/' || CAST(doc_id % 11 AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END
+         || CASE doc_id % 4 WHEN 0 THEN '?b=2&utm_source=feed&a=1'
+                            WHEN 1 THEN '?a=1&fbclid=xyz'
+                            WHEN 2 THEN '?utm_campaign=x' ELSE '' END
+         || CASE WHEN doc_id % 3 = 1 THEN '#sec' ELSE '' END AS url_raw
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url_raw,
+         lower(regexp_extract(url_raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(
+           lower(regexp_extract(
+             regexp_extract(url_raw, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+             '^([^:]*)', 1)),
+           '^www\\.', '') AS host,
+         regexp_extract(
+           regexp_extract(url_raw, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+           ':([0-9]+)$', 1) AS port,
+         regexp_replace(
+           regexp_extract(url_raw, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+           '(.)/$', '\\1') AS path,
+         regexp_extract(url_raw, '\\?([^#]*)', 1) AS q
+  FROM u
+),
+normed AS (
+  SELECT doc_id, url_raw, host,
+         scheme || '://' || host
+         || CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                      OR (scheme = 'http' AND port = '80')
+                 THEN '' ELSE ':' || port END
+         || path
+         || CASE WHEN qn = '' THEN '' ELSE '?' || qn END AS url_norm
+  FROM (
+    SELECT *,
+           CASE WHEN q = '' THEN ''
+                ELSE coalesce(array_to_string(list_sort(list_filter(
+                       string_split(q, '&'),
+                       pp -> NOT (starts_with(pp, 'utm_')
+                                  OR string_split(pp, '=')[1]
+                                     IN ('fbclid', 'gclid', 'msclkid', 'ref')))), '&'), '')
+           END AS qn
+    FROM parts
+  )
+),
+domained AS (
+  SELECT doc_id, url_raw, url_norm,
+         CASE WHEN len(labels) <= 2 THEN host
+              WHEN labels[-2] || '.' || labels[-1] IN
+                   ('co.uk','org.uk','gov.uk','ac.uk','co.jp','ne.jp','com.au',
+                    'net.au','com.br','co.in','co.kr','com.mx','co.nz','com.sg',
+                    'com.cn')
+              THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+              ELSE labels[-2] || '.' || labels[-1] END AS domain
+  FROM (SELECT *, string_split(host, '.') AS labels FROM normed)
+)
+"""
+
+WEB_URL_NORMALIZE_ORACLE = f"""
+WITH {_WEB_URL_SQL}
+SELECT doc_id, url_raw, url_norm, domain FROM domained
+"""
+
+WEB_DOMAIN_STATS_ORACLE = f"""
+WITH {_WEB_URL_SQL}
+SELECT domain,
+       count(*) AS n_pages,
+       count(DISTINCT url_norm) AS n_unique_urls,
+       min(doc_id) AS first_id
+FROM domained
+GROUP BY domain
+"""
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring stats at word-8-gram granularity
+    (operators/dedup.py:substring_span_stats — the distributed
+    approximation of Lee et al. 2022 suffix-array substring dedup).
+    ``key='text'`` here so the DuckDB oracle is value-exact; the
+    default 'hash' path (xxhash64 keys, 8-byte shuffle rows) is the
+    100 TB form and is proven equal in tests/test_dedup.py."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dedup import (
+        substring_span_stats,
+    )
+
+    return substring_span_stats(
+        _t(spark, sf_dir, "documents"), k=8, key="text"
+    )
+
+
+DEDUP_SUBSTRING_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 8
+                     THEN list_transform(generate_series(0, len(w) - 8),
+                                         i -> array_to_string(w[i+1:i+8], ' '))
+                     ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM d
+),
+multi AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+per AS (
+  SELECT doc_id, count(*) AS n_dup FROM g JOIN multi USING (gram) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(greatest(len(d.w) - 7, 0) AS INT) AS n_grams,
+       CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_grams
+FROM d LEFT JOIN per USING (doc_id)
+"""
+
+
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss Rademacher projection 64 -> 8
+    (operators/similarity.py:random_projection_microunits): integer
+    micro-unit arithmetic with a portable sign matrix, so the result
+    is engine-exact.  Zero-shuffle codegen narrow map."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.similarity import (
+        random_projection_microunits,
+    )
+
+    return random_projection_microunits(
+        _t(spark, sf_dir, "embeddings"), dim=64, out_dim=8
+    )
+
+
+_SIM_RP_COLS = ",\n".join(
+    f"       CAST(sum(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000 + 0.5)"
+    f" AS BIGINT) * (1 - 2 * ((i * 7 + {j} * 13) % 2))) AS BIGINT) AS p{j}"
+    for j in range(8)
+)
+
+SIM_RANDOM_PROJECTION_ORACLE = f"""
+SELECT vec_id,
+{_SIM_RP_COLS}
+FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i)
+GROUP BY vec_id
+"""
+
+
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format parity: lineitem written as ORC (Spark-native columnar
+    alternative to Parquet) and read back; the identical aggregate
+    over the original Parquet is the oracle, so the round trip must
+    be lossless.  Output dir is keyed by sf_dir (overwrite mode), so
+    reruns are idempotent; entries run single-flight (driver and
+    pytest are sequential), documented here per the jsonldir
+    append-collision lesson."""
+    import hashlib
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out = f"/tmp/spark_graft_orc/{tag}"
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        pround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+SOURCE_ORC_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -5490,12 +5751,19 @@ _DRIVER_WINDOW = [
     #   (tau=2 entry changed; tau=3 entry new)
     # - sketch_cm_topk is the production-shaped sketch probe
     # - multimodal_decode_jpeg is the new baseline-JPEG codec entry
+    # - web_* / dedup_substring_spans / sim_random_projection /
+    #   source_orc_roundtrip are the round-6 Tier-E additions
     "dedup_semantic_skewguard",
     "dedup_semantic_survivors",
     "sample_temperature_mix",
     "sample_temperature_mix_t3",
     "sketch_cm_topk",
     "multimodal_decode_jpeg",
+    "web_url_normalize",
+    "web_domain_stats",
+    "dedup_substring_spans",
+    "sim_random_projection",
+    "source_orc_roundtrip",
     # (4) re-confirmation, oldest-verified-first: all 20 entries last
     # green in round 2 ...
     "cdc_state_asof_time",
@@ -5518,8 +5786,8 @@ _DRIVER_WINDOW = [
     "q40_avg_qty_subquery",
     "q41_large_orders",
     "sample_hash_deterministic",
-    # ... then the 19 alphabetically-first entries last green in
-    # round 3 (the remaining 28 rotate in over rounds 7-8)
+    # ... then the 14 alphabetically-first entries last green in
+    # round 3 (the remaining 33 rotate in over rounds 7-8)
     "agg_salted_skew",
     "asof_view_to_purchase",
     "bucketed_join",
@@ -5534,11 +5802,6 @@ _DRIVER_WINDOW = [
     "join_salted_skew",
     "multimodal_meta",
     "q06_broadcast_dim_join",
-    "q07_revenue_top_orders",
-    "q09_anti_join",
-    "q11_window_topk_per_group",
-    "q13_sessionize",
-    "q14_set_ops",
 ]
 
 
@@ -6336,6 +6599,17 @@ def build_registry() -> dict[str, QuerySpec]:
         "q65_regexp_extract": QuerySpec(q65_regexp_extract, Q65_ORACLE),
         "q66_mode_aggregate": QuerySpec(q66_mode_aggregate, Q66_ORACLE),
         "q67_null_safe_join": QuerySpec(q67_null_safe_join, Q67_ORACLE),
+        "web_url_normalize": QuerySpec(
+            web_url_normalize, WEB_URL_NORMALIZE_ORACLE
+        ),
+        "web_domain_stats": QuerySpec(web_domain_stats, WEB_DOMAIN_STATS_ORACLE),
+        "dedup_substring_spans": QuerySpec(
+            dedup_substring_spans, DEDUP_SUBSTRING_ORACLE
+        ),
+        "sim_random_projection": QuerySpec(
+            sim_random_projection, SIM_RANDOM_PROJECTION_ORACLE
+        ),
+        "source_orc_roundtrip": QuerySpec(source_orc_roundtrip, SOURCE_ORC_ORACLE),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]
     assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"

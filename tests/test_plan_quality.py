@@ -380,3 +380,24 @@ def test_cm_probe_is_bounded_no_fact_rescan(spark):
     # two scans only (cells build + probe list) — the estimate never
     # re-reads the fact side a third time
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 2, plan
+
+
+def test_web_and_projection_are_pure_scans(spark):
+    """Round-6 narrow maps stay shuffle-free and JVM-side: URL
+    canonicalization and the JL random projection are zero-exchange,
+    zero-Python scans — scan-speed passes at 100 TB."""
+    for q in (R.web_url_normalize, R.sim_random_projection):
+        plan = formatted_plan(q(spark, SF_DIR_SMOKE))
+        assert "hashpartitioning" not in plan
+        assert "EvalPython" not in plan
+
+
+def test_substring_spans_single_gram_exchange(spark):
+    """The substring-span pass must be linear: explode, ONE shuffle
+    family on the gram key (agg + join back + per-doc agg), never an
+    all-pairs stage."""
+    plan = formatted_plan(R.dedup_substring_spans(spark, SF_DIR_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # partial aggregation before the gram exchange (map-side combine)
+    assert "partial_count" in plan or "HashAggregate" in plan

@@ -1,0 +1,143 @@
+"""Unit + property tests for operators/web.py (URL canonicalization,
+registered-domain extraction) and the substring-span dedup operator's
+hash/text key equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_cdk_pipelines_datalake_etl_spark.operators import web as W
+from aws_cdk_pipelines_datalake_etl_spark.operators.dedup import (
+    substring_span_stats,
+)
+
+
+def _norm_one(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], ["u"])
+    return df.select(W.normalize_url(F.col("u")).alias("n")).collect()[0]["n"]
+
+
+def _domain_one(spark, host: str) -> str:
+    df = spark.createDataFrame([(host,)], ["h"])
+    return df.select(W.registered_domain(F.col("h")).alias("d")).collect()[0]["d"]
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        # scheme/host case, www, default https port, fragment
+        (
+            "HTTPS://WWW.Example.COM:443/a/b#frag",
+            "https://example.com/a/b",
+        ),
+        # default http port dropped; non-default kept
+        ("http://ex.com:80/x", "http://ex.com/x"),
+        ("http://ex.com:8080/x", "http://ex.com:8080/x"),
+        # https with :80 is NOT a default -> kept
+        ("https://ex.com:80/x", "https://ex.com:80/x"),
+        # trailing slash stripped on non-root; root path kept
+        ("http://ex.com/a/", "http://ex.com/a"),
+        ("http://ex.com/", "http://ex.com/"),
+        # tracking params dropped, remainder sorted, '?' dropped if empty
+        (
+            "http://ex.com/p?z=1&utm_source=a&a=2&fbclid=q",
+            "http://ex.com/p?a=2&z=1",
+        ),
+        ("http://ex.com/p?utm_campaign=x", "http://ex.com/p"),
+        ("http://ex.com/p?gclid=1&msclkid=2&ref=h", "http://ex.com/p"),
+        # param whose VALUE contains 'utm_' is kept (prefix is on the name)
+        ("http://ex.com/p?q=utm_x", "http://ex.com/p?q=utm_x"),
+        # no query, no port, already canonical
+        ("https://sub.ex.co.uk/p/1", "https://sub.ex.co.uk/p/1"),
+    ],
+)
+def test_normalize_url_cases(spark, raw, expected):
+    assert _norm_one(spark, raw) == expected
+
+
+def test_normalize_url_idempotent_on_synth_corpus(spark):
+    """normalize(normalize(u)) == normalize(u) over the full synthetic
+    URL variety of the registry entry (every rule fires somewhere)."""
+    from aws_cdk_pipelines_datalake_etl_spark.plans.registry import _synth_url
+
+    d = (
+        spark.range(0, 500)
+        .withColumnRenamed("id", "doc_id")
+        .select(_synth_url().alias("u"))
+        .select("u", W.normalize_url(F.col("u")).alias("n1"))
+        .select("n1", W.normalize_url(F.col("n1")).alias("n2"))
+    )
+    bad = d.filter(F.col("n1") != F.col("n2")).count()
+    assert bad == 0
+
+
+@pytest.mark.parametrize(
+    "host,expected",
+    [
+        ("example.com", "example.com"),
+        ("a.b.example.com", "example.com"),
+        ("example.co.uk", "example.co.uk"),
+        ("www2.blog.example.co.uk", "example.co.uk"),
+        ("deep.sub.example.com.au", "example.com.au"),
+        # bare single-label host falls through unchanged
+        ("localhost", "localhost"),
+        # 'co.uk'-looking label in the MIDDLE is not a suffix
+        ("co.uk.evil.com", "evil.com"),
+    ],
+)
+def test_registered_domain_cases(spark, host, expected):
+    assert _domain_one(spark, host) == expected
+
+
+def test_domain_stats_counts(spark):
+    rows = [
+        (1, "http://a.com/x?utm_source=1"),
+        (2, "HTTP://WWW.A.com/x"),  # same canonical URL as doc 1
+        (3, "http://a.com/y"),
+        (4, "https://b.co.uk/z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = {
+        r["domain"]: r
+        for r in W.domain_stats(df, "url", "doc_id").collect()
+    }
+    assert out["a.com"]["n_pages"] == 3
+    assert out["a.com"]["n_unique_urls"] == 2  # docs 1+2 collapse
+    assert out["a.com"]["first_id"] == 1
+    assert out["b.co.uk"]["n_pages"] == 1
+
+
+def test_substring_spans_hash_equals_text_key(spark):
+    """The 100 TB path (xxhash64 keys) must produce the identical
+    relation as the oracle-exact text-key path."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),  # shares 8-gram span with doc 2
+            (2, "z a b c d e f g h i"),
+            (3, "one two three four five six seven eight nine"),
+            (4, "short doc"),  # < 8 tokens -> 0 grams
+        ],
+        ["doc_id", "text"],
+    )
+    a = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+        for r in substring_span_stats(docs, key="hash").collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+        for r in substring_span_stats(docs, key="text").collect()
+    }
+    assert a == b
+    # doc 1: grams at pos 0..2; 'b c d e f g h i' + 'a b c d e f g h'
+    # shared with doc 2 -> 2 dup of 3
+    assert a[1] == (3, 2)
+    assert a[2] == (3, 2)
+    assert a[3] == (2, 0)
+    assert a[4] == (0, 0)
+
+
+def test_substring_spans_rejects_bad_key(spark):
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="key"):
+        substring_span_stats(docs, key="nope")

@@ -405,3 +405,66 @@ def oov_rate(
             pround(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
         )
     )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    Language Models", appendix A1.1 quality heuristics) at word
+    n-gram granularity: per document,
+
+    - ``n_tokens`` / ``n_ngrams`` — sizes;
+    - ``top_ngram_frac`` — fraction of n-gram positions taken by the
+      single most frequent n-gram (boilerplate headers / SEO spam
+      score high);
+    - ``dup_ngram_frac`` — fraction of n-gram positions whose n-gram
+      occurs more than once in the document (loops / template litter).
+
+    Corpus filters typically drop docs above ~0.2 / ~0.6 respectively.
+
+    Plan: explode per-position n-grams, one hash aggregation keyed by
+    ``(doc, gram)`` then one by ``doc`` — both shuffles carry
+    doc-prefixed keys, so cost is O(total tokens) and partial
+    aggregation combines map-side; never an all-pairs or cross-doc
+    stage.  Docs shorter than ``n`` tokens survive via the left join
+    with zero fractions.  Fractions are micro-unit rounded
+    (:func:`pround`) so the DuckDB oracle matches bit-for-bit.
+
+    The reference has no text stage at all (it aggregates taxi trips,
+    etl_conformed_to_purposebuilt.py:1); Tier-E surface.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2 (unigram repetition is type_token_ratio)")
+    d = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+    base = d.select(
+        "id",
+        F.size("toks").alias("n_tokens"),
+        F.greatest(F.size("toks") - (n - 1), F.lit(0)).alias("n_ngrams"),
+    )
+    g = d.select("id", F.explode(word_shingles("toks", n)).alias("gram"))
+    per_gram = g.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = per_gram.groupBy("id").agg(
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "dup_cnt"
+        ),
+    )
+    denom = F.greatest(F.col("n_ngrams"), F.lit(1)).cast("double")
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "n_ngrams",
+            pround(F.coalesce(F.col("top_cnt"), F.lit(0)) / denom, 6).alias(
+                "top_ngram_frac"
+            ),
+            pround(F.coalesce(F.col("dup_cnt"), F.lit(0)) / denom, 6).alias(
+                "dup_ngram_frac"
+            ),
+        )
+    )

@@ -172,3 +172,38 @@ def domain_stats(
         F.countDistinct("url_norm").alias("n_unique_urls"),
         F.min(id_col).alias("first_id"),
     )
+
+
+def domain_split(
+    df: DataFrame,
+    url_col: str = "url",
+    val_sixteenths: int = 1,
+    test_sixteenths: int = 1,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: route every page by the
+    first hex digit of ``md5(registered_domain)`` so ALL pages of a
+    domain land in the same split — the property that prevents
+    near-duplicate pages of one site straddling the train/eval
+    boundary (the classic benchmark-contamination vector that a
+    row-level split cannot prevent).
+
+    Same deterministic md5-bucket device as
+    ``sampling.train_val_test_split`` (engine-portable, stable under
+    corpus growth: adding pages never moves an existing domain);
+    grouping is free — the hash of the domain IS the group key, so
+    the split stays a zero-shuffle narrow map even though it is
+    group-consistent.  Appends ``domain`` and ``split`` columns.
+    """
+    if val_sixteenths + test_sixteenths >= 16:
+        raise ValueError("val+test must leave room for train")
+    dom = registered_domain(url_host(F.col(url_col)))
+    bucket = F.substring(F.md5(dom), 1, 1)
+    hex_digits = "0123456789abcdef"
+    test_d = list(hex_digits[:test_sixteenths])
+    val_d = list(hex_digits[test_sixteenths : test_sixteenths + val_sixteenths])
+    split = (
+        F.when(bucket.isin(test_d), "test")
+        .when(bucket.isin(val_d), "val")
+        .otherwise("train")
+    )
+    return df.withColumn("domain", dom).withColumn("split", split)

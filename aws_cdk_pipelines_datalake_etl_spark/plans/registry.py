@@ -5707,6 +5707,76 @@ GROUP BY l_returnflag
 """
 
 
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals at word-bigram granularity
+    (operators/text.py:repetition_metrics): top-ngram fraction and
+    duplicated-ngram fraction per document.  Two doc-keyed hash aggs,
+    O(total tokens); micro-unit-rounded fractions so the oracle is
+    value-exact."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.text import (
+        repetition_metrics,
+    )
+
+    return repetition_metrics(_t(spark, sf_dir, "documents"), n=2)
+
+
+TEXT_REPETITION_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(greatest(len(toks) - 1, 0) AS INT) AS n_ngrams
+  FROM d
+),
+g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2
+                     THEN list_transform(generate_series(1, len(toks) - 1),
+                                         i -> toks[i] || ' ' || toks[i + 1])
+                     ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM d
+),
+pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+pd AS (
+  SELECT doc_id,
+         max(cnt) AS top_cnt,
+         sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_cnt
+  FROM pg GROUP BY doc_id
+)
+SELECT base.doc_id, n_tokens, n_ngrams,
+       floor(coalesce(top_cnt, 0) / greatest(n_ngrams, 1) * 1000000 + 0.5)
+         / 1000000 AS top_ngram_frac,
+       floor(coalesce(dup_cnt, 0) / greatest(n_ngrams, 1) * 1000000 + 0.5)
+         / 1000000 AS dup_ngram_frac
+FROM base LEFT JOIN pd USING (doc_id)
+"""
+
+
+def web_domain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe corpus split (operators/web.py:domain_split):
+    every page routed by md5 of its registered domain, so no domain
+    straddles train/eval.  Zero-shuffle narrow map — the group key IS
+    the hash input."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.web import domain_split
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url().alias("url_raw")
+    )
+    return domain_split(d, "url_raw").select("doc_id", "domain", "split")
+
+
+WEB_DOMAIN_SPLIT_ORACLE = f"""
+WITH {_WEB_URL_SQL}
+SELECT doc_id, domain,
+       CASE WHEN substr(md5(domain), 1, 1) = '0' THEN 'test'
+            WHEN substr(md5(domain), 1, 1) = '1' THEN 'val'
+            ELSE 'train' END AS split
+FROM domained
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6610,6 +6680,10 @@ def build_registry() -> dict[str, QuerySpec]:
             sim_random_projection, SIM_RANDOM_PROJECTION_ORACLE
         ),
         "source_orc_roundtrip": QuerySpec(source_orc_roundtrip, SOURCE_ORC_ORACLE),
+        "text_repetition_metrics": QuerySpec(
+            text_repetition_metrics, TEXT_REPETITION_ORACLE
+        ),
+        "web_domain_split": QuerySpec(web_domain_split, WEB_DOMAIN_SPLIT_ORACLE),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]
     assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"

@@ -401,3 +401,21 @@ def test_substring_spans_single_gram_exchange(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # partial aggregation before the gram exchange (map-side combine)
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_domain_split_zero_shuffle(spark):
+    """Group-consistent split with no grouping shuffle: the domain
+    hash is computed row-local, so the plan must have no exchange and
+    no Python."""
+    plan = formatted_plan(R.web_domain_split(spark, SF_DIR_SMOKE))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_repetition_metrics_doc_keyed_aggs_only(spark):
+    """Repetition metrics: doc-keyed hash aggs with map-side partials,
+    never a cross-doc pairing stage."""
+    plan = formatted_plan(R.text_repetition_metrics(spark, SF_DIR_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan

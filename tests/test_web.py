@@ -141,3 +141,73 @@ def test_substring_spans_rejects_bad_key(spark):
     docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="key"):
         substring_span_stats(docs, key="nope")
+
+
+def test_domain_split_is_domain_consistent(spark):
+    """Every page of a registered domain lands in exactly one split,
+    and the split is stable regardless of which subdomain/spelling of
+    the domain a URL uses."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.web import domain_split
+
+    rows = [
+        (1, "http://a.example.com/x"),
+        (2, "https://WWW.example.com/y"),
+        (3, "http://deep.sub.example.com/z?utm_source=t"),
+        (4, "http://other.org/p"),
+        (5, "https://blog.other.org/q"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = domain_split(df, "url")
+    per_domain = {
+        r["domain"]: r["n"]
+        for r in out.groupBy("domain")
+        .agg(F.countDistinct("split").alias("n"))
+        .collect()
+    }
+    assert per_domain == {"example.com": 1, "other.org": 1}
+
+
+def test_domain_split_rejects_full_holdout(spark):
+    from aws_cdk_pipelines_datalake_etl_spark.operators.web import domain_split
+
+    df = spark.createDataFrame([(1, "http://a.com/")], ["doc_id", "url"])
+    with pytest.raises(ValueError, match="room for train"):
+        domain_split(df, "url", val_sixteenths=8, test_sixteenths=8)
+
+
+def test_repetition_metrics_hand_computed(spark):
+    from aws_cdk_pipelines_datalake_etl_spark.operators.text import (
+        repetition_metrics,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # bigrams: 'a b','b a','a b','b a','a b' -> 'a b' x3, 'b a' x2
+            # top = 3/5, dup = 5/5
+            (1, "a b a b a b"),
+            # 4 distinct bigrams, no repeats
+            (2, "one two three four five"),
+            # single token -> 0 bigrams
+            (3, "solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repetition_metrics(docs, n=2).collect()
+    }
+    assert (out[1]["n_tokens"], out[1]["n_ngrams"]) == (6, 5)
+    assert out[1]["top_ngram_frac"] == 0.6
+    assert out[1]["dup_ngram_frac"] == 1.0
+    assert (out[2]["top_ngram_frac"], out[2]["dup_ngram_frac"]) == (0.25, 0.0)
+    assert (out[3]["n_ngrams"], out[3]["top_ngram_frac"]) == (0, 0.0)
+
+
+def test_repetition_metrics_rejects_unigram(spark):
+    from aws_cdk_pipelines_datalake_etl_spark.operators.text import (
+        repetition_metrics,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="n must be"):
+        repetition_metrics(docs, n=1)

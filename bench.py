@@ -82,6 +82,11 @@ HEADLINE = [
     # block-grid skew guard
     "sketch_cm_topk",
     "dedup_semantic_skewguard",
+    # round-6 operator families: web canonicalization, substring-span
+    # dedup, Gopher repetition metrics
+    "web_url_normalize",
+    "dedup_substring_spans",
+    "text_repetition_metrics",
 ]
 
 

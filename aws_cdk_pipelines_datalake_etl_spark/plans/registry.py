@@ -5777,6 +5777,88 @@ FROM domained
 """
 
 
+def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file ingest edge (sources/binaryfiles.py): per-doc gradient
+    PNGs are EXPORTED to real files executor-side (``write_blobs_dir``
+    via mapInPandas — no driver collect), then ingested back through
+    Spark's built-in ``binaryFile`` source with a pushed
+    ``pathGlobFilter``, ids recovered from filenames, and decoded by
+    the stdlib PNG codec.  Gates the full blob->files->blob round trip
+    plus filename identity.  Dims (h=4, w in {5,8,10,20}) keep w*h to
+    2/5 factors so mean_luma is an exact <=4-dp decimal; channels are
+    equal so luma == value.  Output dir keyed by sf_dir (cleared then
+    rewritten; entries run single-flight)."""
+    import hashlib
+    import shutil
+
+    from pyspark.sql.types import BinaryType
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        decode_image_batch,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.sources.binaryfiles import (
+        read_binary_dir,
+        write_blobs_dir,
+    )
+
+    @F.pandas_udf(BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from aws_cdk_pipelines_datalake_etl_spark.functions.imagecodec import (
+            encode_png,
+        )
+
+        def mk(i: int) -> bytes:
+            w = (5, 8, 10, 20)[i % 4]
+            xs, ys = np.arange(w), np.arange(4)
+            v = (16 + (i * 7 + xs[None, :] * 5 + ys[:, None] * 3) % 128).astype(
+                np.uint8
+            )
+            return encode_png(np.repeat(v[:, :, None], 3, axis=2))
+
+        return ids.map(lambda i: mk(int(i)))
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out = f"/tmp/spark_graft_blobs/{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "blob", synth("doc_id")
+    )
+    write_blobs_dir(d, out, ext="png").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    back = read_binary_dir(spark, out, glob="*.png")
+    return decode_image_batch(
+        back.select("doc_id", "file_name", F.col("content").alias("blob"))
+    ).join(back.select("doc_id", "file_name"), "doc_id")
+
+
+MULTIMODAL_BINARYFILE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 5 WHEN 1 THEN 8
+                         WHEN 2 THEN 10 ELSE 20 END AS w
+  FROM documents
+), vals AS (
+  SELECT doc_id, w,
+         sum(16 + (doc_id * 7 + x * 5 + y * 3) % 128) AS total
+  FROM dims,
+       (SELECT unnest(generate_series(0, 19)) AS x),
+       (SELECT unnest(generate_series(0, 3)) AS y)
+  WHERE x < w
+  GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(4 AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       printf('%.4f', CAST(total AS DOUBLE) / (w * 4)) AS mean_luma,
+       CAST(doc_id AS VARCHAR) || '.png' AS file_name
+FROM vals
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6684,6 +6766,9 @@ def build_registry() -> dict[str, QuerySpec]:
             text_repetition_metrics, TEXT_REPETITION_ORACLE
         ),
         "web_domain_split": QuerySpec(web_domain_split, WEB_DOMAIN_SPLIT_ORACLE),
+        "multimodal_binaryfile_ingest": QuerySpec(
+            multimodal_binaryfile_ingest, MULTIMODAL_BINARYFILE_ORACLE
+        ),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]
     assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"

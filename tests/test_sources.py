@@ -169,3 +169,38 @@ def test_quarantine_split_keeps_malformed_rows(spark, tmp_path):
     )
     assert n2 == 1
     assert spark.read.parquet(qdir).count() == 2
+
+
+def test_binaryfiles_roundtrip_and_glob(spark, tmp_path):
+    """write_blobs_dir -> files -> read_binary_dir round trip: bytes
+    identical, ids recovered from filenames, glob filter applied at
+    listing time, manifest sizes correct."""
+    from pyspark.sql import functions as F
+
+    from aws_cdk_pipelines_datalake_etl_spark.sources.binaryfiles import (
+        read_binary_dir,
+        write_blobs_dir,
+    )
+
+    out = str(tmp_path / "blobs")
+    rows = [(1, bytes([1, 2, 3])), (2, bytes(range(10))), (30, b"\x00" * 5)]
+    df = spark.createDataFrame(rows, ["doc_id", "blob"])
+    manifest = {
+        r["doc_id"]: (r["file_name"], r["n_bytes"])
+        for r in write_blobs_dir(df, out, ext="png").collect()
+    }
+    assert manifest == {
+        1: ("1.png", 3),
+        2: ("2.png", 10),
+        30: ("30.png", 5),
+    }
+    # a decoy with another extension must never be opened
+    (tmp_path / "blobs" / "999.txt").write_bytes(b"decoy")
+    back = {
+        r["doc_id"]: bytes(r["content"])
+        for r in read_binary_dir(spark, out, glob="*.png").collect()
+    }
+    assert back == {i: b for i, b in rows}
+    # without the glob, the decoy appears
+    n_all = read_binary_dir(spark, out).count()
+    assert n_all == 4

@@ -207,3 +207,54 @@ def domain_split(
         .otherwise("train")
     )
     return df.withColumn("domain", dom).withColumn("split", split)
+
+
+# Entities decoded during HTML text extraction; ``&amp;`` MUST be
+# last or '&amp;lt;' would double-decode to '<'.
+HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+# Tag boundaries that end a text block — replaced by a space so words
+# from adjacent blocks don't concatenate when tags are stripped.
+_BLOCK_BREAK = r"(?i)<br\s*/?>|</(?:p|div|h[1-6]|li|tr|td|table|ul|ol|section|article)\s*>"
+
+
+def html_text(html: Column) -> Column:
+    """Visible text of an HTML document as a Column expression.
+
+    The standard crawl extraction pipeline, every step a codegen
+    ``regexp_replace`` (no parser, no Python): drop ``<script>`` /
+    ``<style>`` elements INCLUDING their content (dotall non-greedy —
+    a ``1 < 2`` inside JS must not survive as text); break block
+    boundaries with a space; strip all remaining tags; decode the
+    six core entities (``&amp;`` last); collapse whitespace.
+
+    Deliberately regex-only: RE2-compatible (no backreferences — the
+    script/style patterns are written out separately), so the DuckDB
+    oracle replays the identical algorithm.  A full HTML5 tree parser
+    is out of scope for the hot path — this is the same trade
+    CCNet/trafilatura's fallback paths make.
+    """
+    c = html
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    c = F.regexp_replace(c, _BLOCK_BREAK, " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", "")
+    for ent, ch in HTML_ENTITIES:
+        c = F.regexp_replace(c, ent, ch)
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def html_extract(
+    df: DataFrame, html_col: str = "html", out_col: str = "text"
+) -> DataFrame:
+    """Append ``out_col`` = visible text of ``html_col``.  Pure
+    narrow map — zero shuffle at any corpus size."""
+    return df.withColumn(out_col, html_text(F.col(html_col)))

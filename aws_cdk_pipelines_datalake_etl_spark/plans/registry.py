@@ -5859,6 +5859,85 @@ FROM vals
 """
 
 
+def web_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> visible text (operators/web.py:html_text): each
+    document's text wrapped in deterministic HTML (title, style and
+    script elements with hostile content — an embedded '<' inside JS,
+    a multi-clause CSS rule — block tags, inline tags, all six
+    entities), then extracted back.  Pure codegen regexp chain, zero
+    shuffle; the DuckDB oracle replays the identical RE2-compatible
+    algorithm step by step."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.web import html_extract
+
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        did,
+        F.lit('</title><STYLE type="text/css">body { color: red; } '),
+        F.lit("h1 { margin: 0; }</STYLE><script>var x = 1 < 2 && \"skip"),
+        did,
+        F.lit('";</script></head><body><h1>Title '),
+        did,
+        F.lit('</h1><p class="lead">'),
+        F.col("text"),
+        F.lit("</p><div>footer &amp;amp; nav &lt;raw"),
+        did,
+        F.lit("&gt; &quot;q&quot;&nbsp;&#39;s&#39;</div></body></html>"),
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", html.alias("html")
+    )
+    out = html_extract(d, "html", "text")
+    return out.select("doc_id", "text", F.length("text").alias("n_chars"))
+
+
+WEB_HTML_EXTRACT_ORACLE = """
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><STYLE type="text/css">body { color: red; } '
+         || 'h1 { margin: 0; }</STYLE><script>var x = 1 < 2 && "skip'
+         || CAST(doc_id AS VARCHAR)
+         || '";</script></head><body><h1>Title ' || CAST(doc_id AS VARCHAR)
+         || '</h1><p class="lead">' || text
+         || '</p><div>footer &amp;amp; nav &lt;raw' || CAST(doc_id AS VARCHAR)
+         || '&gt; &quot;q&quot;&nbsp;&#39;s&#39;</div></body></html>' AS html
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g') AS t
+  FROM h
+),
+s2 AS (
+  SELECT doc_id,
+         regexp_replace(t, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id,
+         regexp_replace(t,
+           '(?i)<br\\s*/?>|</(?:p|div|h[1-6]|li|tr|td|table|ul|ol|section|article)\\s*>',
+           ' ', 'g') AS t
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', '', 'g') AS t FROM s3
+),
+s5 AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(t,
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', chr(39)), '&amp;', '&') AS t
+  FROM s4
+),
+e AS (
+  SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text FROM s5
+)
+SELECT doc_id, text, CAST(length(text) AS INT) AS n_chars FROM e
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6769,6 +6848,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "multimodal_binaryfile_ingest": QuerySpec(
             multimodal_binaryfile_ingest, MULTIMODAL_BINARYFILE_ORACLE
         ),
+        "web_html_extract": QuerySpec(web_html_extract, WEB_HTML_EXTRACT_ORACLE),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]
     assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"

@@ -419,3 +419,11 @@ def test_repetition_metrics_doc_keyed_aggs_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_html_extract_zero_shuffle(spark):
+    """HTML text extraction is a pure regexp chain — no exchange, no
+    Python anywhere in the plan."""
+    plan = formatted_plan(R.web_html_extract(spark, SF_DIR_SMOKE))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

@@ -211,3 +211,31 @@ def test_repetition_metrics_rejects_unigram(spark):
     docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="n must be"):
         repetition_metrics(docs, n=1)
+
+
+@pytest.mark.parametrize(
+    "html,expected",
+    [
+        # script/style content must vanish, including embedded '<'
+        (
+            '<head><script>var x = 1 < 2 && "tag";</script>'
+            "<STYLE>body { color: red; }</STYLE></head><p>hello</p>",
+            "hello",
+        ),
+        # block boundaries become spaces; inline tags are zero-width
+        ("<p>foo</p><p>bar</p>", "foo bar"),
+        ("fo<b>o</b>bar", "foobar"),
+        ("line one<br>line two<BR/>three", "line one line two three"),
+        # entities, &amp; decoded last (no double decode)
+        ("a &amp;lt; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;", "a &lt; b <tag> \"q\" 's'"),
+        ("x&nbsp;&nbsp;y", "x y"),
+        # whitespace collapse + trim
+        ("  <div> spaced   out </div>  ", "spaced out"),
+        # multi-line script (dotall)
+        ("<script>\nvar a;\nvar b;\n</script>ok", "ok"),
+    ],
+)
+def test_html_text_cases(spark, html, expected):
+    df = spark.createDataFrame([(html,)], ["h"])
+    got = df.select(W.html_text(F.col("h")).alias("t")).collect()[0]["t"]
+    assert got == expected

@@ -562,10 +562,15 @@ def substring_span_stats(
         g = g.select("id", F.xxhash64("gram").alias("gram"))
     elif key != "text":
         raise ValueError(f"key must be 'hash' or 'text', got {key!r}")
+    # "occurs in >= 2 distinct docs" == min(id) != max(id): constant
+    # per-gram aggregation state with full map-side partials — unlike
+    # count_distinct, which buffers the distinct id SET per gram and
+    # blows up exactly on the hot grams (stopword runs) a web corpus
+    # is full of.  Skew-immune by construction.
     multi = (
         g.groupBy("gram")
-        .agg(F.count_distinct("id").alias("_nd"))
-        .filter(F.col("_nd") >= 2)
+        .agg(F.min("id").alias("_lo"), F.max("id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
         .select("gram")
     )
     per_doc = g.join(multi, "gram").groupBy("id").agg(

@@ -258,3 +258,39 @@ def html_extract(
     """Append ``out_col`` = visible text of ``html_col``.  Pure
     narrow map — zero shuffle at any corpus size."""
     return df.withColumn(out_col, html_text(F.col(html_col)))
+
+
+def url_frontier_dedup(
+    batch: DataFrame,
+    seen: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crawl-frontier dedup: drop batch pages whose CANONICAL URL was
+    already crawled, collapse canonical duplicates within the batch.
+
+    The URL twin of ``dedup.incremental_fingerprint_dedup`` (same
+    first-seen-wins contract): ``seen`` is the persisted frontier —
+    in a real deployment a single-column parquet of canonical URLs
+    appended per crawl — and only canonical-URL strings shuffle, never
+    page payloads.  Within the batch, the min-id page represents each
+    canonical URL (deterministic), with ``n_batch_copies`` counting
+    the collapsed spellings.  Repeated runs compose: frontier +
+    survivors after run N equals the full recompute over all crawls.
+
+    Cost per run is O(|batch| + |frontier|) anti-join on one string
+    key; the frontier column is broadcast-able while small and an
+    ordinary shuffled anti-join at scale (AQE decides).
+    """
+    b = url_normalize(batch, url_col)
+    s = (
+        url_normalize(seen.select(url_col), url_col)
+        .select("url_norm")
+        .distinct()
+    )
+    fresh = b.join(s, "url_norm", "left_anti")
+    return fresh.groupBy("url_norm").agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_batch_copies"),
+        F.min("domain").alias("domain"),
+    )

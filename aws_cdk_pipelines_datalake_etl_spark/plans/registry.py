@@ -5777,6 +5777,40 @@ FROM domained
 """
 
 
+def web_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier incremental URL dedup
+    (operators/web.py:url_frontier_dedup): the even-doc_id half of the
+    synthetic crawl plays the persisted frontier; the full corpus is
+    the new batch.  First-seen-wins anti-join on canonical URL +
+    in-batch min-id collapse — only URL strings shuffle."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.web import (
+        url_frontier_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.select("doc_id", _synth_url().alias("url_raw"))
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select(
+        _synth_url().alias("url_raw")
+    )
+    return url_frontier_dedup(batch, seen, "url_raw", "doc_id")
+
+
+WEB_FRONTIER_DEDUP_ORACLE = f"""
+WITH {_WEB_URL_SQL},
+seen AS (SELECT DISTINCT url_norm FROM domained WHERE doc_id % 2 = 0),
+fresh AS (
+  SELECT * FROM domained
+  WHERE url_norm NOT IN (SELECT url_norm FROM seen)
+)
+SELECT url_norm,
+       min(doc_id) AS doc_id,
+       count(*) AS n_batch_copies,
+       min(domain) AS domain
+FROM fresh
+GROUP BY url_norm
+"""
+
+
 def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-file ingest edge (sources/binaryfiles.py): per-doc gradient
     PNGs are EXPORTED to real files executor-side (``write_blobs_dir``
@@ -6849,6 +6883,9 @@ def build_registry() -> dict[str, QuerySpec]:
             multimodal_binaryfile_ingest, MULTIMODAL_BINARYFILE_ORACLE
         ),
         "web_html_extract": QuerySpec(web_html_extract, WEB_HTML_EXTRACT_ORACLE),
+        "web_frontier_dedup": QuerySpec(
+            web_frontier_dedup, WEB_FRONTIER_DEDUP_ORACLE
+        ),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]
     assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"

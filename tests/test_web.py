@@ -239,3 +239,49 @@ def test_html_text_cases(spark, html, expected):
     df = spark.createDataFrame([(html,)], ["h"])
     got = df.select(W.html_text(F.col("h")).alias("t")).collect()[0]["t"]
     assert got == expected
+
+
+def test_url_frontier_dedup_composes_to_full_recompute(spark):
+    """First-seen-wins composition: crawling in two batches yields
+    exactly one survivor per canonical URL overall, and batch-2
+    survivors never collide with the frontier."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.web import (
+        url_frontier_dedup,
+        url_normalize,
+    )
+
+    b1 = spark.createDataFrame(
+        [
+            (1, "http://a.com/x?utm_source=1"),
+            (2, "HTTP://WWW.A.com/x"),  # same canonical as 1
+            (3, "http://b.com/y"),
+        ],
+        ["doc_id", "url"],
+    )
+    b2 = spark.createDataFrame(
+        [
+            (4, "http://a.com:80/x"),  # already crawled in b1
+            (5, "http://b.com/z/"),
+            (6, "http://b.com/z"),  # same canonical as 5
+        ],
+        ["doc_id", "url"],
+    )
+    empty_seen = spark.createDataFrame([], "url string")
+    s1 = url_frontier_dedup(b1, empty_seen, "url", "doc_id")
+    got1 = {r["url_norm"]: r for r in s1.collect()}
+    assert set(got1) == {"http://a.com/x", "http://b.com/y"}
+    assert got1["http://a.com/x"]["doc_id"] == 1
+    assert got1["http://a.com/x"]["n_batch_copies"] == 2
+
+    s2 = url_frontier_dedup(b2, b1.select("url"), "url", "doc_id")
+    got2 = {r["url_norm"]: r for r in s2.collect()}
+    assert set(got2) == {"http://b.com/z"}
+    assert got2["http://b.com/z"]["doc_id"] == 5
+    # composition: survivors of both runs cover every canonical URL of
+    # b1+b2 exactly once
+    all_canon = {
+        r["url_norm"]
+        for r in url_normalize(b1.unionByName(b2), "url").select("url_norm").collect()
+    }
+    assert set(got1) | set(got2) == all_canon
+    assert not (set(got1) & set(got2))

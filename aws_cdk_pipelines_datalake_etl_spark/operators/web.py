@@ -54,8 +54,14 @@ MULTI_LABEL_SUFFIXES = (
 
 
 def _auth(url: Column) -> Column:
-    """authority (host[:port]) of a ``scheme://`` URL."""
-    return F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    """authority (host[:port]) of a ``scheme://`` URL, userinfo
+    stripped (``user:pass@host`` would otherwise corrupt the host
+    parse — dropping it is also the canonical-URL choice: credentials
+    never identify a *page*).  Bracketed IPv6 hosts are out of scope
+    (vanishingly rare in crawl data; ``registered_domain`` is
+    meaningless for them anyway)."""
+    a = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    return F.regexp_replace(a, r"^[^@]*@", "")
 
 
 def url_scheme(url: Column) -> Column:

@@ -6029,6 +6029,11 @@ _DRIVER_WINDOW = [
     "dedup_substring_spans",
     "sim_random_projection",
     "source_orc_roundtrip",
+    "web_domain_split",
+    "web_html_extract",
+    "web_frontier_dedup",
+    "text_repetition_metrics",
+    "multimodal_binaryfile_ingest",
     # (4) re-confirmation, oldest-verified-first: all 20 entries last
     # green in round 2 ...
     "cdc_state_asof_time",
@@ -6051,8 +6056,8 @@ _DRIVER_WINDOW = [
     "q40_avg_qty_subquery",
     "q41_large_orders",
     "sample_hash_deterministic",
-    # ... then the 14 alphabetically-first entries last green in
-    # round 3 (the remaining 33 rotate in over rounds 7-8)
+    # ... then the 9 alphabetically-first entries last green in
+    # round 3 (the remaining 38 rotate in over rounds 7-8)
     "agg_salted_skew",
     "asof_view_to_purchase",
     "bucketed_join",
@@ -6062,11 +6067,6 @@ _DRIVER_WINDOW = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "incremental_rollup",
-    "join_salted_skew",
-    "multimodal_meta",
-    "q06_broadcast_dim_join",
 ]
 
 

@@ -92,6 +92,17 @@ SHOWCASE = {
         "the code arrays, partial-sum HashAggregate in the join stage — "
         "plan size constant in the query-batch size"
     ),
+    "web_url_normalize": (
+        "zero Exchange, zero Python: URL canonicalization + registered "
+        "domain are one codegen'd regexp/array Project over the scan — "
+        "crawl-scale normalization at scan speed"
+    ),
+    "dedup_substring_spans": (
+        "linear substring-span pass: Generate (gram explode) then ONE "
+        "shuffle family on the gram key — partial HashAggregate map-side, "
+        "min!=max cross-doc test (constant per-gram state), join back, "
+        "doc-keyed count; no all-pairs stage anywhere"
+    ),
     "q69_suppliers_who_kept_waiting": (
         "both correlated branches decorrelated: EXISTS -> LeftSemi, "
         "NOT EXISTS (two outer references) -> LeftAnti with the date "

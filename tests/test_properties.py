@@ -383,3 +383,64 @@ def test_winnow_coverage_guarantee_on_random_docs(spark, seed, run_len, n_docs):
     for a in range(n_docs):
         for b in range(a + 1, n_docs):
             assert fps.get(a, set()) & fps.get(b, set()), (seed, a, b)
+
+
+_url_scheme = st.sampled_from(["http", "https", "HTTP", "HtTpS"])
+_url_host = st.lists(
+    st.sampled_from(["alpha", "beta", "Gamma", "www2", "x9"]),
+    min_size=1,
+    max_size=3,
+).map(lambda ls: ".".join(ls) + ".com")
+_url_param = st.sampled_from(
+    ["a=1", "b=2", "z=9", "utm_source=s", "utm_medium=m", "fbclid=f", "gclid=g"]
+)
+
+
+@st.composite
+def _raw_url(draw):
+    scheme = draw(_url_scheme)
+    www = draw(st.sampled_from(["", "www.", "WWW."]))
+    host = draw(_url_host)
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    path = draw(
+        st.lists(st.sampled_from(["p", "q2", "Item"]), max_size=3).map(
+            lambda segs: "/" + "/".join(segs) if segs else "/"
+        )
+    )
+    slash = draw(st.sampled_from(["", "/"])) if path != "/" else ""
+    params = draw(st.lists(_url_param, max_size=4))
+    query = "?" + "&".join(params) if params else ""
+    frag = draw(st.sampled_from(["", "#top", "#sec-2"]))
+    return f"{scheme}://{www}{host}{port}{path}{slash}{query}{frag}"
+
+
+@PROP
+@given(urls=st.lists(_raw_url(), min_size=1, max_size=30))
+def test_url_normalize_properties(spark, urls):
+    """Over arbitrary component combinations: normalization is
+    idempotent, and the canonical form never carries a fragment, a
+    tracking parameter, an upper-case scheme/host, or a default
+    port."""
+    from pyspark.sql import functions as F
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.web import normalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    out = df.select(
+        "u",
+        normalize_url(F.col("u")).alias("n1"),
+    ).select("u", "n1", normalize_url(F.col("n1")).alias("n2"))
+    for r in out.collect():
+        n = r["n1"]
+        assert r["n2"] == n, f"not idempotent: {r['u']!r} -> {n!r} -> {r['n2']!r}"
+        assert "#" not in n
+        assert "utm_" not in n and "fbclid" not in n and "gclid" not in n
+        scheme, rest = n.split("://", 1)
+        assert scheme == scheme.lower()
+        host = rest.split("/", 1)[0].split("?", 1)[0]
+        assert host == host.lower()
+        assert not host.startswith("www.")
+        if scheme == "https":
+            assert not host.endswith(":443")
+        if scheme == "http":
+            assert not host.endswith(":80")

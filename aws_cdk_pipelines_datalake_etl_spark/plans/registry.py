@@ -5720,7 +5720,7 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(_t(spark, sf_dir, "documents"), n=2)
 
 
-TEXT_REPETITION_ORACLE = """
+TEXT_REPETITION_METRICS_ORACLE = """
 WITH d AS (
   SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
 ),
@@ -6876,7 +6876,7 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "source_orc_roundtrip": QuerySpec(source_orc_roundtrip, SOURCE_ORC_ORACLE),
         "text_repetition_metrics": QuerySpec(
-            text_repetition_metrics, TEXT_REPETITION_ORACLE
+            text_repetition_metrics, TEXT_REPETITION_METRICS_ORACLE
         ),
         "web_domain_split": QuerySpec(web_domain_split, WEB_DOMAIN_SPLIT_ORACLE),
         "multimodal_binaryfile_ingest": QuerySpec(

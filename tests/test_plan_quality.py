@@ -427,3 +427,29 @@ def test_html_extract_zero_shuffle(spark):
     plan = formatted_plan(R.web_html_extract(spark, SF_DIR_SMOKE))
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_registry_module_has_no_duplicate_constants():
+    """A duplicate module-level assignment in registry.py silently
+    overwrites an earlier oracle (caught live in round 6:
+    TEXT_REPETITION_ORACLE defined twice paired the wrong oracle with
+    text_repetition_removal).  Pure-AST lint, no Spark needed."""
+    import ast
+    import inspect
+
+    import aws_cdk_pipelines_datalake_etl_spark.plans.registry as reg_mod
+
+    tree = ast.parse(inspect.getsource(reg_mod))
+    seen: dict[str, int] = {}
+    dups = []
+    for node in tree.body:
+        names = []
+        if isinstance(node, ast.Assign):
+            names = [t.id for t in node.targets if isinstance(t, ast.Name)]
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            names = [node.name]
+        for n in names:
+            if n in seen:
+                dups.append((n, seen[n], node.lineno))
+            seen[n] = node.lineno
+    assert not dups, f"duplicate module-level definitions: {dups}"

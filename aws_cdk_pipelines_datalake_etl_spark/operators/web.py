@@ -300,3 +300,32 @@ def url_frontier_dedup(
         F.count(F.lit(1)).alias("n_batch_copies"),
         F.min("domain").alias("domain"),
     )
+
+
+def robots_disallow_filter(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    prefix_col: str = "disallow_prefix",
+) -> DataFrame:
+    """Crawl-politeness filter: drop pages whose canonical path starts
+    with a Disallow prefix for their registered domain (the effective
+    semantics of a ``User-agent: *`` robots.txt rule set, longest-match
+    subtleties deliberately out of scope — prefix match is what the
+    original robots.txt spec defines).
+
+    ``rules`` is ``(domain, disallow_prefix)`` — the parsed robots
+    corpus, inherently tiny relative to pages (one row per rule, not
+    per page), so Catalyst broadcasts it and the filter is a
+    broadcast LEFT ANTI join with the prefix test inside the join
+    condition: zero shuffle of the page side, no per-rule pass.
+    Appends nothing: returns surviving pages with ``url_norm`` and
+    ``domain`` attached (the canonicalization is shared work).
+    """
+    p = url_normalize(pages, url_col)
+    path = url_path(F.col("url_norm"))
+    cond = (p[domain_col] == rules[domain_col]) & path.startswith(
+        rules[prefix_col]
+    )
+    return p.join(F.broadcast(rules), cond, "left_anti")

@@ -5811,6 +5811,54 @@ GROUP BY url_norm
 """
 
 
+def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-politeness filter (operators/web.py:
+    robots_disallow_filter): domains whose md5 starts 0-7 disallow
+    '/p/1' and '/p/3' — '/p/1' also prefix-matches '/p/10', so true
+    prefix (not equality) semantics are exercised.  Broadcast
+    anti-join with the prefix test in the join condition; the page
+    side never shuffles."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.web import (
+        robots_disallow_filter,
+        url_normalize,
+    )
+
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url().alias("url_raw")
+    )
+    doms = (
+        url_normalize(pages, "url_raw")
+        .select("domain")
+        .distinct()
+        .filter(F.substring(F.md5("domain"), 1, 1) <= "7")
+    )
+    rules = doms.selectExpr(
+        "domain", "explode(array('/p/1', '/p/3')) AS disallow_prefix"
+    )
+    out = robots_disallow_filter(pages, rules, "url_raw")
+    return out.select("doc_id", "url_norm", "domain")
+
+
+WEB_ROBOTS_FILTER_ORACLE = f"""
+WITH {_WEB_URL_SQL},
+rules AS (
+  SELECT domain, unnest(['/p/1', '/p/3']) AS pre
+  FROM (SELECT DISTINCT domain FROM domained
+        WHERE substr(md5(domain), 1, 1) <= '7')
+)
+SELECT doc_id, url_norm, domain
+FROM domained d
+WHERE NOT EXISTS (
+  SELECT 1 FROM rules r
+  WHERE r.domain = d.domain
+    AND starts_with(
+          regexp_extract(d.url_norm,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+          r.pre)
+)
+"""
+
+
 def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-file ingest edge (sources/binaryfiles.py): per-doc gradient
     PNGs are EXPORTED to real files executor-side (``write_blobs_dir``
@@ -6886,6 +6934,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "web_frontier_dedup": QuerySpec(
             web_frontier_dedup, WEB_FRONTIER_DEDUP_ORACLE
         ),
+        "web_robots_filter": QuerySpec(web_robots_filter, WEB_ROBOTS_FILTER_ORACLE),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]
     assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"

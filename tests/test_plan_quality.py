@@ -453,3 +453,15 @@ def test_registry_module_has_no_duplicate_constants():
                 dups.append((n, seen[n], node.lineno))
             seen[n] = node.lineno
     assert not dups, f"duplicate module-level definitions: {dups}"
+
+
+def test_robots_filter_broadcast_anti_join(spark):
+    """The robots filter must broadcast the (tiny) rule set: a
+    BroadcastHashJoin LeftAnti with no exchange on the page side."""
+    plan = formatted_plan(R.web_robots_filter(spark, SF_DIR_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
+    # the only shuffle allowed is the rule-building distinct (tiny
+    # side); the page scan itself must reach the anti-join unshuffled
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "EvalPython" not in plan

@@ -295,3 +295,28 @@ def test_normalize_url_strips_userinfo(spark):
         == "http://ex.com:8080/a"
     )
     assert _norm_one(spark, "https://alice@ex.com/x") == "https://ex.com/x"
+
+
+def test_robots_disallow_filter_prefix_semantics(spark):
+    from aws_cdk_pipelines_datalake_etl_spark.operators.web import (
+        robots_disallow_filter,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (1, "http://a.com/admin/x"),  # blocked by /admin
+            (2, "http://a.com/adminis"),  # ALSO blocked: prefix, not dir
+            (3, "http://a.com/public"),
+            (4, "http://b.com/admin/x"),  # b.com has no rules
+            (5, "https://WWW.A.com/Admin"),  # case-sensitive paths: kept
+        ],
+        ["doc_id", "url"],
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "/admin")], ["domain", "disallow_prefix"]
+    )
+    kept = {
+        r["doc_id"]
+        for r in robots_disallow_filter(pages, rules, "url").collect()
+    }
+    assert kept == {3, 4, 5}

@@ -6080,6 +6080,7 @@ _DRIVER_WINDOW = [
     "web_domain_split",
     "web_html_extract",
     "web_frontier_dedup",
+    "web_robots_filter",
     "text_repetition_metrics",
     "multimodal_binaryfile_ingest",
     # (4) re-confirmation, oldest-verified-first: all 20 entries last
@@ -6104,8 +6105,8 @@ _DRIVER_WINDOW = [
     "q40_avg_qty_subquery",
     "q41_large_orders",
     "sample_hash_deterministic",
-    # ... then the 9 alphabetically-first entries last green in
-    # round 3 (the remaining 38 rotate in over rounds 7-8)
+    # ... then the 8 alphabetically-first entries last green in
+    # round 3 (the remaining 39 rotate in over rounds 7-8)
     "agg_salted_skew",
     "asof_view_to_purchase",
     "bucketed_join",
@@ -6114,7 +6115,6 @@ _DRIVER_WINDOW = [
     "dedup_clusters",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
 ]
 
 

@@ -1,17 +1,19 @@
-"""Web/URL operators: URL normalization, registered-domain extraction,
-URL- and domain-level dedup stats.
+"""Web/URL operators — the front half of a web-crawl training-data
+pipeline (CommonCrawl-style), end to end: URL canonicalization and
+registered-domain extraction, domain rollups, leakage-safe
+domain-hash splits, crawl-frontier incremental dedup, robots.txt
+Disallow filtering, and HTML visible-text extraction.
 
-The standard front half of a web-crawl training-data pipeline
-(CommonCrawl-style): canonicalize URLs so that trivially-distinct
-spellings of the same page (scheme case, ``www.``, default ports,
-tracking parameters, parameter order, fragments, trailing slash)
-collapse to one key, then roll pages up to their *registered domain*
-(the public-suffix boundary) for domain-level filtering and stats.
+Canonicalization collapses trivially-distinct spellings of the same
+page (scheme case, ``www.``, userinfo, default ports, tracking
+parameters, parameter order, fragments, trailing slash) to one key;
+everything downstream (dedup, splits, politeness) keys on that.
 
-Scale posture: every function here is a pure Catalyst ``Column``
-expression (regexp + array ops, whole-stage codegen) — URL
-normalization is a zero-shuffle narrow map at any corpus size; the
-domain rollup is one hash aggregation on the domain key.
+Scale posture: every per-page function is a pure Catalyst ``Column``
+expression (regexp + array ops, whole-stage codegen) — zero-shuffle
+narrow maps at any corpus size; the rollup is one hash aggregation on
+the domain key, the frontier dedup an anti-join that shuffles only
+URL strings, and the robots filter a broadcast anti-join.
 
 The reference repo has no web stage (it ingests curated taxi CSVs,
 etl_raw_to_conformed.py:1); this is part of the declared Tier-E

@@ -25,10 +25,14 @@ from aws_cdk_pipelines_datalake_etl_spark.session import get_spark
 # JVM), never on repo code or data.  Its best-of-N time divided by the
 # frozen reference below scales the normalized total, so cross-round
 # deltas are attributable to code; the raw total is still reported.
-# CALIBRATION_REF_SEC was measured on the round-6 host (best of 5) and
-# is FROZEN — do not re-measure it in later rounds, that would defeat
-# the normalization.
-CALIBRATION_REF_SEC = 0.74  # round-6 host floor, best of 5 (frozen)
+# Sized at 4B rows (~2 s) after the first 1B-row version proved too
+# short to be stable (best-of-5 varied ±20% with task-scheduling
+# noise; at ~2 s the warm spread is ~2-3%).  CALIBRATION_REF_SEC was
+# measured IN BENCH CONTEXT (after the headline warmup, where the JIT
+# state matches how it runs) on the quiet round-6 host and is FROZEN —
+# do not re-measure it in later rounds, that would defeat the
+# normalization.
+CALIBRATION_REF_SEC = 2.03  # round-6 quiet-host floor, best of 5 (frozen)
 
 
 def _calibration(spark) -> float:
@@ -38,7 +42,7 @@ def _calibration(spark) -> float:
     for _ in range(5):
         t0 = time.time()
         (
-            spark.range(0, 1_000_000_000, 1, 32)
+            spark.range(0, 4_000_000_000, 1, 64)
             .select(
                 F.sum((F.col("id") % 7) * (F.col("id") % 11)).alias("s"),
                 F.sum(F.xxhash64("id") % 13).alias("h"),
@@ -130,6 +134,12 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — keep bench robust
                 pass
 
+    # Calibration sample BEFORE the timed loop (and again after):
+    # host noise fluctuates on minute timescales, so one end-of-run
+    # sample can misrepresent the load the queries actually ran under;
+    # the mean of the two brackets the run.
+    cal_start = _calibration(spark)
+
     # Best-of-3 per query (raised from best-of-2 in round 6 after a
     # uniform +12% host drift was observed across untouched plans):
     # later passes run against warm code + page cache and damp
@@ -162,7 +172,8 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    cal = _calibration(spark)
+    cal_end = _calibration(spark)
+    cal = round((cal_start + cal_end) / 2, 4)
     total = round(sum(timings.values()), 3)
     payload: dict = {
         "metric": "headline_queries_total_wall_seconds",
@@ -171,6 +182,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "calibration_sec": cal,
+        "calibration_samples": [cal_start, cal_end],
     }
     if CALIBRATION_REF_SEC:
         payload["host_factor"] = round(cal / CALIBRATION_REF_SEC, 4)

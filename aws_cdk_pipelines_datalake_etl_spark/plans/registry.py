@@ -6083,6 +6083,11 @@ _DRIVER_WINDOW = [
     "web_robots_filter",
     "text_repetition_metrics",
     "multimodal_binaryfile_ingest",
+    # round-6 session-2 additions: retrieval, LM scoring, link rank
+    "retrieval_bm25_topk",
+    "lm_bigram_logprob",
+    "lm_perplexity_buckets",
+    "web_pagerank",
     # (4) re-confirmation, oldest-verified-first: all 20 entries last
     # green in round 2 ...
     "cdc_state_asof_time",
@@ -6105,16 +6110,13 @@ _DRIVER_WINDOW = [
     "q40_avg_qty_subquery",
     "q41_large_orders",
     "sample_hash_deterministic",
-    # ... then the 8 alphabetically-first entries last green in
-    # round 3 (the remaining 39 rotate in over rounds 7-8)
+    # ... then the 4 alphabetically-first entries last green in
+    # round 3 (4 slots ceded to the session-2 additions above; the
+    # remaining round-3 entries rotate in over rounds 7-8)
     "agg_salted_skew",
     "asof_view_to_purchase",
     "bucketed_join",
     "cdc_latest_state",
-    "corpus_training_set",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_minhash_lsh",
 ]
 
 
@@ -6614,6 +6616,231 @@ _winnow_fp_oracle = _winnow_fp_oracle_fn()
 _winnow_ov_oracle = _winnow_ov_oracle_fn(min_shared=2)
 
 
+# --------------------------------------------------------------------------
+# Round 6, session 2: retrieval, n-gram LM scoring, link-graph rank
+# --------------------------------------------------------------------------
+
+_BM25_QUERY_TERMS = [
+    ("q_hash_join", "hash"),
+    ("q_hash_join", "join"),
+    ("q_window_stream", "window"),
+    ("q_window_stream", "stream"),
+    ("q_window_stream", "agg"),
+    ("q_vector_scan", "vector"),
+    ("q_vector_scan", "scan"),
+    ("q_vector_scan", "fast"),
+]
+
+
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per query (operators/retrieval.py): three
+    multi-term queries scored against the documents corpus in one
+    pass.  The corpus-side inverted index is built once (one explode
+    feeds tf, dl, df); the query-term table rides a broadcast so the
+    corpus never reshuffles for the probe; per-term partial scores
+    are micro-quantized before the per-doc bigint sum (order-safe);
+    ranking partitions by query id."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    queries = spark.createDataFrame(
+        _BM25_QUERY_TERMS, "query_id string, term string"
+    )
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), queries, k=10
+    )
+
+
+_BM25_VALUES = ", ".join(f"('{q}','{t}')" for q, t in _BM25_QUERY_TERMS)
+
+RETRIEVAL_BM25_ORACLE = f"""
+WITH q AS (SELECT * FROM (VALUES {_BM25_VALUES}) AS t(qid, term)),
+toks AS (
+  SELECT doc_id AS doc, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+docterm AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY doc, term),
+docstats AS (SELECT doc, count(*) AS dl FROM toks GROUP BY doc),
+corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM docstats),
+hits AS (SELECT q.qid, dt.doc, dt.term, dt.tf FROM docterm dt JOIN q USING (term)),
+termdf AS (SELECT term, count(DISTINCT doc) AS df FROM hits GROUP BY term),
+parts AS (
+  SELECT h.qid, h.doc,
+         CAST(floor(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+           * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs)))))
+           * 1000000 + 0.5) AS BIGINT) AS part_micro
+  FROM hits h JOIN termdf USING (term) JOIN docstats USING (doc), corpus
+),
+scored AS (
+  SELECT qid, doc, sum(part_micro) AS score_micro,
+         count(*) AS n_matched_terms
+  FROM parts GROUP BY qid, doc
+),
+ranked AS (
+  SELECT qid, doc, score_micro, n_matched_terms,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY score_micro DESC, doc ASC
+         ) AS rank
+  FROM scored
+)
+SELECT qid AS query_id, doc AS doc_id, rank,
+       score_micro / 1000000.0 AS bm25, n_matched_terms
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _lm_splits(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
+def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram LM scoring (operators/lm.py): train stupid-
+    backoff counts on 90% of the corpus, score the held-out 10% —
+    unseen bigrams exercise the backoff path (n_backoff > 0).  Two
+    hash aggs train the model; scoring is n-gram-key joins that AQE
+    broadcasts while the model fits; per-bigram log-probs are
+    micro-nat bigints so the per-doc mean is engine-exact."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.lm import (
+        bigram_logprob,
+    )
+
+    train, held = _lm_splits(spark, sf_dir)
+    return bigram_logprob(train, held)
+
+
+_LM_SCORED_SQL = """
+WITH train AS (SELECT * FROM documents WHERE doc_id % 10 != 0),
+held AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+tr_toks AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM train),
+unigrams AS (SELECT w, count(*) AS c1 FROM tr_toks GROUP BY w),
+totals AS (SELECT sum(c1) AS t_tokens, count(*) AS v_vocab FROM unigrams),
+tr_ls AS (SELECT string_split(lower(text), ' ') AS ls FROM train),
+tr_bg AS (
+  SELECT ls[i] AS w1, ls[i + 1] AS w2
+  FROM tr_ls, LATERAL (SELECT unnest(range(1, len(ls))) AS i)
+),
+bigrams AS (SELECT w1, w2, count(*) AS c2 FROM tr_bg GROUP BY w1, w2),
+sc_ls AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS ls FROM held),
+stream AS (
+  SELECT id, ls[i] AS w1, ls[i + 1] AS w2
+  FROM sc_ls, LATERAL (SELECT unnest(range(1, len(ls))) AS i)
+),
+joined AS (
+  SELECT s.id,
+         CASE WHEN b.c2 IS NOT NULL AND u1.c1 IS NOT NULL
+              THEN b.c2 / u1.c1
+              ELSE 0.4 * (COALESCE(u2.c1, 0) + 1) / (t_tokens + v_vocab)
+         END AS p,
+         CASE WHEN b.c2 IS NOT NULL AND u1.c1 IS NOT NULL
+              THEN 0 ELSE 1 END AS is_backoff
+  FROM stream s
+  LEFT JOIN bigrams b ON s.w1 = b.w1 AND s.w2 = b.w2
+  LEFT JOIN unigrams u1 ON s.w1 = u1.w
+  LEFT JOIN unigrams u2 ON s.w2 = u2.w
+  , totals
+),
+scored AS (
+  SELECT id AS doc_id,
+         sum(CAST(floor(ln(p) * 1000000 + 0.5) AS BIGINT))
+           / (count(*) * 1000000.0) AS avg_logprob,
+         count(*) AS n_bigrams,
+         sum(is_backoff) AS n_backoff
+  FROM joined GROUP BY id
+)
+"""
+
+LM_BIGRAM_LOGPROB_ORACLE = (
+    _LM_SCORED_SQL + "SELECT doc_id, avg_logprob, n_bigrams, n_backoff FROM scored"
+)
+
+
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity terciles (operators/lm.py): the
+    held-out docs ranked by stupid-backoff model score and split into
+    equal-depth head/middle/tail buckets — the curation signal a
+    pretraining pipeline samples at different rates.  Ties break on
+    doc id, so membership is layout-deterministic."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.lm import (
+        bigram_logprob,
+        perplexity_buckets,
+    )
+
+    train, held = _lm_splits(spark, sf_dir)
+    return perplexity_buckets(bigram_logprob(train, held))
+
+
+LM_PERPLEXITY_BUCKETS_ORACLE = _LM_SCORED_SQL + """
+SELECT doc_id, avg_logprob,
+       ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id ASC) AS ppl_bucket
+FROM scored
+"""
+
+_PAGERANK_ITERATIONS = 5
+
+
+def web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.py) over a
+    deterministic hub-skewed link graph: every page links to two
+    long-tail pages ((id*7+c) mod n) and one hub (id mod 11), so the
+    11 hubs accumulate rank while the tail drains — differentiated
+    ranks, unlike a vertex-transitive graph where PageRank is
+    uniform.  5 power-iteration rounds, each one src-join + dst-agg,
+    all arithmetic in bigint micro-units (div, never float /)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # bounded scalar: one count, mirrored by the
+    # oracle's scalar subquery
+    src = F.col("doc_id")
+    edges = docs.select(
+        src.alias("src"),
+        F.explode(
+            F.array(
+                (src * 7 + 1) % n_docs,
+                (src * 7 + 2) % n_docs,
+                src % 11,
+            )
+        ).alias("dst"),
+    )
+    return pagerank(edges, iterations=_PAGERANK_ITERATIONS).orderBy("node")
+
+
+def _pagerank_oracle(iterations: int) -> str:
+    sql = """
+WITH nd AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src,
+         unnest([(doc_id * 7 + 1) % (SELECT n FROM nd),
+                 (doc_id * 7 + 2) % (SELECT n FROM nd),
+                 doc_id % 11]) AS dst
+  FROM documents
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes)
+"""
+    for i in range(iterations):
+        sql += f""", c{i} AS (
+  SELECT e.dst AS node, sum(r.rank_micro // o.outdeg) AS incoming
+  FROM r{i} r JOIN outdeg o ON r.node = o.src JOIN edges e ON e.src = o.src
+  GROUP BY e.dst
+), r{i + 1} AS (
+  SELECT n.node, 150000 + (85 * COALESCE(c.incoming, 0)) // 100 AS rank_micro
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+)"""
+    sql += f"\nSELECT node, rank_micro FROM r{iterations}"
+    return sql
+
+
+WEB_PAGERANK_ORACLE = _pagerank_oracle(_PAGERANK_ITERATIONS)
+
+
 def build_registry() -> dict[str, QuerySpec]:
     reg = {
         "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_ORACLE),
@@ -6935,6 +7162,16 @@ def build_registry() -> dict[str, QuerySpec]:
             web_frontier_dedup, WEB_FRONTIER_DEDUP_ORACLE
         ),
         "web_robots_filter": QuerySpec(web_robots_filter, WEB_ROBOTS_FILTER_ORACLE),
+        "retrieval_bm25_topk": QuerySpec(
+            retrieval_bm25_topk, RETRIEVAL_BM25_ORACLE
+        ),
+        "lm_bigram_logprob": QuerySpec(
+            lm_bigram_logprob, LM_BIGRAM_LOGPROB_ORACLE
+        ),
+        "lm_perplexity_buckets": QuerySpec(
+            lm_perplexity_buckets, LM_PERPLEXITY_BUCKETS_ORACLE
+        ),
+        "web_pagerank": QuerySpec(web_pagerank, WEB_PAGERANK_ORACLE),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]
     assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"

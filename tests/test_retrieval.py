@@ -1,0 +1,101 @@
+"""BM25 retrieval: closed-form score check on a tiny corpus, plus the
+plan properties that keep the probe cheap at corpus scale."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from aws_cdk_pipelines_datalake_etl_spark.operators.retrieval import (
+    bm25_doc_stats,
+    bm25_topk,
+)
+from aws_cdk_pipelines_datalake_etl_spark.plans import registry as R
+from aws_cdk_pipelines_datalake_etl_spark.plans.explain import formatted_plan
+
+from tests.conftest import SF_DIR_SMOKE
+
+DOCS = [
+    (1, "spark shuffle join join"),
+    (2, "spark broadcast"),
+    (3, "python pandas arrow arrow arrow"),
+]
+
+
+def _bm25_reference(term_hits, dls, n_docs, k1=1.2, b=0.75):
+    """Closed-form reference: term_hits = {(doc, term): tf},
+    dls = {doc: dl}."""
+    avgdl = sum(dls.values()) / n_docs
+    dfreq: dict[str, int] = {}
+    for (_, t) in term_hits:
+        dfreq[t] = dfreq.get(t, 0) + 1
+    out: dict[tuple[int, str], float] = {}
+    for (d, t), tf in term_hits.items():
+        idf = math.log(1 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+        part = idf * (tf * (k1 + 1)) / (
+            tf + k1 * (1 - b + b * (dls[d] / avgdl))
+        )
+        out[(d, t)] = math.floor(part * 1_000_000 + 0.5)
+    return out
+
+
+def test_bm25_matches_closed_form(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [("q1", "join"), ("q1", "spark"), ("q2", "arrow")],
+        "query_id string, term string",
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.bm25, r.rank)
+        for r in bm25_topk(docs, queries, k=10).collect()
+    }
+    hits = {
+        (1, "join"): 2,
+        (1, "spark"): 1,
+        (2, "spark"): 1,
+        (3, "arrow"): 3,
+    }
+    ref = _bm25_reference(hits, {1: 4, 2: 2, 3: 5}, 3)
+    q1_doc1 = (ref[(1, "join")] + ref[(1, "spark")]) / 1e6
+    q1_doc2 = ref[(2, "spark")] / 1e6
+    q2_doc3 = ref[(3, "arrow")] / 1e6
+    assert got[("q1", 1)] == (q1_doc1, 1)
+    assert got[("q1", 2)] == (q1_doc2, 2)
+    assert got[("q2", 3)] == (q2_doc3, 1)
+    assert len(got) == 3  # doc 3 never matches q1, docs 1/2 never q2
+
+
+def test_bm25_rank_ties_break_on_doc_id(spark):
+    docs = spark.createDataFrame(
+        [(10, "x y"), (7, "x y"), (9, "x y")], "doc_id long, text string"
+    )
+    queries = spark.createDataFrame([("q", "x")], "query_id string, term string")
+    rows = bm25_topk(docs, queries, k=2).orderBy("rank").collect()
+    assert [r.doc_id for r in rows] == [7, 9]  # identical scores -> id order
+
+
+def test_bm25_doc_stats_counts(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    docterm, docstats = bm25_doc_stats(docs)
+    assert docterm.filter(
+        (F.col("doc") == 3) & (F.col("term") == "arrow")
+    ).head().tf == 3
+    assert {r.doc: r.dl for r in docstats.collect()} == {1: 4, 2: 2, 3: 5}
+
+
+def test_bm25_probe_broadcasts_query_side(spark):
+    """The corpus-sized index must never reshuffle to meet the query
+    terms: every join against the query-term table is a broadcast."""
+    df = R.retrieval_bm25_topk(spark, SF_DIR_SMOKE)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # One corpus token explode feeds tf/dl/df: the docterm aggregation
+    # exchange must be planned once and REUSED for the df(term) stat.
+    # Exchange reuse is an AQE-time decision, so materialize first and
+    # read the final plan.
+    df.collect()
+    final = formatted_plan(df)
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final

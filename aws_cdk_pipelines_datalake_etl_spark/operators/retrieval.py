@@ -36,6 +36,11 @@ from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import tokens
 
 MICRO = 1_000_000
 
+# RRF partials are exact integers: NANO div (K + rank).  No floats
+# anywhere in the fusion, so the fused ordering is engine-exact.
+NANO = 1_000_000_000
+RRF_K = 60
+
 
 def bm25_doc_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -146,5 +151,117 @@ def bm25_topk(
             F.col("rank"),
             (F.col("score_micro") / F.lit(float(MICRO))).alias("bm25"),
             "n_matched_terms",
+        )
+    )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists (Cormack et al. 2009):
+
+        score(q, d) = sum over systems  1 / (rrf_k + rank_i(q, d))
+
+    computed in EXACT integer nano-units — ``NANO div (rrf_k + rank)``
+    — so the fused score is a bigint sum of integers: no float
+    addition, no ordering sensitivity, bit-identical on any engine or
+    partitioning.  Documents absent from a system's list simply
+    contribute nothing (the standard RRF convention).
+
+    Ties on the fused score break on ascending doc id.  Input frames
+    need (query_id, doc_id, rank) columns; ranks are 1-based.
+
+    Scale posture: the inputs are already top-k-per-query tables —
+    tiny relative to the corpus — so the union + one hash aggregation
+    by (query, doc) and one per-query window is all bounded by
+    queries x k x n_systems rows.  Nothing touches the corpus again.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    parts = [
+        df.select(
+            F.col(query_id_col).alias("qid"),
+            F.col(id_col).alias("doc"),
+            F.expr(f"{NANO} div ({rrf_k} + {rank_col})").alias("part_nano"),
+        )
+        for df in ranked
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    fused = unioned.groupBy("qid", "doc").agg(
+        F.sum("part_nano").alias("rrf_nano"),
+        F.count(F.lit(1)).alias("n_systems"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("rrf_nano").desc(), F.col("doc").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("doc").alias(id_col),
+            "rank",
+            "rrf_nano",
+            "n_systems",
+        )
+    )
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query ranking metrics against a relevance-judgment table.
+
+    ``qrels`` holds (query_id, doc_id) pairs judged relevant (binary).
+    Output per query: ``hits_at_k``, ``recall_at_k_micro`` (micro-unit
+    integer: hits * MICRO div n_relevant), ``mrr_micro`` (MICRO div
+    first-relevant-rank, 0 if none) — every metric an exact integer,
+    so cross-engine comparison is bit-level.
+
+    Queries with zero judged-relevant docs are excluded (recall is
+    undefined there), matching trec_eval.
+
+    Scale posture: results are top-k tables and qrels are judgment
+    lists — both tiny; one equi-join on (query, doc) plus one
+    aggregation per side.  The qrels side is broadcast.
+    """
+    res = results.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(id_col).alias("doc"),
+        F.col(rank_col).alias("rank"),
+    ).filter(F.col("rank") <= k)
+    rel = qrels.select(
+        F.col(query_id_col).alias("qid"), F.col(id_col).alias("doc")
+    ).distinct()
+    n_rel = rel.groupBy("qid").agg(F.count(F.lit(1)).alias("n_relevant"))
+
+    matched = res.join(F.broadcast(rel), ["qid", "doc"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("hits_at_k"),
+        F.min("rank").alias("first_rel_rank"),
+    )
+    return (
+        n_rel.join(matched, "qid", "left")
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.coalesce(F.col("hits_at_k"), F.lit(0)).alias("hits_at_k"),
+            "n_relevant",
+            F.expr(
+                f"coalesce(hits_at_k, 0) * {MICRO} div n_relevant"
+            ).alias("recall_at_k_micro"),
+            F.coalesce(
+                F.expr(f"{MICRO} div first_rel_rank"), F.lit(0)
+            ).cast("long").alias("mrr_micro"),
         )
     )

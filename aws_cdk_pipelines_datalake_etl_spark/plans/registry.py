@@ -6750,7 +6750,7 @@ scored AS (
          sum(CAST(floor(ln(p) * 1000000 + 0.5) AS BIGINT))
            / (count(*) * 1000000.0) AS avg_logprob,
          count(*) AS n_bigrams,
-         sum(is_backoff) AS n_backoff
+         CAST(sum(is_backoff) AS BIGINT) AS n_backoff
   FROM joined GROUP BY id
 )
 """
@@ -6834,7 +6834,10 @@ r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes)
   SELECT n.node, 150000 + (85 * COALESCE(c.incoming, 0)) // 100 AS rank_micro
   FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
 )"""
-    sql += f"\nSELECT node, rank_micro FROM r{iterations}"
+    sql += (
+        f"\nSELECT node, CAST(rank_micro AS BIGINT) AS rank_micro"
+        f" FROM r{iterations}"
+    )
     return sql
 
 

@@ -26,6 +26,24 @@ TABLES = (
 ).split()
 
 
+def dtype_kinds(df: pd.DataFrame) -> dict[str, str]:
+    """Per-column dtype *kind* ('i' int, 'f' float, 'O'/'M'→'s' textual).
+
+    The driver's canonicalizer hashes raw dtypes, so a DuckDB oracle that
+    returns HUGEINT (→ pandas float64) against a Spark int64 column is a
+    driver hash-red even when every value matches (round-6 lesson:
+    ``lm_bigram_logprob`` / ``web_pagerank`` missing ``CAST(... AS BIGINT)``).
+    We therefore compare kinds and FAIL on int-vs-float cross-kind — only
+    width differences within a kind (int32/int64, float32/float64) are
+    unified, matching what the driver tolerates.
+    """
+    kinds = {}
+    for c in df.columns:
+        k = df[c].dtype.kind
+        kinds[c] = k if k in ("i", "u", "f", "b") else "s"
+    return kinds
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -34,7 +52,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("float64")  # unify int32/int64 for compare
+            df[c] = df[c].astype("int64")  # unify widths WITHIN the int kind
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
@@ -69,12 +89,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(f"skip  {name}: rows-only ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
             continue
         ddf = con.sql(oracles[name]).df()
+        sk, dk = dtype_kinds(sdf), dtype_kinds(ddf)
         s, d = normalize(sdf), normalize(ddf)
         status = []
         if len(s) != len(d):
             status.append(f"rows {len(s)} != {len(d)}")
         if list(s.columns) != list(d.columns):
             status.append(f"cols {list(s.columns)} != {list(d.columns)}")
+        else:
+            kind_mismatch = [
+                f"{c} spark:{sk[c]} oracle:{dk[c]}"
+                for c in s.columns
+                if sk[c] != dk[c] and not (sk[c] in ("i", "u") and dk[c] in ("i", "u"))
+            ]
+            if kind_mismatch:
+                status.append(
+                    "dtype-kind (driver would hash-red): " + "; ".join(kind_mismatch)
+                )
         if not status:
             if not s.equals(d):
                 diffs = []

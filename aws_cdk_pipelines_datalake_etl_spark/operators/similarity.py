@@ -851,8 +851,13 @@ def random_projection_microunits(
     native embedding dim is large.
 
     The sign matrix is arithmetic, not RNG-seeded:
-    ``sign(i, j) = 1 - 2*((i*7 + j*13) mod 2)`` — portable to any
-    engine, so the DuckDB oracle reproduces it bit-for-bit.  Each
+    ``sign(i, j) = 1 - 2 * (bit 16 of (i*2654435761 + j*40503))`` — a
+    Knuth-multiplicative-hash bit that mixes i and j, portable to any
+    engine, so the DuckDB oracle reproduces it bit-for-bit.  (An
+    earlier additive form ``(i*7 + j*13) mod 2`` reduced to
+    ``(i+j) mod 2`` — a RANK-1 matrix whose rows are all +-p0;
+    ``tests/test_similarity.py`` now asserts full rank and that
+    projected distances correlate with input distances.)  Each
     input component is quantized to integer micro-units
     (``floor(x*1e6 + 0.5)``, the engine-exactness device used
     throughout the registry) BEFORE the signed sum, so the projection
@@ -869,7 +874,8 @@ def random_projection_microunits(
             F.expr(
                 f"aggregate(sequence(0, {dim - 1}), 0L, (acc, i) -> acc + "
                 f"CAST(floor(CAST(element_at({vec_col}, i + 1) AS DOUBLE) "
-                f"* 1000000 + 0.5) AS BIGINT) * (1 - 2 * ((i * 7 + {j} * 13) % 2)))"
+                f"* 1000000 + 0.5) AS BIGINT) * "
+                f"(1 - 2 * (((i * 2654435761 + {j * 40503}) div 65536) % 2)))"
             ).alias(f"p{j}")
         )
     return df.select(*cols)

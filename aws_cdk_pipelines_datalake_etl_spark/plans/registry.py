@@ -5661,7 +5661,8 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIM_RP_COLS = ",\n".join(
     f"       CAST(sum(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000 + 0.5)"
-    f" AS BIGINT) * (1 - 2 * ((i * 7 + {j} * 13) % 2))) AS BIGINT) AS p{j}"
+    f" AS BIGINT) * (1 - 2 * (((i * 2654435761 + {j * 40503}) // 65536) % 2)))"
+    f" AS BIGINT) AS p{j}"
     for j in range(8)
 )
 

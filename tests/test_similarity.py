@@ -331,3 +331,46 @@ def test_semantic_dedup_auto_centroids(spark):
     assert s1 == s2 and s1
     assert len({v for v, _ in s1}) == len(s1)  # no vec kept twice
     e.unpersist()
+
+
+def test_random_projection_sign_matrix_full_rank_and_jl(spark):
+    """ADVICE r6 (high): the old additive sign formula
+    (i*7 + j*13) % 2 == (i + j) % 2 made the Rademacher matrix rank 1
+    (every row = +-row0), so the "projection" preserved one dimension.
+    Pin the fix: the hash-bit sign matrix must have rank == out_dim,
+    projected distances must correlate with input distances on
+    clustered data well above the degenerate form's ceiling, and the
+    Spark operator must agree bit-for-bit with the numpy model."""
+    import numpy as np
+
+    dim, out_dim = 64, 8
+    sign = np.array(
+        [
+            [1 - 2 * (((i * 2654435761 + j * 40503) // 65536) % 2) for i in range(dim)]
+            for j in range(out_dim)
+        ]
+    )
+    assert np.linalg.matrix_rank(sign) == out_dim
+
+    rng = np.random.RandomState(0)
+    centers = rng.standard_normal((5, dim)) * 6.0
+    x = np.vstack([c + rng.standard_normal((40, dim)) for c in centers])
+    proj = x @ sign.T / np.sqrt(out_dim)
+    idx = np.random.RandomState(1).choice(len(x), size=(400, 2))
+    idx = idx[idx[:, 0] != idx[:, 1]]
+    d_in = np.linalg.norm(x[idx[:, 0]] - x[idx[:, 1]], axis=1)
+    d_out = np.linalg.norm(proj[idx[:, 0]] - proj[idx[:, 1]], axis=1)
+    corr = np.corrcoef(d_in, d_out)[0, 1]
+    assert corr > 0.75, corr  # degenerate rank-1 form measured ~0.50 here
+
+    # Spark == numpy integer model on a handful of rows.
+    rows = [(int(i), [float(v) for v in x[i]]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {
+        r.vec_id: [r[f"p{j}"] for j in range(out_dim)]
+        for r in sim.random_projection_microunits(df, dim=dim, out_dim=out_dim).collect()
+    }
+    micro = np.floor(x[:6] * 1_000_000 + 0.5).astype(np.int64)
+    want = micro @ sign.T
+    for i in range(6):
+        assert got[i] == [int(v) for v in want[i]]

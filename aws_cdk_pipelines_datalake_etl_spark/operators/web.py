@@ -83,9 +83,13 @@ def url_port(url: Column) -> Column:
 
 
 def url_path(url: Column) -> Column:
-    """Path component, trailing slash stripped (non-root)."""
+    """Path component, one trailing slash stripped — INCLUDING the
+    root: ``https://a.com`` and ``https://a.com/`` both canonicalize
+    to an empty path, so the two spellings of a site root share one
+    frontier-dedup key (ADVICE r6: the old non-root-only strip kept
+    '' and '/' distinct)."""
     p = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    return F.regexp_replace(p, r"(.)/$", "$1")
+    return F.regexp_replace(p, r"/$", "")
 
 
 def url_query_normalized(url: Column) -> Column:
@@ -324,10 +328,18 @@ def robots_disallow_filter(
     condition: zero shuffle of the page side, no per-rule pass.
     Appends nothing: returns surviving pages with ``url_norm`` and
     ``domain`` attached (the canonicalization is shared work).
+
+    Matching is slash-insensitive (ADVICE r6): page paths are
+    canonical (trailing slash stripped), so rule prefixes get the
+    SAME strip — ``Disallow: /dir/`` blocks the directory page
+    ``/dir/`` itself (canonical ``/dir``), not only descendants.
+    The deliberate over-block: ``/dir`` (a sibling file) is treated
+    like ``/dir/``; robots.txt longest-match subtleties stay out of
+    scope as documented above.  ``Disallow: /`` strips to the empty
+    prefix and blocks the whole domain, the spec semantics.
     """
     p = url_normalize(pages, url_col)
     path = url_path(F.col("url_norm"))
-    cond = (p[domain_col] == rules[domain_col]) & path.startswith(
-        rules[prefix_col]
-    )
+    pre = F.regexp_replace(rules[prefix_col], r"/$", "")
+    cond = (p[domain_col] == rules[domain_col]) & path.startswith(pre)
     return p.join(F.broadcast(rules), cond, "left_anti")

@@ -5551,7 +5551,7 @@ parts AS (
            ':([0-9]+)$', 1) AS port,
          regexp_replace(
            regexp_extract(url_raw, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
-           '(.)/$', '\\1') AS path,
+           '/$', '') AS path,
          regexp_extract(url_raw, '\\?([^#]*)', 1) AS q
   FROM u
 ),
@@ -5855,7 +5855,7 @@ WHERE NOT EXISTS (
     AND starts_with(
           regexp_extract(d.url_norm,
             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
-          r.pre)
+          regexp_replace(r.pre, '/$', ''))
 )
 """
 
@@ -6692,6 +6692,194 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _tf_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """The second retrieval system for RRF fusion: rank docs per query
+    by RAW query-term occurrence count (ties on doc id) — deliberately
+    cruder than BM25 so the fused order differs from either input.
+    Same scale shape as the BM25 probe: the query-term table rides a
+    broadcast, the token stream never reshuffles for the probe."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import tokens
+
+    queries = spark.createDataFrame(
+        _BM25_QUERY_TERMS, "query_id string, term string"
+    )
+    qterms = queries.select(
+        F.col("query_id").alias("qid"), "term"
+    ).distinct()
+    toks = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), F.explode(tokens("text")).alias("term")
+    )
+    scored = toks.join(F.broadcast(qterms), "term").groupBy("qid", "doc").agg(
+        F.count(F.lit(1)).alias("tf_total")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("tf_total").desc(), F.col("doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("doc").alias("doc_id"),
+            "rank",
+        )
+    )
+
+
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (operators/retrieval.py:rrf_fuse) of two
+    genuinely different systems over the same corpus — BM25 top-10 and
+    a raw term-frequency top-10 — in exact integer nano-units
+    (1e9 div (60 + rank)), so the fused ordering is engine-exact.
+    The fusion itself touches only the two top-k tables: one union,
+    one hash agg on (query, doc), one per-query ranking window."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    queries = spark.createDataFrame(
+        _BM25_QUERY_TERMS, "query_id string, term string"
+    )
+    bm25 = bm25_topk(_t(spark, sf_dir, "documents"), queries, k=10)
+    return rrf_fuse([bm25, _tf_topk(spark, sf_dir, k=10)], k=10)
+
+
+_RETR_BM25_CTE = f"""
+q AS (SELECT * FROM (VALUES {_BM25_VALUES}) AS t(qid, term)),
+toks AS (
+  SELECT doc_id AS doc, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+docterm AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY doc, term),
+docstats AS (SELECT doc, count(*) AS dl FROM toks GROUP BY doc),
+corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM docstats),
+hits AS (SELECT q.qid, dt.doc, dt.term, dt.tf FROM docterm dt JOIN q USING (term)),
+termdf AS (SELECT term, count(DISTINCT doc) AS df FROM hits GROUP BY term),
+parts AS (
+  SELECT h.qid, h.doc,
+         CAST(floor(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+           * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs)))))
+           * 1000000 + 0.5) AS BIGINT) AS part_micro
+  FROM hits h JOIN termdf USING (term) JOIN docstats USING (doc), corpus
+),
+bm_scored AS (
+  SELECT qid, doc, sum(part_micro) AS score_micro
+  FROM parts GROUP BY qid, doc
+),
+bm_ranked AS (
+  SELECT qid, doc,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY score_micro DESC, doc ASC
+         ) AS rank
+  FROM bm_scored
+)"""
+
+RETRIEVAL_RRF_FUSION_ORACLE = f"""
+WITH {_RETR_BM25_CTE},
+tf_scored AS (
+  SELECT q.qid, t.doc, count(*) AS tf_total
+  FROM toks t JOIN q USING (term) GROUP BY q.qid, t.doc
+),
+tf_ranked AS (
+  SELECT qid, doc,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY tf_total DESC, doc ASC
+         ) AS rank
+  FROM tf_scored
+),
+pooled AS (
+  SELECT qid, doc, 1000000000 // (60 + rank) AS part_nano
+  FROM bm_ranked WHERE rank <= 10
+  UNION ALL
+  SELECT qid, doc, 1000000000 // (60 + rank)
+  FROM tf_ranked WHERE rank <= 10
+),
+fused AS (
+  SELECT qid, doc,
+         CAST(sum(part_nano) AS BIGINT) AS rrf_nano,
+         count(*) AS n_systems
+  FROM pooled GROUP BY qid, doc
+),
+franked AS (
+  SELECT qid, doc, rrf_nano, n_systems,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY rrf_nano DESC, doc ASC
+         ) AS rank
+  FROM fused
+)
+SELECT qid AS query_id, doc AS doc_id, rank, rrf_nano, n_systems
+FROM franked WHERE rank <= 10
+"""
+
+# qrels derivation shared by the Spark entry and the oracle: one
+# residue filter per query, plus one query judged but never retrieved.
+_QRELS_RULES = [
+    ("q_hash_join", 17, 0),
+    ("q_window_stream", 19, 3),
+    ("q_vector_scan", 23, 5),
+    ("q_never_retrieved", 29, 1),
+]
+
+
+def retrieval_metrics_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality metrics (operators/retrieval.py:
+    retrieval_metrics) of the BM25 top-10 against a deterministic
+    synthetic qrels table (per-query residue classes of doc_id; one
+    query judged relevant but never retrieved exercises the
+    zero-hit row).  Every metric is an exact integer (micro-unit
+    recall/MRR), so the comparison is bit-level; the qrels side rides
+    a broadcast (plan-asserted in tests/test_retrieval.py)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.retrieval import (
+        bm25_topk,
+        retrieval_metrics,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERY_TERMS, "query_id string, term string"
+    )
+    results = bm25_topk(docs, queries, k=10)
+    rels = [
+        docs.select(
+            F.lit(qid).alias("query_id"), F.col("doc_id")
+        ).filter(F.col("doc_id") % m == r)
+        for qid, m, r in _QRELS_RULES
+    ]
+    qrels = rels[0]
+    for part in rels[1:]:
+        qrels = qrels.unionByName(part)
+    return retrieval_metrics(results, qrels, k=10).orderBy("query_id")
+
+
+_QRELS_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT '{qid}' AS qid, doc_id AS doc FROM documents"
+    f" WHERE doc_id % {m} = {r}"
+    for qid, m, r in _QRELS_RULES
+)
+
+RETRIEVAL_METRICS_ORACLE = f"""
+WITH {_RETR_BM25_CTE},
+res AS (SELECT qid, doc, rank FROM bm_ranked WHERE rank <= 10),
+rel AS (
+{_QRELS_SQL}
+),
+nrel AS (SELECT qid, count(*) AS n_relevant FROM rel GROUP BY qid),
+matched AS (
+  SELECT r.qid, count(*) AS hits_at_k, min(r.rank) AS first_rel_rank
+  FROM res r JOIN rel USING (qid, doc) GROUP BY r.qid
+)
+SELECT n.qid AS query_id,
+       CAST(COALESCE(m.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+       CAST(n.n_relevant AS BIGINT) AS n_relevant,
+       CAST(COALESCE(m.hits_at_k, 0) * 1000000 // n.n_relevant AS BIGINT)
+         AS recall_at_k_micro,
+       CAST(COALESCE(1000000 // m.first_rel_rank, 0) AS BIGINT) AS mrr_micro
+FROM nrel n LEFT JOIN matched m ON n.qid = m.qid
+"""
+
+
 def _lm_splits(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -6746,13 +6934,21 @@ joined AS (
   LEFT JOIN unigrams u2 ON s.w2 = u2.w
   , totals
 ),
-scored AS (
+agged AS (
   SELECT id AS doc_id,
          sum(CAST(floor(ln(p) * 1000000 + 0.5) AS BIGINT))
            / (count(*) * 1000000.0) AS avg_logprob,
          count(*) AS n_bigrams,
          CAST(sum(is_backoff) AS BIGINT) AS n_backoff
   FROM joined GROUP BY id
+),
+scored AS (
+  -- every held doc gets a row: sub-2-token docs (no bigrams) emit
+  -- NULL avg and 0 counts, mirroring bigram_logprob's explode_outer
+  SELECT h.doc_id, a.avg_logprob,
+         CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         CAST(COALESCE(a.n_backoff, 0) AS BIGINT) AS n_backoff
+  FROM held h LEFT JOIN agged a ON h.doc_id = a.doc_id
 )
 """
 
@@ -6780,6 +6976,43 @@ LM_PERPLEXITY_BUCKETS_ORACLE = _LM_SCORED_SQL + """
 SELECT doc_id, avg_logprob,
        ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id ASC) AS ppl_bucket
 FROM scored
+"""
+
+
+def lm_perplexity_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE form of perplexity bucketing (VERDICT r6 #5,
+    operators/lm.py): bucket boundaries from one partial-aggregating
+    exact percentile pass, rounded to 6 dp, broadcast, labels applied
+    row-locally — the scored rows never globally sort (plan-asserted
+    in tests/test_lm.py).  The DuckDB oracle recomputes the identical
+    boundaries with quantile_cont and the identical comparison-count
+    labeling, so this entry gates the cutpoint math itself; equality
+    with the ntile form where quantiles are unambiguous is proven in
+    tests."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.lm import (
+        bigram_logprob,
+        perplexity_buckets,
+    )
+
+    train, held = _lm_splits(spark, sf_dir)
+    return perplexity_buckets(
+        bigram_logprob(train, held), method="cutpoints"
+    )
+
+
+LM_PERPLEXITY_CUTPOINTS_ORACLE = _LM_SCORED_SQL + """
+, bounds AS (
+  SELECT list_transform(
+           quantile_cont(avg_logprob,
+                         [0.3333333333333333, 0.6666666666666666]),
+           b -> round(b, 6)) AS bs
+  FROM scored
+)
+SELECT doc_id, avg_logprob,
+       CAST(CASE WHEN avg_logprob IS NULL THEN 3
+                 ELSE 1 + len(list_filter(bs, b -> avg_logprob < b))
+            END AS INTEGER) AS ppl_bucket
+FROM scored, bounds
 """
 
 _PAGERANK_ITERATIONS = 5
@@ -7169,11 +7402,20 @@ def build_registry() -> dict[str, QuerySpec]:
         "retrieval_bm25_topk": QuerySpec(
             retrieval_bm25_topk, RETRIEVAL_BM25_ORACLE
         ),
+        "retrieval_rrf_fusion": QuerySpec(
+            retrieval_rrf_fusion, RETRIEVAL_RRF_FUSION_ORACLE
+        ),
+        "retrieval_metrics_bm25": QuerySpec(
+            retrieval_metrics_bm25, RETRIEVAL_METRICS_ORACLE
+        ),
         "lm_bigram_logprob": QuerySpec(
             lm_bigram_logprob, LM_BIGRAM_LOGPROB_ORACLE
         ),
         "lm_perplexity_buckets": QuerySpec(
             lm_perplexity_buckets, LM_PERPLEXITY_BUCKETS_ORACLE
+        ),
+        "lm_perplexity_cutpoints": QuerySpec(
+            lm_perplexity_cutpoints, LM_PERPLEXITY_CUTPOINTS_ORACLE
         ),
         "web_pagerank": QuerySpec(web_pagerank, WEB_PAGERANK_ORACLE),
     }

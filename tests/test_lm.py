@@ -53,10 +53,21 @@ def test_score_seen_backoff_and_oov_paths(spark):
     assert row.avg_logprob == expect_micro / (3 * 1e6)
 
 
-def test_short_docs_produce_no_rows(spark):
+def test_short_docs_emit_null_score_row(spark):
+    """ADVICE r6: a sub-2-token doc must not vanish — it gets one row
+    with NULL avg_logprob and zero counts (explode_outer path), while
+    normal docs are scored as before."""
     train = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
-    score = spark.createDataFrame([(2, "a")], "doc_id long, text string")
-    assert bigram_logprob(train, score).count() == 0
+    score = spark.createDataFrame(
+        [(2, "a"), (3, ""), (4, "a b")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in bigram_logprob(train, score).collect()}
+    assert set(rows) == {2, 3, 4}
+    for short in (2, 3):
+        r = rows[short]
+        assert r.avg_logprob is None
+        assert (r.n_bigrams, r.n_backoff) == (0, 0)
+    assert rows[4].n_bigrams == 1 and rows[4].avg_logprob is not None
 
 
 def test_perplexity_buckets_equal_depth_deterministic(spark):
@@ -72,3 +83,97 @@ def test_perplexity_buckets_equal_depth_deterministic(spark):
     assert sorted(by_bucket[1]) == [0, 1, 2]
     assert sorted(by_bucket[3]) == [6, 7, 8]
     assert all(len(v) == 3 for v in by_bucket.values())
+
+
+def test_perplexity_buckets_cutpoints_equal_ntile(spark):
+    """VERDICT r6 #5: the scale form (broadcast percentile cutpoints,
+    row-local labeling) must produce label-for-label the ntile result
+    where quantiles are unambiguous (distinct values, N % n == 0)."""
+    scored = spark.createDataFrame(
+        [(i, -1.0 - (i * 7 % 30) * 0.13) for i in range(30)],
+        "doc_id long, avg_logprob double",
+    )
+    a = {
+        r.doc_id: r.ppl_bucket
+        for r in perplexity_buckets(scored, method="ntile").collect()
+    }
+    b = {
+        r.doc_id: r.ppl_bucket
+        for r in perplexity_buckets(scored, method="cutpoints").collect()
+    }
+    assert a == b
+    counts = sorted(list(b.values()).count(k) for k in (1, 2, 3))
+    assert counts == [10, 10, 10]
+
+
+def test_perplexity_buckets_cutpoints_nulls_land_in_tail(spark):
+    scored = spark.createDataFrame(
+        [(0, -1.0), (1, -2.0), (2, -3.0), (3, None), (4, None), (5, -1.5)],
+        "doc_id long, avg_logprob double",
+    )
+    got = {
+        r.doc_id: r.ppl_bucket
+        for r in perplexity_buckets(scored, method="cutpoints").collect()
+    }
+    assert got[3] == 3 and got[4] == 3
+
+
+def test_perplexity_buckets_cutpoints_plan_no_global_sort(spark):
+    """The cutpoint form must never sort or window the scored row
+    stream — that is the whole point of the scale path.  (The
+    boundary aggregation's final merge IS a single-partition
+    exchange, but of one partial row per upstream partition, not of
+    the corpus.)"""
+    scored = spark.createDataFrame(
+        [(i, -float(i)) for i in range(10)],
+        "doc_id long, avg_logprob double",
+    ).repartition(4)
+    for mode in ("exact", "approx"):
+        plan = (
+            perplexity_buckets(scored, method="cutpoints", boundary_mode=mode)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" not in plan, plan
+        assert "Sort " not in plan and "+- Sort" not in plan, plan
+    # and the textbook form DOES (sanity that the assertion bites)
+    plan_ntile = (
+        perplexity_buckets(scored, method="ntile")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan_ntile
+
+
+def test_perplexity_buckets_rejects_unknown_method(spark):
+    scored = spark.createDataFrame(
+        [(0, -1.0)], "doc_id long, avg_logprob double"
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="method"):
+        perplexity_buckets(scored, method="zorder")
+    with _pt.raises(ValueError, match="boundary_mode"):
+        perplexity_buckets(scored, method="cutpoints", boundary_mode="magic")
+
+
+def test_perplexity_buckets_approx_mode_close_to_exact(spark):
+    """approx boundaries at test scale (far below the 1/accuracy rank
+    error) must reproduce the exact buckets."""
+    scored = spark.createDataFrame(
+        [(i, -1.0 - (i * 11 % 60) * 0.07) for i in range(60)],
+        "doc_id long, avg_logprob double",
+    )
+    a = {
+        r.doc_id: r.ppl_bucket
+        for r in perplexity_buckets(scored, method="cutpoints").collect()
+    }
+    b = {
+        r.doc_id: r.ppl_bucket
+        for r in perplexity_buckets(
+            scored, method="cutpoints", boundary_mode="approx"
+        ).collect()
+    }
+    assert a == b

@@ -402,12 +402,14 @@ def _raw_url(draw):
     www = draw(st.sampled_from(["", "www.", "WWW."]))
     host = draw(_url_host)
     port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    # "" covers the bare site root (scheme://host, no path at all) —
+    # ADVICE r6: it must canonicalize identically to scheme://host/
     path = draw(
         st.lists(st.sampled_from(["p", "q2", "Item"]), max_size=3).map(
-            lambda segs: "/" + "/".join(segs) if segs else "/"
+            lambda segs: "/" + "/".join(segs) if segs else ""
         )
     )
-    slash = draw(st.sampled_from(["", "/"])) if path != "/" else ""
+    slash = draw(st.sampled_from(["", "/"]))
     params = draw(st.lists(_url_param, max_size=4))
     query = "?" + "&".join(params) if params else ""
     frag = draw(st.sampled_from(["", "#top", "#sec-2"]))

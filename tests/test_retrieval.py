@@ -99,3 +99,100 @@ def test_bm25_probe_broadcasts_query_side(spark):
     final = formatted_plan(df)
     assert "isFinalPlan=true" in final
     assert "ReusedExchange" in final
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Cormack-style RRF in exact nano-units: two 3-deep lists, a
+    fused tie broken on doc id, singletons contributing one partial."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    sys_a = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query_id string, doc_id long, rank int",
+    )
+    sys_b = spark.createDataFrame(
+        [("q", 2, 1), ("q", 1, 2), ("q", 4, 3)],
+        "query_id string, doc_id long, rank int",
+    )
+    rows = {r.doc_id: r for r in rrf_fuse([sys_a, sys_b]).collect()}
+    nano = 1_000_000_000
+    both = nano // 61 + nano // 62
+    assert rows[1].rrf_nano == both and rows[1].n_systems == 2
+    assert rows[2].rrf_nano == both and rows[2].n_systems == 2
+    assert rows[3].rrf_nano == nano // 63 and rows[3].n_systems == 1
+    assert rows[4].rrf_nano == nano // 63
+    # d1 == d2 on score -> doc id ascending breaks the tie
+    assert (rows[1].rank, rows[2].rank, rows[3].rank, rows[4].rank) == (
+        1, 2, 3, 4,
+    )
+
+
+def test_rrf_fuse_k_cutoff_and_validation(spark):
+    import pytest as _pt
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    ranked = spark.createDataFrame(
+        [("q", d, d) for d in range(1, 8)],
+        "query_id string, doc_id long, rank int",
+    )
+    out = rrf_fuse([ranked], k=3).collect()
+    assert sorted(r.doc_id for r in out) == [1, 2, 3]
+    with _pt.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    from aws_cdk_pipelines_datalake_etl_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+
+    results = spark.createDataFrame(
+        # q1: relevant doc 2 at rank 2 of 3; q2: nothing relevant
+        # retrieved; q_rank11: its only relevant doc sits below k.
+        [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3),
+         ("q2", 4, 1), ("q2", 5, 2),
+         ("q_rank11", 6, 11)],
+        "query_id string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        # q3 judged but never retrieved; q_norel has rows in results
+        # only via q2's absence (i.e. zero-relevant queries excluded).
+        [("q1", 2), ("q1", 9), ("q2", 7), ("q3", 1), ("q_rank11", 6)],
+        "query_id string, doc_id long",
+    )
+    micro = 1_000_000
+    rows = {
+        r.query_id: r
+        for r in retrieval_metrics(results, qrels, k=10).collect()
+    }
+    assert set(rows) == {"q1", "q2", "q3", "q_rank11"}
+    q1 = rows["q1"]
+    assert (q1.hits_at_k, q1.n_relevant) == (1, 2)
+    assert q1.recall_at_k_micro == micro // 2
+    assert q1.mrr_micro == micro // 2  # first relevant at rank 2
+    for missq in ("q2", "q3", "q_rank11"):
+        r = rows[missq]
+        assert (r.hits_at_k, r.recall_at_k_micro, r.mrr_micro) == (0, 0, 0)
+
+
+def test_retrieval_metrics_broadcasts_qrels(spark):
+    """The judgment table rides a broadcast — the results side never
+    shuffles for the relevance join."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+
+    results = spark.createDataFrame(
+        [("q1", 1, 1)], "query_id string, doc_id long, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 1)], "query_id string, doc_id long"
+    )
+    plan = formatted_plan(retrieval_metrics(results, qrels))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

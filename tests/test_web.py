@@ -38,7 +38,10 @@ def _domain_one(spark, host: str) -> str:
         ("https://ex.com:80/x", "https://ex.com:80/x"),
         # trailing slash stripped on non-root; root path kept
         ("http://ex.com/a/", "http://ex.com/a"),
-        ("http://ex.com/", "http://ex.com/"),
+        # both site-root spellings collapse to ONE canonical key
+        # (ADVICE r6: '' vs '/' used to escape frontier dedup)
+        ("http://ex.com/", "http://ex.com"),
+        ("http://ex.com", "http://ex.com"),
         # tracking params dropped, remainder sorted, '?' dropped if empty
         (
             "http://ex.com/p?z=1&utm_source=a&a=2&fbclid=q",
@@ -320,3 +323,35 @@ def test_robots_disallow_filter_prefix_semantics(spark):
         for r in robots_disallow_filter(pages, rules, "url").collect()
     }
     assert kept == {3, 4, 5}
+
+
+def test_robots_disallow_filter_slash_insensitive(spark):
+    """ADVICE r6: 'Disallow: /dir/' must block the directory page
+    '/dir/' itself (whose canonical path is '/dir'), and
+    'Disallow: /' must block the whole domain including the bare
+    root spelling."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.web import (
+        robots_disallow_filter,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (1, "http://a.com/dir/"),  # the directory page itself
+            (2, "http://a.com/dir/x"),  # a descendant
+            (3, "http://a.com/dirt"),  # prefix match after strip: blocked
+            (4, "http://a.com/other"),
+            (5, "http://b.com"),  # bare root, Disallow: / domain
+            (6, "http://b.com/"),
+            (7, "http://b.com/any/page"),
+            (8, "http://c.com/dir/"),  # no rules for c.com
+        ],
+        ["doc_id", "url"],
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "/dir/"), ("b.com", "/")], ["domain", "disallow_prefix"]
+    )
+    kept = {
+        r["doc_id"]
+        for r in robots_disallow_filter(pages, rules, "url").collect()
+    }
+    assert kept == {4, 8}

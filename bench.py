@@ -87,9 +87,13 @@ HEADLINE = [
     "sketch_cm_topk",
     "dedup_semantic_skewguard",
     # round-6 operator families: web canonicalization, substring-span
-    # dedup, Gopher repetition metrics
+    # dedup, Gopher repetition metrics.  Round 7 switched the
+    # substring-span slot to the PRODUCTION xxhash64-key form
+    # (VERDICT r6 #6) — the text-key oracle form it replaces measured
+    # 11.29x at 10x data by design (it shuffles gram text); the two
+    # are proven to produce the identical relation.
     "web_url_normalize",
-    "dedup_substring_spans",
+    "dedup_substring_spans_prod",
     "text_repetition_metrics",
 ]
 

@@ -1,21 +1,32 @@
-"""Pure-Python baseline-sequential JPEG codec (VERDICT r5 #7).
+"""Pure-Python baseline + progressive JPEG codec (VERDICT r5 #7 /
+r6 stretch).
 
-Closes the last compressed-image seam without external libraries:
-both halves are built from the public JPEG specification (ITU-T T.81
-/ ISO 10918-1) — marker structure from Annex B, the example
+Closes the compressed-image seam without external libraries: both
+halves are built from the public JPEG specification (ITU-T T.81 /
+ISO 10918-1) — marker structure from Annex B, the example
 quantization and Huffman tables from Annex K, the DCT definition from
-A.3.3 — with numpy used for the 8x8 transform math only.
+A.3.3, progressive scan semantics from Annex G — with numpy used for
+the 8x8 transform math only.
 
 Scope (and honest non-scope):
 
-- **Decoder**: baseline sequential DCT (SOF0), 8-bit samples, 1 or 3
-  components, 4:4:4 only (all sampling factors 1x1).  Progressive
-  (SOF2), subsampled, 12-bit, arithmetic-coded, and
-  restart-interval streams raise ``NotImplementedError`` with the
-  exact reason — same policy as the PNG decoder's Adam7 gate.
-- **Encoder**: the matching subset (SOF0, 4:4:4, Annex-K example
-  tables at their spec values), used to synthesize REAL JPEG bytes
-  for the round-trip oracle entry and the tests.
+- **Decoder**: baseline sequential DCT (SOF0) AND progressive DCT
+  (SOF2) — spectral selection and successive approximation, DC and
+  AC refinement scans, EOB-run coding — 8-bit samples, 1 or 3
+  components, 4:4:4 only (all sampling factors 1x1).  Both frame
+  types share one scan decoder: baseline is simply the single
+  interleaved Ss=0..Se=63, Ah=Al=0 scan of the coefficient-
+  accumulation model.  Subsampled, 12-bit, lossless/hierarchical,
+  arithmetic-coded, and restart-interval streams raise
+  ``NotImplementedError`` with the exact reason — same policy as the
+  PNG decoder's Adam7 gate.
+- **Encoder**: the matching subset — ``encode_jpeg`` (SOF0) and
+  ``encode_jpeg_progressive`` (SOF2 with a libjpeg-style default
+  scan script: shifted DC first, split+shifted AC bands, AC and DC
+  refinement scans), both 4:4:4 with the Annex-K example tables.
+  Progressive re-orders the SAME quantized coefficients, so
+  progressive decode is bit-identical to baseline decode of the same
+  image — the invariance the tests assert.
 
 Determinism: the 2-D DCT/IDCT is an exact orthonormal matrix product
 in float64 (the JPEG A.3.3 definition, not a fast factorization), so
@@ -394,22 +405,425 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
 
 
 # --------------------------------------------------------------------
-# Decoder
+# Progressive encoder (T.81 Annex G.1, Huffman procedures)
+# --------------------------------------------------------------------
+
+# The Annex-K AC tables carry no EOBn symbols for n >= 1 (baseline
+# never emits them), so progressive scans use this self-describing
+# FLAT table instead: every possible RRRRSSSS symbol, 128 at 8 bits
+# and 128 at 9 bits (a BITS entry is one byte, so one length can hold
+# at most 255 codes).  It is a valid canonical Huffman table, costs
+# compression these synthetic-test JPEGs don't care about, and lets
+# the encoder emit true multi-block EOB runs — which is exactly the
+# decoder path worth exercising.
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = list(range(256))
+
+_MAX_EOBRUN = 0x7FFF
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform (G.1.2.2): magnitude shift, sign kept."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _default_prog_scans(nc: int) -> list[tuple[tuple[int, ...], int, int, int, int]]:
+    """libjpeg-style default script: shifted DC first, split+shifted
+    AC bands, then AC and DC refinements down to Al=0 — covering the
+    spectral-selection AND successive-approximation decode paths.
+    Each entry is (components, Ss, Se, Ah, Al)."""
+    if nc == 3:
+        return [
+            ((0, 1, 2), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2),
+            ((2,), 1, 63, 0, 1),
+            ((1,), 1, 63, 0, 1),
+            ((0,), 6, 63, 0, 2),
+            ((0,), 1, 63, 2, 1),
+            ((0, 1, 2), 0, 0, 1, 0),
+            ((2,), 1, 63, 1, 0),
+            ((1,), 1, 63, 1, 0),
+            ((0,), 1, 63, 1, 0),
+        ]
+    return [
+        ((0,), 0, 0, 0, 1),
+        ((0,), 1, 5, 0, 2),
+        ((0,), 6, 63, 0, 2),
+        ((0,), 1, 63, 2, 1),
+        ((0,), 0, 0, 1, 0),
+        ((0,), 1, 63, 1, 0),
+    ]
+
+
+class _EobState:
+    """Cross-block EOB-run accumulator for one AC scan, with the
+    refinement-scan correction bits that ride along with it."""
+
+    def __init__(self, wtr: _BitWriter, ac_enc: dict) -> None:
+        self.wtr = wtr
+        self.ac_enc = ac_enc
+        self.run = 0
+        self.pending: list[int] = []
+
+    def flush(self) -> None:
+        if self.run:
+            nbits = self.run.bit_length() - 1
+            code, ln = self.ac_enc[nbits << 4]
+            self.wtr.put(code, ln)
+            if nbits:
+                self.wtr.put(self.run - (1 << nbits), nbits)
+        for b in self.pending:
+            self.wtr.put(b, 1)
+        self.run = 0
+        self.pending = []
+
+    def add(self, bits: list[int]) -> None:
+        self.run += 1
+        self.pending.extend(bits)
+        if self.run == _MAX_EOBRUN or len(self.pending) > 900:
+            self.flush()
+
+
+def _enc_ac_first_block(
+    wtr: _BitWriter, eob: _EobState, zz: np.ndarray, ss: int, se: int, al: int,
+    ac_enc: dict,
+) -> None:
+    vals = [_pt_ac(int(zz[k]), al) for k in range(ss, se + 1)]
+    if not any(vals):
+        eob.add([])
+        return
+    eob.flush()
+    run = 0
+    last_nz = max(i for i, v in enumerate(vals) if v)
+    for i, v in enumerate(vals):
+        if i > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]
+            wtr.put(code, ln)
+            run -= 16
+        size, bits_val = _magnitude(v)
+        code, ln = ac_enc[(run << 4) | size]
+        wtr.put(code, ln)
+        wtr.put(bits_val, size)
+        run = 0
+    if last_nz < len(vals) - 1:
+        eob.add([])
+
+
+def _enc_ac_refine_block(
+    wtr: _BitWriter, eob: _EobState, zz: np.ndarray, ss: int, se: int, al: int,
+    ac_enc: dict,
+) -> None:
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    newly = [i for i, t in enumerate(absv) if t == 1]
+    last_new = newly[-1] if newly else -1
+    run = 0
+    br: list[int] = []
+    for i, t in enumerate(absv):
+        if i > last_new:
+            break
+        if t == 0:
+            run += 1
+            continue
+        # A ZRL must go out as soon as the zero-history run exceeds 15
+        # DURING the walk (libjpeg encode_mcu_AC_refine) — the decoder
+        # reads buffered correction bits positionally while skipping,
+        # so deferring the ZRL past an already-significant coefficient
+        # would misalign its correction bit.  Only while a newly-
+        # significant coefficient still follows (i <= last_new);
+        # trailing runs fold into the EOB run instead.
+        while run > 15:
+            eob.flush()
+            code, ln = ac_enc[0xF0]
+            wtr.put(code, ln)
+            run -= 16
+            for b in br:
+                wtr.put(b, 1)
+            br = []
+        if t > 1:  # already significant: one correction bit
+            br.append(t & 1)
+            continue
+        # t == 1: newly significant coefficient
+        eob.flush()
+        code, ln = ac_enc[(run << 4) | 1]
+        wtr.put(code, ln)
+        wtr.put(1 if int(zz[ss + i]) > 0 else 0, 1)
+        for b in br:
+            wtr.put(b, 1)
+        br = []
+        run = 0
+    # The tail (zero-history runs and/or correction bits after the
+    # last newly-significant coefficient) joins the EOB run — but ONLY
+    # if something actually remains (libjpeg: ``r > 0 || BR > 0``).  A
+    # block whose last new coefficient lands exactly on Se ends the
+    # decoder's walk naturally; recording an EOB for it would make the
+    # decoder eat the NEXT block's first symbol as a phantom EOB.
+    tail = [absv[i] & 1 for i in range(last_new + 1, len(absv)) if absv[i] > 1]
+    trailing_zeros = sum(
+        1 for i in range(last_new + 1, len(absv)) if absv[i] == 0
+    )
+    if trailing_zeros > 0 or br or tail:
+        eob.add(br + tail)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    scans: list[tuple[tuple[int, ...], int, int, int, int]] | None = None,
+) -> bytes:
+    """Encode (h, w, 1|3) uint8 pixels as a PROGRESSIVE (SOF2) 4:4:4
+    JPEG.  ``scans`` is a list of (components, Ss, Se, Ah, Al); the
+    default script covers spectral selection and two levels of
+    successive approximation.  Progressive re-orders the same
+    quantized coefficients baseline emits, so decoding this stream is
+    bit-identical to decoding ``encode_jpeg(pixels)``."""
+    h, w, nc = pixels.shape
+    if nc not in (1, 3):
+        raise ValueError(f"channels {nc} (1 or 3)")
+    planes = _rgb_to_ycbcr(pixels) if nc == 3 else pixels.astype(np.float64)
+    qts = [STD_LUMA_QT] + ([STD_CHROMA_QT] if nc == 3 else [])
+    comp_qt = [0] + [1, 1][: max(0, nc - 1)]
+    zz = []
+    for ci in range(nc):
+        plane = planes[:, :, ci] if nc == 3 else planes[:, :, 0]
+        z, by, bx = _encode_plane_blocks(plane, qts[comp_qt[ci]])
+        zz.append(z)
+    scans = scans if scans is not None else _default_prog_scans(nc)
+    for comps_s, ss, se, ah, al in scans:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scans must have Ss=Se=0")
+        if ss > 0 and len(comps_s) != 1:
+            raise ValueError("progressive AC scans take one component")
+        if not 0 <= ss <= se <= 63 or any(c >= nc for c in comps_s):
+            raise ValueError(f"bad scan spec {(comps_s, ss, se, ah, al)}")
+
+    dc_enc = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)]
+    if nc == 3:
+        dc_enc.append(_build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS))
+    ac_enc = _build_encode_table(PROG_AC_BITS, PROG_AC_VALS)
+    comp_ht = comp_qt
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for i, qt in enumerate(qts):
+        out += seg(0xDB, bytes([i]) + bytes(int(qt[z]) for z in ZIGZAG))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, comp_qt[ci]])
+    out += seg(0xC2, sof)  # SOF2: progressive DCT, Huffman
+    hts = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS)]
+    if nc == 3:
+        hts.append((0x01, DC_CHROMA_BITS, DC_CHROMA_VALS))
+    hts.append((0x10, PROG_AC_BITS, PROG_AC_VALS))
+    for tc, bits, vals in hts:
+        out += seg(0xC4, bytes([tc]) + bytes(bits) + bytes(vals))
+
+    for comps_s, ss, se, ah, al in scans:
+        sos = bytes([len(comps_s)])
+        for ci in comps_s:
+            sos += bytes([ci + 1, (comp_ht[ci] << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        wtr = _BitWriter()
+        if ss == 0 and ah == 0:  # DC first scan (interleaved)
+            pred = {ci: 0 for ci in comps_s}
+            for my in range(by):
+                for mx in range(bx):
+                    for ci in comps_s:
+                        v = int(zz[ci][my, mx, 0]) >> al
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        size, bits_val = _magnitude(diff)
+                        code, ln = dc_enc[comp_ht[ci]][size]
+                        wtr.put(code, ln)
+                        if size:
+                            wtr.put(bits_val, size)
+        elif ss == 0:  # DC refinement: one raw bit per block
+            for my in range(by):
+                for mx in range(bx):
+                    for ci in comps_s:
+                        wtr.put((int(zz[ci][my, mx, 0]) >> al) & 1, 1)
+        else:  # AC scan, single component
+            ci = comps_s[0]
+            eob = _EobState(wtr, ac_enc)
+            for my in range(by):
+                for mx in range(bx):
+                    if ah == 0:
+                        _enc_ac_first_block(
+                            wtr, eob, zz[ci][my, mx], ss, se, al, ac_enc
+                        )
+                    else:
+                        _enc_ac_refine_block(
+                            wtr, eob, zz[ci][my, mx], ss, se, al, ac_enc
+                        )
+            eob.flush()
+        out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------
+# Decoder (baseline AND progressive: one coefficient-accumulation
+# model; baseline is the single interleaved Ss=0..63 Ah=Al=0 scan)
 # --------------------------------------------------------------------
 
 
+def _decode_scan_dc(
+    rdr: _BitReader, scan: list[int], coefs: list[np.ndarray],
+    dc_t: dict[int, dict], scan_dc: dict[int, int],
+    by: int, bx: int, ah: int, al: int, baseline_ac=None,
+) -> None:
+    """DC scan (interleaved over ``scan`` components).  When
+    ``baseline_ac`` is given (a per-component AC-table mapping), this
+    is a baseline Ss=0..63 scan and ACs decode inline."""
+    pred = {ci: 0 for ci in scan}
+    for my in range(by):
+        for mx in range(bx):
+            for ci in scan:
+                block = coefs[ci][my, mx]
+                if ah == 0:
+                    size = rdr.huff(dc_t[scan_dc[ci]])
+                    diff = _extend(rdr.bits(size), size) if size else 0
+                    pred[ci] += diff
+                    block[0] = pred[ci] << al
+                else:  # DC refinement: one raw bit
+                    if rdr.bit():
+                        block[0] = int(block[0]) | (1 << al)
+                if baseline_ac is None:
+                    continue
+                ac = baseline_ac[ci]
+                k = 1
+                while k < 64:
+                    rs = rdr.huff(ac)
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    block[k] = _extend(rdr.bits(size), size)
+                    k += 1
+
+
+def _decode_scan_ac_first(
+    rdr: _BitReader, coef: np.ndarray, ac: dict,
+    by: int, bx: int, ss: int, se: int, al: int,
+) -> None:
+    eobrun = 0
+    for my in range(by):
+        for mx in range(bx):
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            block = coef[my, mx]
+            k = ss
+            while k <= se:
+                rs = rdr.huff(ac)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << run) - 1 + (rdr.bits(run) if run else 0)
+                    break
+                k += run
+                if k > se:
+                    raise ValueError("AC run past end of band")
+                block[k] = _extend(rdr.bits(size), size) * (1 << al)
+                k += 1
+
+
+def _decode_scan_ac_refine(
+    rdr: _BitReader, coef: np.ndarray, ac: dict,
+    by: int, bx: int, ss: int, se: int, al: int,
+) -> None:
+    """Successive-approximation AC refinement (G.2 / spec figure
+    G.10): correction bits for already-significant coefficients,
+    (run<<4)|1 symbols placing newly-significant ones, EOB runs
+    covering whole blocks of corrections."""
+    p1 = 1 << al
+    eobrun = 0
+
+    def correct(block: np.ndarray, k: int) -> None:
+        if rdr.bit():
+            v = int(block[k])
+            if (v & p1) == 0:
+                block[k] = v + p1 if v >= 0 else v - p1
+
+    for my in range(by):
+        for mx in range(bx):
+            block = coef[my, mx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = rdr.huff(ac)
+                    run, size = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if size == 0:
+                        if run < 15:
+                            eobrun = (1 << run) + (
+                                rdr.bits(run) if run else 0
+                            )
+                            break
+                        # run == 15: ZRL — skip 16 zero-history coefs
+                    elif size == 1:
+                        newval = p1 if rdr.bit() else -p1
+                    else:
+                        raise ValueError(
+                            "refinement symbol with size > 1"
+                        )
+                    while k <= se:
+                        if int(block[k]) != 0:
+                            correct(block, k)
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if newval and k <= se:
+                        block[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if int(block[k]) != 0:
+                        correct(block, k)
+                    k += 1
+                eobrun -= 1
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Advance to the next marker boundary after an entropy-coded
+    segment (skipping pad bits and stuffed 0xFF00 pairs)."""
+    while pos < len(data) - 1:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    raise ValueError("ran off the end looking for a marker")
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode a baseline-sequential 4:4:4 JPEG: returns
-    ``(w, h, channels, pixels)`` with pixels (h, w) for grayscale or
-    (h, w, 3) RGB uint8."""
+    """Decode a baseline (SOF0) or progressive (SOF2) 4:4:4 JPEG:
+    returns ``(w, h, channels, pixels)`` with pixels (h, w) for
+    grayscale or (h, w, 3) RGB uint8."""
     if payload[:3] != _MAGIC_JPEG:
         raise ValueError("not a JPEG stream")
     qts: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     comps: list[tuple[int, int]] = []  # (component id, qt id)
-    scan_ht: list[tuple[int, int]] = []  # (dc table, ac table) per comp
     h = w = nc = 0
+    progressive = False
+    coefs: list[np.ndarray] = []
+    by = bx = 0
     pos = 2
     data = payload
     while pos < len(data):
@@ -432,12 +846,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 ).astype(np.int32)
                 qts[tid] = nat
                 i += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"SOF{marker - 0xC0} (only baseline sequential SOF0)"
+                f"SOF{marker - 0xC0} (baseline SOF0 / progressive SOF2 only)"
             )
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
+            progressive = marker == 0xC2
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit samples (8 only)")
@@ -450,6 +865,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                         f"sampling factors {hv >> 4}x{hv & 15} (4:4:4 only)"
                     )
                 comps.append((cid, qid))
+            by, bx = -(-h // 8), -(-w // 8)
+            coefs = [np.zeros((by, bx, 64), dtype=np.int32) for _ in range(nc)]
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
             while i < len(body):
@@ -463,57 +880,66 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 i += 17 + nv
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals (DRI)")
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
+            if not comps or not qts:
+                raise ValueError("missing SOF/DQT before scan")
             ns = body[0]
-            if ns != nc:
-                raise NotImplementedError("multi-scan streams")
+            scan: list[int] = []
+            scan_dc: dict[int, int] = {}
+            scan_ac: dict[int, int] = {}
+            cid_to_ci = {cid: ci for ci, (cid, _) in enumerate(comps)}
             for si in range(ns):
-                tabs = body[2 + 2 * si]
-                scan_ht.append((tabs >> 4, tabs & 0x0F))
-            pos = pos + 2 + ln
-            break
+                cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                ci = cid_to_ci[cid]
+                scan.append(ci)
+                scan_dc[ci], scan_ac[ci] = tabs >> 4, tabs & 0x0F
+            ss, se, aa = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = aa >> 4, aa & 0x0F
+            if not progressive:
+                if ns != nc or (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError("malformed baseline scan header")
+            rdr = _BitReader(data, pos + 2 + ln)
+            if ss == 0:  # DC (or full baseline) scan
+                if progressive and se != 0:
+                    raise ValueError("progressive DC scan with Se != 0")
+                _decode_scan_dc(
+                    rdr, scan, coefs, dc_tabs, scan_dc, by, bx, ah, al,
+                    baseline_ac=None if progressive else {
+                        ci: ac_tabs[scan_ac[ci]] for ci in scan
+                    },
+                )
+            else:  # progressive AC scan: single component
+                if len(scan) != 1:
+                    raise ValueError("AC scan with multiple components")
+                ci = scan[0]
+                if ah == 0:
+                    _decode_scan_ac_first(
+                        rdr, coefs[ci], ac_tabs[scan_ac[ci]],
+                        by, bx, ss, se, al,
+                    )
+                else:
+                    _decode_scan_ac_refine(
+                        rdr, coefs[ci], ac_tabs[scan_ac[ci]],
+                        by, bx, ss, se, al,
+                    )
+            pos = _next_marker(data, rdr.pos)
+            continue
         # APPn / COM / anything else: skip
         pos = pos + 2 + ln
-    else:
-        raise ValueError("no SOS marker found")
 
     if not comps or not qts:
-        raise ValueError("missing SOF0/DQT before scan")
-    by, bx = -(-h // 8), -(-w // 8)
-    rdr = _BitReader(data, pos)
+        raise ValueError("no image frame decoded")
     planes = np.zeros((nc, by * 8, bx * 8), dtype=np.float64)
-    pred = [0] * nc
-    for my in range(by):
-        for mx in range(bx):
-            for ci in range(nc):
-                dc_t = dc_tabs[scan_ht[ci][0]]
-                ac_t = ac_tabs[scan_ht[ci][1]]
-                zz = np.zeros(64, dtype=np.float64)
-                size = rdr.huff(dc_t)
-                diff = _extend(rdr.bits(size), size) if size else 0
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = rdr.huff(ac_t)
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    zz[k] = _extend(rdr.bits(size), size)
-                    k += 1
-                nat = np.zeros(64, dtype=np.float64)
-                nat[ZIGZAG] = zz
-                nat *= qts[comps[ci][1]]
-                block = _DCT_M.T @ nat.reshape(8, 8) @ _DCT_M
-                planes[
-                    ci, my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8
-                ] = block + 128.0
+    for ci in range(nc):
+        nat = np.zeros((by, bx, 64), dtype=np.float64)
+        nat[:, :, ZIGZAG] = coefs[ci].astype(np.float64)
+        nat *= qts[comps[ci][1]].astype(np.float64)
+        blocks = np.einsum(
+            "xu,ijuv,yv->ijxy", _DCT_M.T, nat.reshape(by, bx, 8, 8), _DCT_M.T
+        )
+        planes[ci] = (
+            blocks.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        )
 
     planes = planes[:, :h, :w]
     if nc == 1:

@@ -2343,6 +2343,58 @@ FROM vals
 """
 
 
+def multimodal_decode_jpeg_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode end-to-end (round-7 de-stub of
+    the progressive seam): the same per-block-constant images as
+    ``multimodal_decode_jpeg``, but encoded with
+    ``encode_jpeg_progressive``'s default scan script — shifted DC
+    first scan, split+shifted AC bands, AC and DC successive-
+    approximation refinements, multi-block EOB runs — then decoded by
+    the DEFAULT codec's magic sniff.  Progressive re-orders the same
+    quantized coefficients, so the decoded pixels (and this entry's
+    oracle) are identical to the baseline entry's — sharing
+    MULTIMODAL_JPEG_ORACLE is the invariance proof, the
+    dedup_semantic_skewguard precedent."""
+    from pyspark.sql.types import BinaryType
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        decode_image_batch,
+    )
+
+    @F.pandas_udf(BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from aws_cdk_pipelines_datalake_etl_spark.functions.jpegcodec import (
+            encode_jpeg_progressive,
+        )
+
+        def mk(i: int) -> bytes:
+            bxs, bys = np.arange(2), np.arange(2)
+            vals = (
+                128
+                + 2 * ((i * 7 + bxs[None, :] * 5 + bys[:, None] * 3) % 48)
+                - 48
+            )
+            img = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(
+                np.uint8
+            )
+            return encode_jpeg_progressive(
+                np.repeat(img[:, :, None], 3, axis=2)
+            )
+
+        return ids.map(lambda i: mk(int(i)))
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("blob", synth("doc_id"))
+    )
+    return decode_image_batch(d)
+
+
 def multimodal_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blob → embedding bridge with the DEFAULT extractor: the 256-bin
     byte histogram (raw counts, exact in float32) of each document's
@@ -6094,6 +6146,9 @@ _DRIVER_WINDOW = [
     # - web_*: url_path now strips the root slash and robots rules
     #   get the same strip (ADVICE r6) — operator semantics changed,
     #   so the whole family re-verifies
+    # - multimodal_decode_jpeg_progressive: NEW SOF2 progressive
+    #   decode (shares the baseline entry's closed-form oracle)
+    "multimodal_decode_jpeg_progressive",
     "lm_bigram_logprob",
     "web_pagerank",
     "lm_perplexity_buckets",
@@ -6108,9 +6163,9 @@ _DRIVER_WINDOW = [
     "web_html_extract",
     "web_frontier_dedup",
     "web_robots_filter",
-    # (4) re-confirmation, oldest-verified-first: 33 alphabetically-
-    # first of the 43 entries last green in round 3 (the final 10 —
-    # stream_tumbling..udaf_mad — rotate in at round 8)
+    # (4) re-confirmation, oldest-verified-first: 32 alphabetically-
+    # first of the 43 entries last green in round 3 (the final 11 —
+    # stream_stream_join..udaf_mad — rotate in at round 8)
     "corpus_training_set",
     "dedup_clusters",
     "dedup_exact",
@@ -6143,7 +6198,6 @@ _DRIVER_WINDOW = [
     "stream_left_outer_join",
     "stream_session_window",
     "stream_sessionize_stateful",
-    "stream_stream_join",
 ]
 
 
@@ -7351,6 +7405,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "multimodal_decode_jpeg": QuerySpec(
             multimodal_decode_jpeg, MULTIMODAL_JPEG_ORACLE
+        ),
+        "multimodal_decode_jpeg_progressive": QuerySpec(
+            multimodal_decode_jpeg_progressive, MULTIMODAL_JPEG_ORACLE
         ),
         "multimodal_decode_png": QuerySpec(
             multimodal_decode_png, MULTIMODAL_PNG_ORACLE

@@ -657,9 +657,11 @@ def test_jpeg_handbuilt_spec_vector():
 
 
 def test_jpeg_rejects_unsupported():
-    """The honest gates: progressive, subsampled, restart-interval,
-    and 16-bit-DQT streams raise NotImplementedError naming the
-    feature (same policy as the PNG Adam7 gate)."""
+    """The honest gates: lossless/hierarchical SOF types, subsampled,
+    restart-interval, and 16-bit-DQT streams raise
+    NotImplementedError naming the feature (same policy as the PNG
+    Adam7 gate).  SOF2 progressive is REAL as of round 7 and is
+    tested positively below."""
     import struct
 
     import numpy as np
@@ -672,11 +674,11 @@ def test_jpeg_rejects_unsupported():
 
     good = bytearray(encode_jpeg(np.full((8, 8, 1), 128, dtype=np.uint8)))
 
-    sof2 = bytearray(good)
-    i = sof2.find(b"\xff\xc0")
-    sof2[i + 1] = 0xC2
-    with _pytest.raises(NotImplementedError, match="SOF2"):
-        decode_jpeg(bytes(sof2))
+    sof3 = bytearray(good)
+    i = sof3.find(b"\xff\xc0")
+    sof3[i + 1] = 0xC3  # lossless sequential
+    with _pytest.raises(NotImplementedError, match="SOF3"):
+        decode_jpeg(bytes(sof3))
 
     sub = bytearray(good)
     i = sub.find(b"\xff\xc0")
@@ -717,3 +719,92 @@ def test_jpeg_through_default_decode(spark):
     feats = decode_image_batch(df).collect()[0]
     assert (feats.width, feats.height, feats.n_channels) == (16, 16, 3)
     assert feats.mean_luma == "140.0000"  # (130+150+170+110)/4
+
+
+def test_jpeg_progressive_decodes_identically_to_baseline():
+    """SOF2 progressive re-orders the SAME quantized coefficients, so
+    decoding the progressive stream must be bit-identical to decoding
+    the baseline stream of the same image — across gray/RGB, non-8-
+    multiple sizes, and content that exercises multi-block EOB runs,
+    ZRLs inside refinement scans, and both approximation levels of
+    the default scan script."""
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(7)
+    images = [
+        rng.randint(0, 256, (16, 16, 3)).astype(np.uint8),  # noisy RGB
+        rng.randint(0, 256, (9, 13, 1)).astype(np.uint8),  # odd gray
+        np.tile(  # smooth gradient: long EOB runs across blocks
+            np.linspace(0, 255, 48, dtype=np.uint8)[None, :, None], (48, 1, 3)
+        ),
+        np.full((24, 24, 1), 77, dtype=np.uint8),  # flat: all-EOB scans
+    ]
+    for img in images:
+        base = decode_jpeg(encode_jpeg(img))
+        prog_bytes = encode_jpeg_progressive(img)
+        assert prog_bytes[:4] == b"\xff\xd8\xff\xe0"
+        assert b"\xff\xc2" in prog_bytes  # SOF2 frame
+        assert prog_bytes.count(b"\xff\xda") >= 6  # multiple scans
+        prog = decode_jpeg(prog_bytes)
+        assert base[:3] == prog[:3]
+        assert np.array_equal(base[3], prog[3])
+
+
+def test_jpeg_progressive_custom_scan_script_and_validation():
+    import numpy as np
+    import pytest as _pytest
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = np.random.RandomState(3).randint(0, 256, (16, 16, 1)).astype(
+        np.uint8
+    )
+    # spectral-selection-only script (no successive approximation)
+    scans = [((0,), 0, 0, 0, 0), ((0,), 1, 9, 0, 0), ((0,), 10, 63, 0, 0)]
+    prog = decode_jpeg(encode_jpeg_progressive(img, scans=scans))
+    base = decode_jpeg(encode_jpeg(img))
+    assert np.array_equal(prog[3], base[3])
+
+    with _pytest.raises(ValueError, match="one component"):
+        encode_jpeg_progressive(
+            np.zeros((8, 8, 3), dtype=np.uint8),
+            scans=[((0, 1), 1, 5, 0, 0)],
+        )
+    with _pytest.raises(ValueError, match="Ss=Se=0"):
+        encode_jpeg_progressive(img, scans=[((0,), 0, 5, 0, 0)])
+    with _pytest.raises(ValueError, match="bad scan"):
+        encode_jpeg_progressive(img, scans=[((0,), 9, 5, 0, 0)])
+
+
+def test_jpeg_progressive_through_default_decode(spark):
+    """The Spark-side decode path (sniff -> decode_jpeg) takes
+    progressive bytes with no codec hint — the same exact-fixed-point
+    device as the baseline entry."""
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        decode_image_batch,
+    )
+
+    vals = np.array([[130, 150], [170, 110]])
+    img = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg_progressive(rgb)))], ["doc_id", "blob"]
+    )
+    feats = decode_image_batch(df).collect()[0]
+    assert (feats.width, feats.height, feats.n_channels) == (16, 16, 3)
+    assert feats.mean_luma == "140.0000"

@@ -1,11 +1,16 @@
-"""Pure-Python WAV (RIFF/PCM) codec + audio feature extraction.
+"""Pure-Python WAV (RIFF) codec + audio feature extraction.
 
 The audio analogue of :mod:`.imagecodec`: a REAL zero-dependency
 default path for the multimodal operators so ``decode_audio_batch``
 works on actual bytes in this environment (no soundfile/librosa here).
 Scope: canonical PCM WAV — 8/16-bit integer samples, any channel
 count, any sample rate, chunk-walked RIFF parsing (fmt/data chunks in
-any order, unknown chunks skipped).  Compressed codecs (MP3/FLAC/AAC)
+any order, unknown chunks skipped) — plus IMA ADPCM (format tag
+0x0011, the classic 4-bit compressed WAV codec, mono): both encode
+(``encode_adpcm_wav``) and decode, from the public IMA/DVI spec
+("Recommended Practices for Enhancing Digital Audio Compatibility",
+IMA 1992) — all-integer arithmetic, so reconstruction is exact and
+cross-platform deterministic.  Perceptual codecs (MP3/FLAC/AAC)
 raise ``NotImplementedError`` — inject a decoder for those.
 
 Determinism: features are exact-integer where possible (duration via
@@ -54,6 +59,136 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return _RIFF + (4 + len(chunks)).to_bytes(4, "little") + _WAVE + chunks
 
 
+# --- IMA ADPCM (format 0x0011, mono) ------------------------------
+# Tables from the IMA/DVI recommended practice (public spec).
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA decode step: (predictor, index) -> updated pair."""
+    step = int(_IMA_STEPS[index])
+    diffq = step >> 3
+    if nibble & 4:
+        diffq += step
+    if nibble & 2:
+        diffq += step >> 1
+    if nibble & 1:
+        diffq += step >> 2
+    pred = pred - diffq if nibble & 8 else pred + diffq
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX[nibble]))
+    return pred, index
+
+
+def encode_adpcm_wav(
+    samples: np.ndarray, sample_rate: int, samples_per_block: int = 505
+) -> bytes:
+    """Encode MONO int16 samples as an IMA ADPCM (format 0x0011) WAV.
+
+    Block layout per the IMA practice: a 4-byte header (first sample
+    verbatim as the predictor, step index, reserved byte) followed by
+    4-bit nibbles for the remaining ``samples_per_block - 1`` samples,
+    low nibble first.  The default 505 samples/block gives the classic
+    256-byte block align.  The final short block is zero-padded in the
+    nibble area (decoders stop at the ``fact`` frame count)."""
+    if samples.ndim == 2:
+        if samples.shape[1] != 1:
+            raise NotImplementedError("IMA ADPCM encoder is mono-only")
+        samples = samples[:, 0]
+    if samples.dtype != np.int16:
+        raise ValueError("encode_adpcm_wav expects int16 samples")
+    if samples_per_block < 2 or samples_per_block % 2 == 0:
+        raise ValueError("samples_per_block must be odd and >= 3")
+    n = len(samples)
+    block_align = 4 + (samples_per_block - 1) // 2
+    data = bytearray()
+    index = 0
+    for start in range(0, n, samples_per_block):
+        chunk = samples[start : start + samples_per_block]
+        pred = int(chunk[0])
+        data += int(pred & 0xFFFF).to_bytes(2, "little")
+        data.append(index)
+        data.append(0)
+        nibbles = []
+        for s in chunk[1:]:
+            s = int(s)
+            step = int(_IMA_STEPS[index])
+            diff = s - pred
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, index = _ima_step(pred, index, nib)
+            nibbles.append(nib)
+        while len(nibbles) < samples_per_block - 1:
+            nibbles.append(0)  # pad; beyond the fact frame count
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            data.append(lo | (hi << 4))
+    byte_rate = (sample_rate * block_align + samples_per_block - 1) // samples_per_block
+    fmt = (
+        b"fmt "
+        + (20).to_bytes(4, "little")
+        + (0x11).to_bytes(2, "little")  # IMA ADPCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")  # bits per (coded) sample
+        + (2).to_bytes(2, "little")  # cbSize
+        + samples_per_block.to_bytes(2, "little")
+    )
+    fact = b"fact" + (4).to_bytes(4, "little") + n.to_bytes(4, "little")
+    chunks = (
+        fmt + fact + b"data" + len(data).to_bytes(4, "little") + bytes(data)
+    )
+    return _RIFF + (4 + len(chunks)).to_bytes(4, "little") + _WAVE + chunks
+
+
+def _decode_adpcm(
+    data: bytes, block_align: int, samples_per_block: int, n_frames: int
+) -> np.ndarray:
+    out = np.empty(n_frames, dtype=np.int16)
+    got = 0
+    for off in range(0, len(data), block_align):
+        if got >= n_frames:
+            break
+        block = data[off : off + block_align]
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        index = max(0, min(88, block[2]))
+        out[got] = pred
+        got += 1
+        want = min(samples_per_block - 1, n_frames - got)
+        k = 0
+        for b in block[4:]:
+            for nib in (b & 0x0F, b >> 4):
+                if k >= want:
+                    break
+                pred, index = _ima_step(pred, index, nib)
+                out[got] = pred
+                got += 1
+                k += 1
+            if k >= want:
+                break
+    if got < n_frames:
+        raise ValueError("truncated ADPCM data")
+    return out
+
+
 def decode_wav(payload: bytes) -> dict:
     """Chunk-walk a RIFF/WAVE payload; returns ``sample_rate``,
     ``n_channels``, ``bits_per_sample``, and ``samples`` shaped
@@ -67,6 +202,7 @@ def decode_wav(payload: bytes) -> dict:
         )
     fmt = None
     data = None
+    fact_frames = None
     pos = 12
     n = len(payload)
     while pos + 8 <= n:
@@ -77,16 +213,36 @@ def decode_wav(payload: bytes) -> dict:
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact":
+            fact_frames = int.from_bytes(body[0:4], "little")
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format = int.from_bytes(fmt[0:2], "little")
     n_channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
     bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format == 0x11:  # IMA ADPCM
+        if n_channels != 1:
+            raise NotImplementedError("IMA ADPCM decode is mono-only")
+        if len(fmt) < 20:
+            raise ValueError("IMA ADPCM fmt chunk missing samplesPerBlock")
+        samples_per_block = int.from_bytes(fmt[18:20], "little")
+        if fact_frames is None:
+            n_blocks = len(data) // block_align
+            fact_frames = n_blocks * samples_per_block
+        raw = _decode_adpcm(data, block_align, samples_per_block, fact_frames)
+        return {
+            "sample_rate": sample_rate,
+            "n_channels": 1,
+            "bits_per_sample": 4,
+            "samples": raw.reshape(-1, 1),
+        }
     if audio_format != 1 or bits not in (8, 16):
         raise NotImplementedError(
-            f"only 8/16-bit PCM WAV supported (format={audio_format}, bits={bits})"
+            f"only 8/16-bit PCM and IMA-ADPCM WAV supported "
+            f"(format={audio_format}, bits={bits})"
         )
     if bits == 16:
         raw = np.frombuffer(data, dtype="<i2")

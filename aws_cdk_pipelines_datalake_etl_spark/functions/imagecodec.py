@@ -179,12 +179,38 @@ def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass geometry (PNG spec 8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_pass_dims(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """(x0, y0, dx, dy, pass_w, pass_h) per non-empty Adam7 pass."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = -(-(w - x0) // dx) if w > x0 else 0
+        ph = -(-(h - y0) // dy) if h > y0 else 0
+        if pw and ph:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
 def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode an 8-bit-depth, non-interlaced PNG (color types 0 gray,
-    2 RGB, 3 palette, 4 gray+alpha, 6 RGBA) using stdlib zlib.
-    Returns (width, height, n_channels, pixels): gray forms -> c=1,
-    color forms -> c=3; alpha is dropped (feature extraction wants
-    luma/geometry, not compositing)."""
+    """Decode an 8-bit-depth PNG (color types 0 gray, 2 RGB,
+    3 palette, 4 gray+alpha, 6 RGBA; interlace methods 0 none and
+    1 Adam7) using stdlib zlib.  Returns (width, height, n_channels,
+    pixels): gray forms -> c=1, color forms -> c=3; alpha is dropped
+    (feature extraction wants luma/geometry, not compositing).  An
+    Adam7 stream is seven independently-filtered sub-images scattered
+    back on the pass grid — decoded output is identical to the
+    non-interlaced encoding of the same pixels (round-trip-tested)."""
     if payload[:8] != _MAGIC_PNG:
         raise ValueError("not a PNG")
     ihdr = plte = None
@@ -201,16 +227,26 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} (8 only)")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} invalid")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"PNG color type {ctype} invalid")
     ch = _PNG_CHANNELS[ctype]
-    px = _png_unfilter(zlib.decompress(bytes(idat)), w, h, ch).reshape(
-        h, w, ch
-    )
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        px = _png_unfilter(raw, w, h, ch).reshape(h, w, ch)
+    else:  # Adam7
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
+            size = ph * (pw * ch + 1)
+            sub = _png_unfilter(raw[off : off + size], pw, ph, ch)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            off += size
+        if off != len(raw):
+            raise ValueError("Adam7 raster length mismatch")
     if ctype == 3:  # palette -> RGB
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -263,18 +299,9 @@ def _png_filter_row(
     return (out & 0xFF).astype(np.uint8)
 
 
-def encode_png(pixels: np.ndarray, filters: "list[int] | None" = None) -> bytes:
-    """Encode (h, w, 1|3) uint8 pixels as a non-interlaced 8-bit PNG
-    (gray or RGB).  ``filters`` optionally pins the per-row filter
-    types (default: row y uses y % 5, exercising every filter — this
-    encoder exists for fixtures and round-trip tests, not ratio)."""
+def _png_filter_pass(pixels: np.ndarray, filters) -> bytearray:
+    """Filter one (sub-)image's rows (the shared encoder inner loop)."""
     h, w, c = pixels.shape
-    if c not in (1, 3):
-        raise ValueError(
-            f"encode_png: {c}-channel pixels unsupported (1=gray, 3=RGB); "
-            "drop alpha before encoding"
-        )
-    ctype = 0 if c == 1 else 2
     rows = bytearray()
     prev = np.zeros(w * c, dtype=np.uint8)
     for y in range(h):
@@ -283,7 +310,35 @@ def encode_png(pixels: np.ndarray, filters: "list[int] | None" = None) -> bytes:
         rows.append(ftype)
         rows += _png_filter_row(line, prev, ftype, c).tobytes()
         prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return rows
+
+
+def encode_png(
+    pixels: np.ndarray,
+    filters: "list[int] | None" = None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode (h, w, 1|3) uint8 pixels as an 8-bit PNG (gray or RGB),
+    optionally Adam7-interlaced.  ``filters`` optionally pins the
+    per-row filter types (default: row y uses y % 5, exercising every
+    filter — this encoder exists for fixtures and round-trip tests,
+    not ratio); under Adam7 the default applies per pass row."""
+    h, w, c = pixels.shape
+    if c not in (1, 3):
+        raise ValueError(
+            f"encode_png: {c}-channel pixels unsupported (1=gray, 3=RGB); "
+            "drop alpha before encoding"
+        )
+    ctype = 0 if c == 1 else 2
+    if not interlace:
+        rows = _png_filter_pass(pixels, filters)
+    else:
+        rows = bytearray()
+        for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
+            rows += _png_filter_pass(
+                np.ascontiguousarray(pixels[y0::dy, x0::dx]), filters
+            )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, int(interlace))
     return (
         _MAGIC_PNG
         + _png_chunk(b"IHDR", ihdr)

@@ -19,7 +19,7 @@ Scope (and honest non-scope):
   accumulation model.  Subsampled, 12-bit, lossless/hierarchical,
   arithmetic-coded, and restart-interval streams raise
   ``NotImplementedError`` with the exact reason — same policy as the
-  PNG decoder's Adam7 gate.
+  PNG decoder's bit-depth gate.
 - **Encoder**: the matching subset — ``encode_jpeg`` (SOF0) and
   ``encode_jpeg_progressive`` (SOF2 with a libjpeg-style default
   scan script: shifted DC first, split+shifted AC bands, AC and DC

@@ -2084,6 +2084,75 @@ FROM documents
 """
 
 
+def multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED audio end-to-end (round-7 de-stub of the 4-bit
+    codec seam): per-doc constant-amplitude signals encoded as REAL
+    IMA ADPCM (format 0x0011) WAVs — multi-block streams with
+    predictor headers, nibble packing, a fact chunk — then decoded +
+    feature-extracted by the DEFAULT codec.  The exactness device
+    (the audio analogue of the JPEG per-block-constant trick): a
+    constant signal encodes to all-zero nibbles whose quantized diff
+    is ``step(0) >> 3 == 0``, so the lossy codec reproduces the
+    signal EXACTLY and every feature has a closed form the oracle
+    replays — while the bytes still exercise the real block
+    structure.  General lossy tracking is gated in pytest
+    (tests/test_multimodal.py)."""
+    from pyspark.sql.types import BinaryType
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        decode_audio_batch,
+    )
+
+    @F.pandas_udf(BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from aws_cdk_pipelines_datalake_etl_spark.functions.audiocodec import (
+            encode_adpcm_wav,
+        )
+
+        def mk(i: int) -> bytes:
+            amp = 500 + (i % 40) * 700
+            rate = 8000 + (i % 4) * 2000
+            frames = 600 + (i % 9) * 128
+            return encode_adpcm_wav(
+                np.full(frames, amp, dtype=np.int16), rate
+            )
+
+        return ids.map(lambda i: mk(int(i)))
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("blob", synth("doc_id"))
+    )
+    feats = decode_audio_batch(d)
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        "duration_ms",
+        pround(F.col("rms"), 4).alias("rms"),
+        "peak",
+        "zero_crossings",
+    )
+
+
+MULTIMODAL_ADPCM_ORACLE = """
+SELECT doc_id,
+       CAST(8000 + (doc_id % 4) * 2000 AS INT)          AS sample_rate,
+       CAST(1 AS INT)                                   AS n_channels,
+       CAST(600 + (doc_id % 9) * 128 AS BIGINT)         AS n_frames,
+       CAST(((600 + (doc_id % 9) * 128) * 1000)
+            // (8000 + (doc_id % 4) * 2000) AS BIGINT)  AS duration_ms,
+       round(CAST(500 + (doc_id % 40) * 700 AS DOUBLE), 4) AS rms,
+       CAST(500 + (doc_id % 40) * 700 AS INT)           AS peak,
+       CAST(0 AS BIGINT)                                AS zero_crossings
+FROM documents
+"""
+
+
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real video path end-to-end: per-doc concatenated-P6 streams
     (functions/imagecodec.py synth_ppm_video) are frame-sampled every
@@ -2273,6 +2342,49 @@ SELECT doc_id,
        printf('%.4f', CAST(total AS DOUBLE) / (w * 5)) AS mean_luma
 FROM vals
 """
+
+
+def multimodal_decode_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7-interlaced PNG decode end-to-end (round-7 de-stub of the
+    interlace seam): the same gradient images as
+    ``multimodal_decode_png``, encoded with ``interlace=True`` — seven
+    independently-filtered sub-images on the Adam7 pass grid (h=5
+    exercises empty and short passes) — and decoded by the DEFAULT
+    codec.  PNG is lossless, so decoded pixels are identical to the
+    non-interlaced entry's; sharing MULTIMODAL_PNG_ORACLE is the
+    invariance proof."""
+    from pyspark.sql.types import BinaryType
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        decode_image_batch,
+    )
+
+    @F.pandas_udf(BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from aws_cdk_pipelines_datalake_etl_spark.functions.imagecodec import (
+            encode_png,
+        )
+
+        def mk(i: int) -> bytes:
+            w = (8, 10, 16)[i % 3]
+            xs, ys = np.arange(w), np.arange(5)
+            v = (32 + (i * 5 + xs[None, :] * 3 + ys[:, None] * 7) % 96).astype(
+                np.uint8
+            )
+            return encode_png(
+                np.repeat(v[:, :, None], 3, axis=2), interlace=True
+            )
+
+        return ids.map(lambda i: mk(int(i)))
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("blob", synth("doc_id"))
+    )
+    return decode_image_batch(d)
 
 
 def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6148,7 +6260,13 @@ _DRIVER_WINDOW = [
     #   so the whole family re-verifies
     # - multimodal_decode_jpeg_progressive: NEW SOF2 progressive
     #   decode (shares the baseline entry's closed-form oracle)
+    # - multimodal_decode_png_adam7: NEW Adam7 interlaced decode
+    #   (shares the non-interlaced entry's closed-form oracle)
+    # - multimodal_audio_adpcm: NEW IMA-ADPCM compressed-audio decode
+    #   (constant-signal exactness device, closed-form oracle)
     "multimodal_decode_jpeg_progressive",
+    "multimodal_decode_png_adam7",
+    "multimodal_audio_adpcm",
     "lm_bigram_logprob",
     "web_pagerank",
     "lm_perplexity_buckets",
@@ -6163,9 +6281,9 @@ _DRIVER_WINDOW = [
     "web_html_extract",
     "web_frontier_dedup",
     "web_robots_filter",
-    # (4) re-confirmation, oldest-verified-first: 32 alphabetically-
-    # first of the 43 entries last green in round 3 (the final 11 —
-    # stream_stream_join..udaf_mad — rotate in at round 8)
+    # (4) re-confirmation, oldest-verified-first: 30 alphabetically-
+    # first of the 43 entries last green in round 3 (the final 13 —
+    # stream_session_window..udaf_mad — rotate in at round 8)
     "corpus_training_set",
     "dedup_clusters",
     "dedup_exact",
@@ -6196,8 +6314,6 @@ _DRIVER_WINDOW = [
     "sketch_theta_audience",
     "stream_daily_distinct",
     "stream_left_outer_join",
-    "stream_session_window",
-    "stream_sessionize_stateful",
 ]
 
 
@@ -7411,6 +7527,12 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "multimodal_decode_png": QuerySpec(
             multimodal_decode_png, MULTIMODAL_PNG_ORACLE
+        ),
+        "multimodal_decode_png_adam7": QuerySpec(
+            multimodal_decode_png_adam7, MULTIMODAL_PNG_ORACLE
+        ),
+        "multimodal_audio_adpcm": QuerySpec(
+            multimodal_audio_adpcm, MULTIMODAL_ADPCM_ORACLE
         ),
         "multimodal_audio_features": QuerySpec(
             multimodal_audio_features, MULTIMODAL_AUDIO_ORACLE

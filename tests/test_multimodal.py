@@ -808,3 +808,93 @@ def test_jpeg_progressive_through_default_decode(spark):
     feats = decode_image_batch(df).collect()[0]
     assert (feats.width, feats.height, feats.n_channels) == (16, 16, 3)
     assert feats.mean_luma == "140.0000"
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7 de-stub (round 7): the interlaced stream is seven
+    independently-filtered sub-images; decode must reproduce the
+    pixels exactly, including shapes where some passes are empty
+    (any dimension < 8)."""
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.imagecodec import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(5)
+    for (h, w, c) in [(16, 16, 3), (1, 1, 1), (7, 5, 3), (2, 3, 1),
+                      (9, 1, 3), (1, 9, 1), (33, 47, 3)]:
+        img = rng.randint(0, 256, (h, w, c)).astype(np.uint8)
+        blob = encode_png(img, interlace=True)
+        # IHDR interlace byte really set (offset: 8 magic + 8 len/typ
+        # + 12 into IHDR data)
+        assert blob[8 + 8 + 12] == 1
+        got = decode_png(blob)
+        assert got[:2] == (w, h)
+        assert np.array_equal(got[3].reshape(h, w, c), img)
+        plain = decode_png(encode_png(img))
+        assert np.array_equal(got[3], plain[3])
+
+
+def test_adpcm_roundtrip_and_tracking():
+    """IMA ADPCM de-stub (round 7): constant signals reconstruct
+    EXACTLY (the step(0)>>3 == 0 device the registry oracle relies
+    on); a hand-computed spec vector pins the quantizer; block headers
+    carry the first sample verbatim; general signals track within the
+    step-size error bound."""
+    import numpy as np
+    import pytest as _pytest
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.audiocodec import (
+        _ima_step,
+        decode_wav,
+        encode_adpcm_wav,
+    )
+
+    for amp in (0, 1000, -5000, 32767, -32768):
+        s = np.full(1200, amp, dtype=np.int16)
+        d = decode_wav(encode_adpcm_wav(s, 8000))
+        assert d["bits_per_sample"] == 4 and d["n_channels"] == 1
+        assert np.array_equal(d["samples"][:, 0], s)
+
+    # spec vector: pred=0, index=0, step=7, target +10:
+    # 10 >= 7 -> bit2, 3 >= 3 -> bit1, 0 >= 1 no -> nibble 6;
+    # dequant 0 + 7 + 3 = 10 exactly; index 0 + 6 = 6 (step 13);
+    # next target 10: diff 0 -> nibble 0 -> dequant 13 >> 3 = 1 -> 11.
+    assert _ima_step(0, 0, 6) == (10, 6)
+    s = np.array([0, 10, 10], dtype=np.int16)
+    got = decode_wav(encode_adpcm_wav(s, 8000, samples_per_block=5))
+    assert list(got["samples"][:, 0]) == [0, 10, 11]
+
+    sine = (np.sin(np.arange(2000) * 0.05) * 12000).astype(np.int16)
+    d = decode_wav(encode_adpcm_wav(sine, 8000, samples_per_block=101))
+    for b in range(0, 2000, 101):  # every block restarts verbatim
+        assert d["samples"][b, 0] == sine[b]
+    err = np.abs(d["samples"][:, 0].astype(int) - sine.astype(int))
+    assert err.mean() < 64  # 4-bit codec tracks a smooth signal
+
+    with _pytest.raises(NotImplementedError, match="mono"):
+        encode_adpcm_wav(np.zeros((8, 2), dtype=np.int16), 8000)
+    with _pytest.raises(ValueError, match="odd"):
+        encode_adpcm_wav(np.zeros(8, dtype=np.int16), 8000, samples_per_block=4)
+
+
+def test_adpcm_through_default_audio_decode(spark):
+    """The Spark-side decode path (decode_audio_batch's default
+    codec) dispatches on the 0x0011 format tag with no hint."""
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.audiocodec import (
+        encode_adpcm_wav,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.multimodal import (
+        decode_audio_batch,
+    )
+
+    blob = encode_adpcm_wav(np.full(800, 1234, dtype=np.int16), 8000)
+    df = spark.createDataFrame([(1, bytearray(blob))], ["doc_id", "blob"])
+    f = decode_audio_batch(df).collect()[0]
+    assert (f.sample_rate, f.n_channels, f.n_frames) == (8000, 1, 800)
+    assert f.peak == 1234 and f.zero_crossings == 0
+    assert abs(f.rms - 1234.0) < 1e-9

@@ -5891,6 +5891,31 @@ GROUP BY l_returnflag
 """
 
 
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format parity for the remaining built-in row format: lineitem
+    written as JSON Lines (``df.write.json``) and read back with the
+    WRITER'S schema pinned (inference would widen types) — the
+    identical aggregate over the original Parquet is the oracle, so
+    the text round trip must be lossless (Jackson emits shortest
+    round-trip doubles).  Same idempotence discipline as
+    source_orc_roundtrip: output keyed by sf_dir, overwrite mode,
+    single-flight."""
+    import hashlib
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out = f"/tmp/spark_graft_jsonl/{tag}"
+    li.write.mode("overwrite").json(out)
+    back = spark.read.schema(li.schema).json(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        pround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
 def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals at word-bigram granularity
     (operators/text.py:repetition_metrics): top-ngram fraction and
@@ -6264,9 +6289,11 @@ _DRIVER_WINDOW = [
     #   (shares the non-interlaced entry's closed-form oracle)
     # - multimodal_audio_adpcm: NEW IMA-ADPCM compressed-audio decode
     #   (constant-signal exactness device, closed-form oracle)
+    # - source_jsonl_roundtrip: NEW JSON-Lines format parity
     "multimodal_decode_jpeg_progressive",
     "multimodal_decode_png_adam7",
     "multimodal_audio_adpcm",
+    "source_jsonl_roundtrip",
     "lm_bigram_logprob",
     "web_pagerank",
     "lm_perplexity_buckets",
@@ -6281,9 +6308,9 @@ _DRIVER_WINDOW = [
     "web_html_extract",
     "web_frontier_dedup",
     "web_robots_filter",
-    # (4) re-confirmation, oldest-verified-first: 30 alphabetically-
-    # first of the 43 entries last green in round 3 (the final 13 —
-    # stream_session_window..udaf_mad — rotate in at round 8)
+    # (4) re-confirmation, oldest-verified-first: 29 alphabetically-
+    # first of the 43 entries last green in round 3 (the final 14 —
+    # stream_left_outer_join..udaf_mad — rotate in at round 8)
     "corpus_training_set",
     "dedup_clusters",
     "dedup_exact",
@@ -6313,7 +6340,6 @@ _DRIVER_WINDOW = [
     "sim_lsh_near_dup",
     "sketch_theta_audience",
     "stream_daily_distinct",
-    "stream_left_outer_join",
 ]
 
 
@@ -7593,6 +7619,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "sim_random_projection": QuerySpec(
             sim_random_projection, SIM_RANDOM_PROJECTION_ORACLE
+        ),
+        "source_jsonl_roundtrip": QuerySpec(
+            source_jsonl_roundtrip, SOURCE_ORC_ORACLE
         ),
         "source_orc_roundtrip": QuerySpec(source_orc_roundtrip, SOURCE_ORC_ORACLE),
         "text_repetition_metrics": QuerySpec(

@@ -1,0 +1,241 @@
+"""Byte-pair-encoding tokenizer: distributed training and encoding.
+
+The canonical missing piece between "token counting" and a real
+pretraining pipeline: learn a BPE merge table from the corpus, then
+encode documents with it.  Algorithm per Sennrich, Haddow & Birch 2016
+("Neural Machine Translation of Rare Words with Subword Units") — the
+same scheme GPT-2/BERT-style byte/char BPE vocabularies use.
+
+Scale shape (the standard production decomposition, e.g. HF tokenizers):
+
+- **Training never iterates the corpus.**  One distributed scan
+  aggregates the WORD-FREQUENCY table (one shuffle, map-side partials);
+  the merge loop then runs driver-side over that table only.  The
+  collect is bounded control data — `top_words` caps it (default 2^16
+  rows of (word, count)), the same class as k-means centroids or PQ
+  codebooks elsewhere in this repo: it grows with the *vocabulary*, not
+  the corpus.  Heaps' law makes even the uncapped distinct-word table
+  sublinear in corpus size; the cap makes the bound mechanical.  Merge
+  selection is deterministic: max count, ties broken lexicographically
+  on the pair — so any engine/partitioning learns the identical table.
+- **Encoding is embarrassingly parallel**: the merge table broadcasts
+  (it is `vocab_size` rows) and each document encodes row-locally in an
+  Arrow-batched pandas UDF.  No shuffle; output inherits input
+  partitioning.
+
+Registry coverage is rows-only + pytest golden gates (the merge loop's
+argmax-over-counts with corpus rewriting is not SQL-expressible;
+tests pin the Sennrich hand example, encode/decode identity, merge
+priority order, and partition-layout invariance).
+
+No reference-parity citation: the reference (aws-samples
+aws-cdk-pipelines-datalake-etl) has no tokenizer surface; Tier-E
+LLM-corpus toolkit (SURVEY.md §2.6/§6).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import tokens
+
+#: end-of-word sentinel (Sennrich 2016 '</w>'); makes "low" the word
+#: vs "low" the prefix of "lower" distinct, and makes decode exact.
+EOW = "▁"  # LOWER ONE EIGHTH BLOCK, the sentencepiece-style marker
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """The one corpus scan of BPE training: (word, count), one hash
+    aggregation with map-side partials."""
+    wf = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    if min_count > 1:
+        wf = wf.filter(F.col("count") >= min_count)
+    return wf
+
+
+def _pair_counts(vocab: dict[tuple[str, ...], int]) -> dict[tuple[str, str], int]:
+    counts: dict[tuple[str, str], int] = {}
+    for syms, c in vocab.items():
+        for a, b in zip(syms, syms[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + c
+    return counts
+
+
+def _apply_merge(
+    syms: tuple[str, ...], pair: tuple[str, str]
+) -> tuple[str, ...]:
+    """Left-to-right single pass merging every non-overlapping
+    occurrence of ``pair`` (the Sennrich reference semantics)."""
+    out: list[str] = []
+    i = 0
+    merged = pair[0] + pair[1]
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == pair[0] and syms[i + 1] == pair[1]:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def train_bpe_merges(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Driver-side merge loop over the (word, count) table.
+
+    Words are split to characters + the EOW sentinel; each round picks
+    the most frequent adjacent symbol pair (ties: lexicographically
+    smallest pair) and rewrites the word table.  Stops early when no
+    pair repeats.  Pure deterministic Python over the bounded table.
+    """
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, c in word_counts:
+        syms = tuple(w) + (EOW,)
+        vocab[syms] = vocab.get(syms, 0) + int(c)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts = _pair_counts(vocab)
+        if not counts:
+            break
+        pair, top = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if top < 2:
+            break
+        merges.append(pair)
+        vocab = {
+            _apply_merge(s, pair): c for s, c in vocab.items()
+        }
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode ONE word: repeatedly apply the lowest-rank applicable
+    merge (the standard priority-order application, identical to the
+    training-time rewrite order)."""
+    syms: tuple[str, ...] = tuple(word) + (EOW,)
+    while len(syms) > 1:
+        best_rank = None
+        best_pair = None
+        for a, b in zip(syms, syms[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (a, b)
+        if best_pair is None:
+            break
+        syms = _apply_merge(syms, best_pair)
+    return list(syms)
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    min_count: int = 1,
+    top_words: int = 1 << 16,
+) -> list[tuple[str, str]]:
+    """Distributed word count -> bounded collect -> driver merge loop.
+
+    ``top_words`` caps the collected control table (highest-count
+    words first, ties on the word for determinism) — the documented
+    sampling bound every production BPE trainer applies in some form.
+    """
+    wf = (
+        word_frequencies(df, text_col, min_count)
+        .orderBy(F.col("count").desc(), F.col("word").asc())
+        .limit(top_words)
+    )
+    # bounded control collect: <= top_words (word, count) rows
+    rows = [(r["word"], r["count"]) for r in wf.collect()]
+    return train_bpe_merges(rows, n_merges)
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Row-local BPE encoding with the broadcast merge table.
+
+    Output per doc: ``n_tokens`` (BPE tokens incl. EOW-fused ones),
+    ``n_words``, ``n_single_char_tokens`` (tokens that stayed a single
+    character — the "UNK-ish" tail a vocab-size sweep watches), and
+    ``tokens_preview`` (first 12 tokens, space-joined — a string so
+    the driver canonicalizer can hash it).  Arrow-batched pandas UDF,
+    zero shuffle.
+    """
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    spark = df.sparkSession
+    b_merges = spark.sparkContext.broadcast(list(merges))
+    out_schema = StructType(
+        [
+            StructField("n_tokens", IntegerType()),
+            StructField("n_words", IntegerType()),
+            StructField("n_single_char_tokens", IntegerType()),
+            StructField("tokens_preview", StringType()),
+        ]
+    )
+
+    @F.pandas_udf(out_schema)
+    def enc(texts: pd.Series) -> pd.DataFrame:
+        ranks = {p: i for i, p in enumerate(b_merges.value)}
+        cache: dict[str, list[str]] = {}
+        rows = []
+        for t in texts:
+            words = str(t).lower().split()
+            toks: list[str] = []
+            for w in words:
+                got = cache.get(w)
+                if got is None:
+                    got = encode_word(w, ranks)
+                    cache[w] = got
+                toks.extend(got)
+            single = sum(1 for s in toks if len(s.replace(EOW, "")) <= 1)
+            rows.append(
+                (len(toks), len(words), single, " ".join(toks[:12]))
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_tokens", "n_words", "n_single_char_tokens",
+                "tokens_preview",
+            ],
+        )
+
+    return df.select(
+        F.col(id_col),
+        enc(F.col(text_col)).alias("bpe"),
+    ).select(id_col, "bpe.*")
+
+
+def bpe_decode_tokens(toks: list[str]) -> str:
+    """Inverse of :func:`encode_word` over a token stream: EOW marks
+    word ends, everything else concatenates — exact identity with the
+    lowercased/whitespace-normalized input (property-tested)."""
+    words: list[str] = []
+    cur: list[str] = []
+    for t in toks:
+        if t.endswith(EOW):
+            cur.append(t[: -len(EOW)])
+            words.append("".join(cur))
+            cur = []
+        else:
+            cur.append(t)
+    if cur:
+        words.append("".join(cur))
+    return " ".join(w for w in words if w)

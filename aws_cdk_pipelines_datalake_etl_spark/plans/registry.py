@@ -7110,6 +7110,28 @@ def _lm_splits(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE tokenizer (operators/bpe.py): merges trained on the
+    90% split (one distributed word-count shuffle + driver merge loop
+    over the bounded word-frequency table — the standard production
+    decomposition), then the held-out 10% encoded row-locally with the
+    broadcast merge table (Arrow-batched, zero shuffle, plan-asserted
+    in tests/test_bpe.py).  Rows-only: the merge loop's
+    argmax-with-rewrite is not SQL-expressible — the stronger gates
+    are in pytest (the Sennrich 2016 hand example, encode/decode
+    identity, merge-priority order, partition-layout-invariant
+    training, non-overlapping merge semantics incl. the 'tthh'
+    chain-merge trap)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.bpe import (
+        bpe_encode,
+        train_bpe,
+    )
+
+    train, held = _lm_splits(spark, sf_dir)
+    merges = train_bpe(train, n_merges=120)
+    return bpe_encode(held, merges).orderBy("doc_id")
+
+
 def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out bigram LM scoring (operators/lm.py): train stupid-
     backoff counts on 90% of the corpus, score the held-out 10% —
@@ -7654,6 +7676,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "lm_perplexity_cutpoints": QuerySpec(
             lm_perplexity_cutpoints, LM_PERPLEXITY_CUTPOINTS_ORACLE
         ),
+        "tokenizer_bpe_encode": QuerySpec(tokenizer_bpe_encode, None),
         "web_pagerank": QuerySpec(web_pagerank, WEB_PAGERANK_ORACLE),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]

@@ -1,0 +1,135 @@
+"""BPE tokenizer: golden hand example (Sennrich et al. 2016), merge
+priority, encode/decode identity, partition-layout invariance, and the
+Spark encode path's plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_cdk_pipelines_datalake_etl_spark.operators.bpe import (
+    EOW,
+    bpe_decode_tokens,
+    bpe_encode,
+    encode_word,
+    train_bpe,
+    train_bpe_merges,
+    word_frequencies,
+)
+
+
+def test_sennrich_hand_example():
+    """The dictionary from the BPE paper (§3.2, adapted to our
+    trailing-EOW convention): {'low':5, 'lower':2, 'newest':6,
+    'widest':3}.  Highest pair is ('e','s') with 9 (newest+widest),
+    then ('es','t') 9, then ('est', EOW) 9, then ('l','o') 7 ..."""
+    wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = train_bpe_merges(wc, n_merges=5)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", EOW)
+    assert merges[3] == ("l", "o")
+    # 5th: 'lo'+'w' occurs in low(5)+lower(2) = 7
+    assert merges[4] == ("lo", "w")
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert encode_word("newest", ranks) == ["n", "e", "w", "est" + EOW]
+    assert encode_word("lowest", ranks) == ["low", "est" + EOW]
+    # unseen word: merges still apply where possible
+    assert encode_word("west", ranks) == ["w", "est" + EOW]
+
+
+def test_merge_ties_break_lexicographically():
+    # 'aa' and 'bb' pairs both occur twice; ('a','a') must win the tie
+    wc = [("aa", 2), ("bb", 2)]
+    merges = train_bpe_merges(wc, n_merges=1)
+    assert merges == [("a", "a")]
+
+
+def test_merge_stops_when_no_pair_repeats():
+    wc = [("abc", 1), ("xyz", 1)]
+    assert train_bpe_merges(wc, n_merges=10) == []
+
+
+def test_nonoverlapping_merge_semantics():
+    """'aaa' with merge ('a','a'): left-to-right single pass gives
+    ['aa','a'], never ['a','aa'] — and 'tthh' must NOT chain-merge the
+    t..h that become string-adjacent after the first merge."""
+    wc = [("aaaa", 3)]
+    merges = train_bpe_merges(wc, n_merges=1)
+    assert merges == [("a", "a")]
+    ranks = {("a", "a"): 0}
+    assert encode_word("aaa", ranks) == ["aa", "a" + EOW][:2] or True
+    got = encode_word("aaa", ranks)
+    # chars: a a a EOW -> merge (a,a) left-to-right once: [aa, a, EOW]
+    assert got == ["aa", "a", EOW]
+    got2 = encode_word("tthh", {("t", "h"): 0})
+    assert got2 == ["t", "th", "h", EOW]
+
+
+def test_encode_decode_identity(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the theme there then the"),
+            (3, "pack my box with five dozen liquor jugs"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, n_merges=50)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for _, text in docs.collect():
+        toks: list[str] = []
+        for w in text.lower().split():
+            toks.extend(encode_word(w, ranks))
+        assert bpe_decode_tokens(toks) == text.lower()
+
+
+def test_training_is_partition_layout_invariant(spark):
+    rows = [(i, f"doc {i % 7} repeats repeats tokens token {i % 3}") for i in range(60)]
+    a = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    b = spark.createDataFrame(rows, "doc_id long, text string").repartition(13)
+    assert train_bpe(a, n_merges=30) == train_bpe(b, n_merges=30)
+
+
+def test_spark_encode_matches_local_and_plan(spark):
+    docs = spark.createDataFrame(
+        [(1, "the thick thistle"), (2, "sixth thin theme"), (3, "x")],
+        "doc_id long, text string",
+    ).repartition(3)
+    merges = train_bpe(docs, n_merges=20)
+    out = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    ranks = {p: i for i, p in enumerate(merges)}
+    for doc_id, text in [(1, "the thick thistle"), (2, "sixth thin theme"), (3, "x")]:
+        toks: list[str] = []
+        for w in text.lower().split():
+            toks.extend(encode_word(w, ranks))
+        r = out[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.n_words == len(text.split())
+        assert r.tokens_preview == " ".join(toks[:12])
+        assert r.n_single_char_tokens == sum(
+            1 for s in toks if len(s.replace(EOW, "")) <= 1
+        )
+    # plan: Arrow-batched, no shuffle ADDED by the encoder (the input
+    # df above carries its own repartition, so assert on a fresh one),
+    # no row-at-a-time python
+    fresh = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = bpe_encode(fresh, merges)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_word_frequencies_min_count(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id long, text string"
+    )
+    wf = {r.word: r["count"] for r in word_frequencies(docs, min_count=2).collect()}
+    assert wf == {"a": 3, "b": 2}
+
+
+def test_single_char_and_empty_words():
+    ranks: dict = {}
+    assert encode_word("a", ranks) == ["a", EOW]
+    assert bpe_decode_tokens(["a", EOW]) == "a"
+    assert bpe_decode_tokens([]) == ""

@@ -446,3 +446,63 @@ def test_url_normalize_properties(spark, urls):
             assert not host.endswith(":443")
         if scheme == "http":
             assert not host.endswith(":80")
+
+
+@PROP
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    nc=st.sampled_from([1, 3]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_progressive_jpeg_equals_baseline_property(h, w, nc, seed):
+    """For ANY image shape/content: decoding the progressive (SOF2)
+    stream is bit-identical to decoding the baseline (SOF0) stream —
+    progressive re-orders the same quantized coefficients."""
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, nc)).astype(
+        np.uint8
+    )
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img))
+    assert base[:3] == prog[:3]
+    assert np.array_equal(base[3], prog[3])
+
+
+@PROP
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdet ", min_size=1, max_size=12),
+        min_size=1,
+        max_size=20,
+    ),
+    n_merges=st.integers(min_value=0, max_value=40),
+)
+def test_bpe_encode_decode_identity_property(words, n_merges):
+    """For ANY corpus and merge budget: encoding then decoding every
+    word reproduces the lowercased, whitespace-normalized input."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.bpe import (
+        bpe_decode_tokens,
+        encode_word,
+        train_bpe_merges,
+    )
+
+    tokens = " ".join(words).split()
+    if not tokens:
+        return
+    counts: dict[str, int] = {}
+    for t in tokens:
+        counts[t] = counts.get(t, 0) + 1
+    merges = train_bpe_merges(list(counts.items()), n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    out: list[str] = []
+    for t in tokens:
+        out.extend(encode_word(t, ranks))
+    assert bpe_decode_tokens(out) == " ".join(tokens)

@@ -108,6 +108,28 @@ SHOWCASE = {
         "NOT EXISTS (two outer references) -> LeftAnti with the date "
         "predicate in the join condition — no per-row subquery re-execution"
     ),
+    "retrieval_bm25_topk": (
+        "the query-term table rides a BroadcastExchange into every probe "
+        "join — the corpus-sized inverted index never reshuffles; ranking "
+        "windows are partitioned by query id (no global sort)"
+    ),
+    "lm_perplexity_cutpoints": (
+        "the scale form of equal-depth bucketing: ONE partial-aggregating "
+        "percentile pass (single-partition exchange of one partial row per "
+        "task, not of the corpus), boundaries broadcast, labels applied as "
+        "a row-local aggregate expression — NO Window, NO Sort of the "
+        "scored rows (the ntile twin would sort everything in one task)"
+    ),
+    "retrieval_rrf_fusion": (
+        "fusion touches only top-k tables: union + one hash Exchange on "
+        "(query, doc) + per-query windows — corpus-independent cost; "
+        "partials are integer nano-units (no float sum anywhere)"
+    ),
+    "tokenizer_bpe_encode": (
+        "encoding adds NO Exchange: ArrowEvalPython applies the broadcast "
+        "merge table row-locally; the only shuffle in the whole entry is "
+        "the training word-count aggregation"
+    ),
 }
 
 

@@ -6290,10 +6290,14 @@ _DRIVER_WINDOW = [
     # - multimodal_audio_adpcm: NEW IMA-ADPCM compressed-audio decode
     #   (constant-signal exactness device, closed-form oracle)
     # - source_jsonl_roundtrip: NEW JSON-Lines format parity
+    # - text_gopher_rules: NEW Gopher quality-rule set (late entry:
+    #   targeted oracle_check run logged in the adding commit, per
+    #   the late-entry rule above)
     "multimodal_decode_jpeg_progressive",
     "multimodal_decode_png_adam7",
     "multimodal_audio_adpcm",
     "source_jsonl_roundtrip",
+    "text_gopher_rules",
     "lm_bigram_logprob",
     "web_pagerank",
     "lm_perplexity_buckets",
@@ -6308,9 +6312,9 @@ _DRIVER_WINDOW = [
     "web_html_extract",
     "web_frontier_dedup",
     "web_robots_filter",
-    # (4) re-confirmation, oldest-verified-first: 29 alphabetically-
-    # first of the 43 entries last green in round 3 (the final 14 —
-    # stream_left_outer_join..udaf_mad — rotate in at round 8)
+    # (4) re-confirmation, oldest-verified-first: 28 alphabetically-
+    # first of the 43 entries last green in round 3 (the final 15 —
+    # stream_daily_distinct..udaf_mad — rotate in at round 8)
     "corpus_training_set",
     "dedup_clusters",
     "dedup_exact",
@@ -6339,7 +6343,6 @@ _DRIVER_WINDOW = [
     "sim_brute_topk",
     "sim_lsh_near_dup",
     "sketch_theta_audience",
-    "stream_daily_distinct",
 ]
 
 
@@ -7110,6 +7113,67 @@ def _lm_splits(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality-rule set (operators/text.py:
+    gopher_rules — Rae et al. 2021 Appendix A) over the documents
+    corpus: word-count band, mean-word-length band, symbol ratio,
+    bullet/ellipsis line ratios, alphabetic-word ratio, stop-word
+    floor, and the conjunctive ``keep``.  Every ratio threshold is an
+    integer cross-multiply, so the booleans are engine-exact; one
+    codegen'd narrow scan, zero shuffle."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.text import (
+        gopher_rules,
+    )
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+TEXT_GOPHER_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(lower(text), ' ') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         list_sum(list_transform(toks, w -> length(w))) AS total_len,
+         len(list_filter(toks,
+             w -> contains(w, '#') OR contains(w, '...'))) AS n_symbolish,
+         len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+         len(lines) AS n_lines,
+         len(list_filter(lines,
+             ln -> starts_with(trim(ln), '•')
+                OR starts_with(trim(ln), '- ')
+                OR starts_with(trim(ln), '* '))) AS n_bullet,
+         len(list_filter(lines,
+             ln -> ends_with(trim(ln), '...'))) AS n_ellipsis,
+         len(list_intersect(list_distinct(toks),
+             ['the','be','to','of','and','that','have','with'])) AS n_stop
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+       (total_len >= 3 * n_words AND total_len <= 10 * n_words)
+         AS r_mean_word_len,
+       (10 * n_symbolish <= n_words) AS r_symbol_ratio,
+       (10 * n_bullet <= n_lines) AS r_bullet_lines,
+       (10 * n_ellipsis <= 3 * n_lines) AS r_ellipsis_lines,
+       (10 * n_alpha >= 8 * n_words) AS r_alpha_words,
+       (n_stop >= 2) AS r_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (total_len >= 3 * n_words AND total_len <= 10 * n_words)
+        AND (10 * n_symbolish <= n_words)
+        AND (10 * n_bullet <= n_lines)
+        AND (10 * n_ellipsis <= 3 * n_lines)
+        AND (10 * n_alpha >= 8 * n_words)
+        AND (n_stop >= 2)) AS keep
+FROM m
+"""
+
+
 def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL BPE tokenizer (operators/bpe.py): merges trained on the
     90% split (one distributed word-count shuffle + driver merge loop
@@ -7677,6 +7741,7 @@ def build_registry() -> dict[str, QuerySpec]:
             lm_perplexity_cutpoints, LM_PERPLEXITY_CUTPOINTS_ORACLE
         ),
         "tokenizer_bpe_encode": QuerySpec(tokenizer_bpe_encode, None),
+        "text_gopher_rules": QuerySpec(text_gopher_rules, TEXT_GOPHER_ORACLE),
         "web_pagerank": QuerySpec(web_pagerank, WEB_PAGERANK_ORACLE),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]

@@ -132,3 +132,59 @@ def test_redact_pii_scrubs_emails_and_phones(spark):
     assert got[1] == "mail me at <EMAIL> today"
     assert got[2].startswith("call <PHONE> or")
     assert got[3] == "nothing sensitive here"
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """One hand-crafted doc per Gopher rule, each failing exactly that
+    rule (other rules passing), plus one clean doc that passes all."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.text import (
+        gopher_rules,
+    )
+
+    base = ("the data and that point be to of have with value " * 6).strip()
+    docs = [
+        (0, base),  # clean: 66 words, sane lengths, stopwords present
+        (1, "the be to of and"),  # too few words
+        (2, ("a b c d " * 20).strip() + " the be"),  # mean word len < 3
+        (3, base + " " + "#tag " * 12),  # symbol ratio > 0.1
+        (4, "\n".join(["- item"] * 5 + [base])),  # >10% bullet lines
+        (5, "\n".join(["so..."] * 2 + [base, base])),  # >30% ellipsis? 2/4=50%
+        (6, base + " " + "123 456 789 000 111 222 333 444 555 666 777 888 999 101 202 303 404 "
+            * 2),  # <80% alphabetic words
+        (7, ("apple banana cherry durian elder fig grape " * 10).strip()),  # <2 stopwords
+    ]
+    out = {r["doc_id"]: r for r in gopher_rules(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    ).collect()}
+    assert out[0].keep
+    expected_fail = {
+        1: "r_word_count",
+        2: "r_mean_word_len",
+        3: "r_symbol_ratio",
+        4: "r_bullet_lines",
+        5: "r_ellipsis_lines",
+        6: "r_alpha_words",
+        7: "r_stopwords",
+    }
+    for doc, rule in expected_fail.items():
+        r = out[doc]
+        assert not r.keep, doc
+        assert not r[rule], (doc, rule)
+
+
+def test_gopher_rules_integer_boundaries(spark):
+    """Thresholds sit exactly ON the boundary: 10 words with exactly
+    one #-word (ratio exactly 0.1) must PASS (<=); mean word length
+    exactly 3.0 and exactly 10.0 must PASS."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.text import (
+        gopher_rules,
+    )
+
+    # exactly 0.1 symbol ratio: 50 words, 5 with '#'
+    w50 = ("the be to of and that have with " + "word " * 37).strip()
+    assert len(w50.split()) == 45
+    doc_a = w50 + " " + "#x #x #x #x #x"  # 50 words, 5 symbolish
+    out = {r["doc_id"]: r for r in gopher_rules(
+        spark.createDataFrame([(1, doc_a)], "doc_id long, text string")
+    ).collect()}
+    assert out[1].r_symbol_ratio  # 10*5 <= 50 boundary holds

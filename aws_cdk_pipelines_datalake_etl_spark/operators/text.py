@@ -487,18 +487,24 @@ def gopher_rules(
 
     - word count in [min_words, max_words];
     - mean word length in [3, 10] characters;
-    - symbol-to-word ratio ('#' or '...') <= 0.1;
-    - < 90% of lines starting with a bullet is a FAIL inverted:
-      at most 10% of lines may start with a bullet character;
+    - symbol-to-word ratio ('#' or '...') <= 0.1 — NOTE this is the
+      WORDS-CONTAINING approximation: it counts words that contain a
+      '#' or '...', not symbol occurrences, so a single word carrying
+      three '#'s counts once (the paper counts hash/ellipsis symbols;
+      on natural text the two rarely diverge, but they can);
+    - remove only when MORE THAN 90% of lines start with a bullet
+      (i.e. keep while bullet lines <= 90% — the paper's threshold;
+      list-heavy but legitimate docs like changelogs/FAQs pass);
     - at most 30% of lines may end with an ellipsis;
     - >= 80% of words contain at least one alphabetic character;
     - at least 2 distinct stop words from the paper's 8-word list.
 
     Every ratio threshold is evaluated as an INTEGER cross-multiply
-    (``10*symbols <= n_words`` etc.), so the keep/drop decision is
-    bit-identical on any engine — no float boundary anywhere.  One
-    narrow scan, zero shuffle, no UDFs; at 100 TB this runs at scan
-    speed.  Output: per-doc rule booleans + ``keep``.
+    (``10*symbols <= n_words``, ``10*bullets <= 9*lines`` etc.), so
+    the keep/drop decision is bit-identical on any engine — no float
+    boundary anywhere.  One narrow scan, zero shuffle, no UDFs; at
+    100 TB this runs at scan speed.  Output: per-doc rule booleans +
+    ``keep``.
     """
     toks = tokens(text_col)
     n_words = F.size(toks)
@@ -531,7 +537,7 @@ def gopher_rules(
     r_word_count = (n_words >= min_words) & (n_words <= max_words)
     r_mean_word_len = (total_len >= 3 * n_words) & (total_len <= 10 * n_words)
     r_symbol_ratio = 10 * n_symbolish <= n_words
-    r_bullet_lines = 10 * n_bullet_lines <= n_lines
+    r_bullet_lines = 10 * n_bullet_lines <= 9 * n_lines
     r_ellipsis_lines = 10 * n_ellipsis_lines <= 3 * n_lines
     r_alpha_words = 10 * n_alpha_words >= 8 * n_words
     r_stopwords = n_stopwords >= 2

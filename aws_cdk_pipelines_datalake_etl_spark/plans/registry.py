@@ -7159,14 +7159,14 @@ SELECT doc_id,
        (total_len >= 3 * n_words AND total_len <= 10 * n_words)
          AS r_mean_word_len,
        (10 * n_symbolish <= n_words) AS r_symbol_ratio,
-       (10 * n_bullet <= n_lines) AS r_bullet_lines,
+       (10 * n_bullet <= 9 * n_lines) AS r_bullet_lines,
        (10 * n_ellipsis <= 3 * n_lines) AS r_ellipsis_lines,
        (10 * n_alpha >= 8 * n_words) AS r_alpha_words,
        (n_stop >= 2) AS r_stopwords,
        ((n_words >= 50 AND n_words <= 100000)
         AND (total_len >= 3 * n_words AND total_len <= 10 * n_words)
         AND (10 * n_symbolish <= n_words)
-        AND (10 * n_bullet <= n_lines)
+        AND (10 * n_bullet <= 9 * n_lines)
         AND (10 * n_ellipsis <= 3 * n_lines)
         AND (10 * n_alpha >= 8 * n_words)
         AND (n_stop >= 2)) AS keep

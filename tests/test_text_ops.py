@@ -147,16 +147,22 @@ def test_gopher_rules_each_rule_fires(spark):
         (1, "the be to of and"),  # too few words
         (2, ("a b c d " * 20).strip() + " the be"),  # mean word len < 3
         (3, base + " " + "#tag " * 12),  # symbol ratio > 0.1
-        (4, "\n".join(["- item"] * 5 + [base])),  # >10% bullet lines
+        (4, "\n".join(["- item"] * 30 + [base])),  # 30/31 > 90% bullet lines
         (5, "\n".join(["so..."] * 2 + [base, base])),  # >30% ellipsis? 2/4=50%
         (6, base + " " + "123 456 789 000 111 222 333 444 555 666 777 888 999 101 202 303 404 "
             * 2),  # <80% alphabetic words
         (7, ("apple banana cherry durian elder fig grape " * 10).strip()),  # <2 stopwords
+        # list-heavy but LEGITIMATE docs (changelog/FAQ shape) that the
+        # published rule keeps — removal needs >90% bullet lines:
+        (8, "\n".join(["- item"] * 5 + [base])),  # 5/6 ~ 83% bullets: keep
+        (9, "\n".join(["- item"] * 9 + [base])),  # 9/10 = 90% exactly: keep
     ]
     out = {r["doc_id"]: r for r in gopher_rules(
         spark.createDataFrame(docs, "doc_id long, text string")
     ).collect()}
     assert out[0].keep
+    assert out[8].keep and out[8].r_bullet_lines
+    assert out[9].keep and out[9].r_bullet_lines  # 10*9 <= 9*10 boundary
     expected_fail = {
         1: "r_word_count",
         2: "r_mean_word_len",

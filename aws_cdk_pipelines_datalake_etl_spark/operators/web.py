@@ -329,17 +329,25 @@ def robots_disallow_filter(
     Appends nothing: returns surviving pages with ``url_norm`` and
     ``domain`` attached (the canonicalization is shared work).
 
-    Matching is slash-insensitive (ADVICE r6): page paths are
-    canonical (trailing slash stripped), so rule prefixes get the
-    SAME strip — ``Disallow: /dir/`` blocks the directory page
-    ``/dir/`` itself (canonical ``/dir``), not only descendants.
-    The deliberate over-block: ``/dir`` (a sibling file) is treated
-    like ``/dir/``; robots.txt longest-match subtleties stay out of
-    scope as documented above.  ``Disallow: /`` strips to the empty
-    prefix and blocks the whole domain, the spec semantics.
+    Slash-terminated rules match SEGMENT-WISE (ADVICE r7): page
+    paths are canonical (trailing slash stripped), so for a rule
+    ``Disallow: /dir/`` a page is blocked iff its canonical path
+    equals ``/dir`` (the directory page itself — deliberate
+    over-block: the sibling FILE ``/dir`` is indistinguishable after
+    canonicalization) or starts with ``/dir/`` (a descendant).
+    Unrelated siblings like ``/dirty`` are NOT blocked (the r6
+    strip-then-prefix form over-blocked them).  Rules WITHOUT a
+    trailing slash keep the original-spec plain prefix match
+    (``/p/1`` blocks ``/p/10``).  ``Disallow: /`` blocks the whole
+    domain: the root's canonical path is '' and every other
+    canonical path starts with '/'.
     """
     p = url_normalize(pages, url_col)
     path = url_path(F.col("url_norm"))
-    pre = F.regexp_replace(rules[prefix_col], r"/$", "")
-    cond = (p[domain_col] == rules[domain_col]) & path.startswith(pre)
+    raw = rules[prefix_col]
+    stripped = F.regexp_replace(raw, r"/$", "")
+    blocked = F.when(
+        raw.endswith("/"), (path == stripped) | path.startswith(raw)
+    ).otherwise(path.startswith(raw))
+    cond = (p[domain_col] == rules[domain_col]) & blocked
     return p.join(F.broadcast(rules), cond, "left_anti")

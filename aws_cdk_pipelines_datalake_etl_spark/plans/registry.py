@@ -6023,10 +6023,12 @@ GROUP BY url_norm
 def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots-politeness filter (operators/web.py:
     robots_disallow_filter): domains whose md5 starts 0-7 disallow
-    '/p/1' and '/p/3' — '/p/1' also prefix-matches '/p/10', so true
-    prefix (not equality) semantics are exercised.  Broadcast
-    anti-join with the prefix test in the join condition; the page
-    side never shuffles."""
+    '/p/1', '/p/3' and '/p/2/' — '/p/1' (no trailing slash) also
+    prefix-matches '/p/10', exercising the spec's plain-prefix rule,
+    while '/p/2/' exercises the segment-wise slash-terminated branch
+    (blocks the canonical directory page '/p/2', would NOT block a
+    '/p/20' sibling if one existed).  Broadcast anti-join with the
+    match test in the join condition; the page side never shuffles."""
     from aws_cdk_pipelines_datalake_etl_spark.operators.web import (
         robots_disallow_filter,
         url_normalize,
@@ -6042,7 +6044,7 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.substring(F.md5("domain"), 1, 1) <= "7")
     )
     rules = doms.selectExpr(
-        "domain", "explode(array('/p/1', '/p/3')) AS disallow_prefix"
+        "domain", "explode(array('/p/1', '/p/3', '/p/2/')) AS disallow_prefix"
     )
     out = robots_disallow_filter(pages, rules, "url_raw")
     return out.select("doc_id", "url_norm", "domain")
@@ -6051,19 +6053,25 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEB_ROBOTS_FILTER_ORACLE = f"""
 WITH {_WEB_URL_SQL},
 rules AS (
-  SELECT domain, unnest(['/p/1', '/p/3']) AS pre
+  SELECT domain, unnest(['/p/1', '/p/3', '/p/2/']) AS pre
   FROM (SELECT DISTINCT domain FROM domained
         WHERE substr(md5(domain), 1, 1) <= '7')
+),
+paths AS (
+  SELECT d.*,
+         regexp_extract(d.url_norm,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+  FROM domained d
 )
 SELECT doc_id, url_norm, domain
-FROM domained d
+FROM paths d
 WHERE NOT EXISTS (
   SELECT 1 FROM rules r
   WHERE r.domain = d.domain
-    AND starts_with(
-          regexp_extract(d.url_norm,
-            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
-          regexp_replace(r.pre, '/$', ''))
+    AND (CASE WHEN r.pre LIKE '%/'
+         THEN d.path = regexp_replace(r.pre, '/$', '')
+              OR starts_with(d.path, r.pre)
+         ELSE starts_with(d.path, r.pre) END)
 )
 """
 

@@ -58,7 +58,6 @@ def test_nonoverlapping_merge_semantics():
     merges = train_bpe_merges(wc, n_merges=1)
     assert merges == [("a", "a")]
     ranks = {("a", "a"): 0}
-    assert encode_word("aaa", ranks) == ["aa", "a" + EOW][:2] or True
     got = encode_word("aaa", ranks)
     # chars: a a a EOW -> merge (a,a) left-to-right once: [aa, a, EOW]
     assert got == ["aa", "a", EOW]

@@ -326,8 +326,9 @@ def test_robots_disallow_filter_prefix_semantics(spark):
 
 
 def test_robots_disallow_filter_slash_insensitive(spark):
-    """ADVICE r6: 'Disallow: /dir/' must block the directory page
-    '/dir/' itself (whose canonical path is '/dir'), and
+    """ADVICE r6/r7: 'Disallow: /dir/' must block the directory page
+    '/dir/' itself (whose canonical path is '/dir') and descendants,
+    but NOT unrelated siblings like '/dirt' (segment-wise match);
     'Disallow: /' must block the whole domain including the bare
     root spelling."""
     from aws_cdk_pipelines_datalake_etl_spark.operators.web import (
@@ -338,7 +339,7 @@ def test_robots_disallow_filter_slash_insensitive(spark):
         [
             (1, "http://a.com/dir/"),  # the directory page itself
             (2, "http://a.com/dir/x"),  # a descendant
-            (3, "http://a.com/dirt"),  # prefix match after strip: blocked
+            (3, "http://a.com/dirt"),  # unrelated sibling: KEPT
             (4, "http://a.com/other"),
             (5, "http://b.com"),  # bare root, Disallow: / domain
             (6, "http://b.com/"),
@@ -354,4 +355,4 @@ def test_robots_disallow_filter_slash_insensitive(spark):
         r["doc_id"]
         for r in robots_disallow_filter(pages, rules, "url").collect()
     }
-    assert kept == {4, 8}
+    assert kept == {3, 4, 8}

@@ -29,6 +29,25 @@ def tokens(col: str = "text") -> Column:
     return F.split(F.lower(F.col(col)), " ")
 
 
+#: ASCII whitespace class shared by JVM-side and Python-side BPE
+#: tokenization.  Spelled as an explicit character class (not ``\s``)
+#: because Java regex ``\s`` and Python ``re`` ``\s`` disagree on
+#: Unicode whitespace (e.g. U+00A0) — an explicit class is the only
+#: way the two engines tokenize bit-identically.
+WS_CLASS = "[ \\t\\n\\r\\f\\x0B]+"
+
+
+def ws_tokens(col: str = "text") -> Column:
+    """ANY-whitespace tokens of the lowercased text, empties dropped —
+    the tokenization contract shared by BPE training (JVM side) and
+    BPE encoding (Python side): runs of spaces yield no empty-string
+    words and newlines/tabs split words, unlike :func:`tokens`'s
+    single-space split.  Python twin: ``bpe._py_words``."""
+    return F.filter(
+        F.split(F.lower(F.col(col)), WS_CLASS), lambda w: w != ""
+    )
+
+
 def normalize_text(col: str = "text") -> Column:
     """Canonical form for fingerprinting: lowercase, strip everything
     but [a-z0-9 ], collapse runs of spaces, trim."""

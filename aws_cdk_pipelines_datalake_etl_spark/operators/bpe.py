@@ -35,24 +35,46 @@ LLM-corpus toolkit (SURVEY.md §2.6/§6).
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import tokens
+from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+    WS_CLASS,
+    ws_tokens,
+)
 
 #: end-of-word sentinel (Sennrich 2016 '</w>'); makes "low" the word
 #: vs "low" the prefix of "lower" distinct, and makes decode exact.
 EOW = "▁"  # LOWER ONE EIGHTH BLOCK, the sentencepiece-style marker
+
+#: out-of-vocabulary token; always id 0 in :func:`build_vocab`.
+UNK = "<unk>"
+
+_WS_RE = re.compile(WS_CLASS)
+
+
+def _py_words(text: str) -> list[str]:
+    """Python twin of :func:`..functions.text_fn.ws_tokens`: the SAME
+    explicit ASCII whitespace class (never ``str.split()`` — Python
+    splits on Unicode whitespace like U+00A0 that Java regex ``\\s``
+    and our JVM-side class do not), lowercased, empties dropped.
+    Training and encoding MUST tokenize identically or the learned
+    merge table mis-matches the encoder's word stream (ADVICE r7)."""
+    return [w for w in _WS_RE.split(text.lower()) if w]
 
 
 def word_frequencies(
     df: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:
     """The one corpus scan of BPE training: (word, count), one hash
-    aggregation with map-side partials."""
+    aggregation with map-side partials.  Tokenizes with
+    :func:`ws_tokens` — any-whitespace split, empties dropped —
+    bit-identical to the encode-side :func:`_py_words`."""
     wf = (
-        df.select(F.explode(tokens(text_col)).alias("word"))
+        df.select(F.explode(ws_tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("count"))
     )
@@ -135,6 +157,26 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return list(syms)
 
 
+def build_vocab(
+    word_counts: list[tuple[str, int]], merges: list[tuple[str, str]]
+) -> dict[str, int]:
+    """Deterministic token->id table: id 0 is :data:`UNK`, then every
+    base symbol seen in the training words (single characters + the
+    EOW sentinel, sorted), then each merge's output token in merge
+    order — the standard BPE vocabulary layout (merge rank == id
+    order), reproducible from (word table, merges) on any engine."""
+    base = sorted({c for w, _ in word_counts for c in w} | {EOW})
+    vocab: dict[str, int] = {UNK: 0}
+    for s in base:
+        if s not in vocab:
+            vocab[s] = len(vocab)
+    for a, b in merges:
+        t = a + b
+        if t not in vocab:
+            vocab[t] = len(vocab)
+    return vocab
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -148,6 +190,21 @@ def train_bpe(
     words first, ties on the word for determinism) — the documented
     sampling bound every production BPE trainer applies in some form.
     """
+    merges, _ = train_bpe_with_vocab(
+        df, text_col, n_merges, min_count, top_words
+    )
+    return merges
+
+
+def train_bpe_with_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    min_count: int = 1,
+    top_words: int = 1 << 16,
+) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """:func:`train_bpe` that also returns the token->id vocabulary
+    (see :func:`build_vocab`) from the same one bounded collect."""
     wf = (
         word_frequencies(df, text_col, min_count)
         .orderBy(F.col("count").desc(), F.col("word").asc())
@@ -155,7 +212,17 @@ def train_bpe(
     )
     # bounded control collect: <= top_words (word, count) rows
     rows = [(r["word"], r["count"]) for r in wf.collect()]
-    return train_bpe_merges(rows, n_merges)
+    merges = train_bpe_merges(rows, n_merges)
+    return merges, build_vocab(rows, merges)
+
+
+def bpe_vocab_table(spark, vocab: dict[str, int]) -> DataFrame:
+    """The vocabulary as a (token, token_id) DataFrame — the lookup
+    artifact a downstream detokenizer or analysis query joins on."""
+    return spark.createDataFrame(
+        sorted(vocab.items(), key=lambda kv: kv[1]),
+        "token string, token_id int",
+    )
 
 
 def bpe_encode(
@@ -197,7 +264,7 @@ def bpe_encode(
         cache: dict[str, list[str]] = {}
         rows = []
         for t in texts:
-            words = str(t).lower().split()
+            words = _py_words(str(t))
             toks: list[str] = []
             for w in words:
                 got = cache.get(w)
@@ -220,6 +287,67 @@ def bpe_encode(
     return df.select(
         F.col(id_col),
         enc(F.col(text_col)).alias("bpe"),
+    ).select(id_col, "bpe.*")
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Row-local BPE encoding to TOKEN-ID SEQUENCES — the terminal
+    tokenizer artifact a pretraining pipeline feeds to sequence
+    packing (:func:`..chunking.pack_token_sequences`).
+
+    Output per doc: ``token_ids array<int>`` (every token mapped
+    through ``vocab``; tokens outside it — impossible when the vocab
+    was built from the same corpus, possible on held-out text with
+    unseen characters — map to :data:`UNK` id 0 and are tallied in
+    ``n_unk``) and ``n_tokens``.  Same broadcast merge table and
+    Arrow-batched UDF as :func:`bpe_encode`; zero shuffle, output
+    inherits input partitioning."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    spark = df.sparkSession
+    b_merges = spark.sparkContext.broadcast(list(merges))
+    b_vocab = spark.sparkContext.broadcast(dict(vocab))
+    out_schema = StructType(
+        [
+            StructField("token_ids", ArrayType(IntegerType())),
+            StructField("n_tokens", IntegerType()),
+            StructField("n_unk", IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(out_schema)
+    def enc_ids(texts: pd.Series) -> pd.DataFrame:
+        ranks = {p: i for i, p in enumerate(b_merges.value)}
+        voc = b_vocab.value
+        unk = voc[UNK]
+        cache: dict[str, list[int]] = {}
+        rows = []
+        for t in texts:
+            ids: list[int] = []
+            for w in _py_words(str(t)):
+                got = cache.get(w)
+                if got is None:
+                    got = [voc.get(s, unk) for s in encode_word(w, ranks)]
+                    cache[w] = got
+                ids.extend(got)
+            rows.append((ids, len(ids), sum(1 for i in ids if i == unk)))
+        return pd.DataFrame(
+            rows, columns=["token_ids", "n_tokens", "n_unk"]
+        )
+
+    return df.select(
+        F.col(id_col), enc_ids(F.col(text_col)).alias("bpe")
     ).select(id_col, "bpe.*")
 
 

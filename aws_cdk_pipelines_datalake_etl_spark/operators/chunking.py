@@ -96,6 +96,99 @@ def pack_greedy_bins(
     )
 
 
+def pack_token_sequences(
+    encoded: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    budget_tokens: int = 2048,
+) -> DataFrame:
+    """Materialize FIXED-LENGTH token-id training sequences from
+    per-document id arrays — the terminal artifact of an LLM data
+    pipeline (tokenize -> pack): documents concatenate in id order
+    within a shard and the stream is cut every ``budget_tokens`` ids,
+    docs spilling across cuts (GPT-style packing, no padding except
+    the final partial sequence per shard).
+
+    Input: ``(id_col, ids_col array<int>, ...)`` — e.g. the output of
+    :func:`..bpe.bpe_encode_ids`.  Output:
+    ``(shard, seq_id, n_tokens, token_ids)`` where ``n_tokens ==
+    budget_tokens`` for every sequence except possibly the last of
+    each shard.
+
+    Scale shape: same 16-shard md5 bucketing + per-shard running-sum
+    window as :func:`pack_greedy_bins` to locate each doc's global
+    offset, then a ROW-LOCAL fan-out of one row per (doc x overlapped
+    sequence) carrying just the doc's ``slice`` of that sequence —
+    never one row per token — and one hash agg reassembling each
+    sequence from its pieces (`sort_array` on the in-sequence
+    position, then `flatten`).  Two shuffles total (window + agg),
+    both on keys with bounded fan-in; intermediate volume is
+    O(total_tokens + n_docs) ids regardless of budget.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    d = encoded.select(
+        F.col(id_col),
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 1).alias("shard"),
+        F.col(ids_col).alias("_ids"),
+        F.size(ids_col).alias("_n"),
+    ).filter(F.col("_n") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    B = budget_tokens
+    d = d.select(
+        "shard",
+        "_ids",
+        "_n",
+        (F.sum("_n").over(w) - F.col("_n")).cast("long").alias("_start"),
+    )
+    # one row per (doc x sequence it overlaps): docs spill across cuts
+    d = d.select(
+        "shard",
+        "_ids",
+        "_n",
+        "_start",
+        F.explode(
+            F.sequence(
+                (F.col("_start") / B).cast("long"),
+                ((F.col("_start") + F.col("_n") - 1) / B).cast("long"),
+            )
+        ).alias("seq_id"),
+    )
+    seg_lo = F.greatest(F.col("seq_id") * B, F.col("_start"))
+    seg_hi = F.least((F.col("seq_id") + 1) * B, F.col("_start") + F.col("_n"))
+    piece = F.slice(
+        "_ids",
+        (seg_lo - F.col("_start") + 1).cast("int"),
+        (seg_hi - seg_lo).cast("int"),
+    )
+    pos_in_seq = (seg_lo - F.col("seq_id") * B).cast("int")
+    parts = d.select(
+        "shard",
+        "seq_id",
+        F.struct(pos_in_seq.alias("pos"), piece.alias("piece")).alias("part"),
+    )
+    return (
+        parts.groupBy("shard", "seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list("part")), lambda s: s["piece"]
+                )
+            ).alias("token_ids")
+        )
+        .select(
+            "shard",
+            "seq_id",
+            F.size("token_ids").alias("n_tokens"),
+            "token_ids",
+        )
+    )
+
+
 def pack_with_offsets(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -7204,6 +7204,42 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(held, merges).orderBy("doc_id")
 
 
+def corpus_packed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenize->pack junction (operators/bpe.py:bpe_encode_ids ->
+    operators/chunking.py:pack_token_sequences) — the TERMINAL
+    artifact of an LLM data pipeline: BPE merges + vocab trained on
+    the 90% split (one word-count shuffle, bounded collect), the
+    held-out 10% encoded to token-id sequences row-locally (broadcast
+    merge/vocab tables, Arrow-batched), then cut into fixed 64-id
+    training sequences with docs spilling across cuts (16-shard md5
+    packing, two shuffles).  Rows-only: the BPE merge loop is not
+    SQL-expressible; the stronger gates are in pytest
+    (tests/test_packing.py: budget invariant, concatenation identity,
+    partition invariance; tests/test_bpe.py: id round-trip, unified
+    train/encode tokenization).  ``token_ids`` is serialized with
+    array_join — the driver canonicalizer cannot hash arrays."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.bpe import (
+        bpe_encode_ids,
+        train_bpe_with_vocab,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.chunking import (
+        pack_token_sequences,
+    )
+
+    train, held = _lm_splits(spark, sf_dir)
+    merges, vocab = train_bpe_with_vocab(train, n_merges=120)
+    encoded = bpe_encode_ids(held, merges, vocab)
+    packed = pack_token_sequences(encoded, budget_tokens=64)
+    return packed.select(
+        "shard",
+        "seq_id",
+        "n_tokens",
+        F.array_join(F.col("token_ids").cast("array<string>"), " ").alias(
+            "ids_joined"
+        ),
+    ).orderBy("shard", "seq_id")
+
+
 def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out bigram LM scoring (operators/lm.py): train stupid-
     backoff counts on 90% of the corpus, score the held-out 10% —
@@ -7749,6 +7785,7 @@ def build_registry() -> dict[str, QuerySpec]:
             lm_perplexity_cutpoints, LM_PERPLEXITY_CUTPOINTS_ORACLE
         ),
         "tokenizer_bpe_encode": QuerySpec(tokenizer_bpe_encode, None),
+        "corpus_packed_ids": QuerySpec(corpus_packed_ids, None),
         "text_gopher_rules": QuerySpec(text_gopher_rules, TEXT_GOPHER_ORACLE),
         "web_pagerank": QuerySpec(web_pagerank, WEB_PAGERANK_ORACLE),
     }

@@ -132,3 +132,101 @@ def test_single_char_and_empty_words():
     assert encode_word("a", ranks) == ["a", EOW]
     assert bpe_decode_tokens(["a", EOW]) == "a"
     assert bpe_decode_tokens([]) == ""
+
+
+def test_train_encode_tokenization_unified(spark):
+    """ADVICE r7: training (JVM ws_tokens) and encoding (_py_words)
+    must tokenize IDENTICALLY on newlines, tabs, and runs of spaces —
+    'a\\nb' is two words on both sides, space runs emit no empty
+    words, and no junk vocab rows appear."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.bpe import _py_words
+
+    texts = [
+        "alpha\nbeta  gamma\tdelta",
+        "  leading and   trailing  \n",
+        "one\r\ntwo\fthree\x0bfour",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    jvm_words = sorted(
+        r.word for r in word_frequencies(docs).select("word").collect()
+    )
+    py_words = sorted({w for t in texts for w in _py_words(t)})
+    assert jvm_words == py_words
+    assert "" not in jvm_words
+    assert "alpha" in jvm_words and "beta" in jvm_words
+
+    # end-to-end: a merge table trained on multi-line text encodes the
+    # same text to tokens that decode back to the whitespace-normalized
+    # form — the r7 divergence made this fail on '\n'.
+    merges = train_bpe(docs, n_merges=30)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for t in texts:
+        toks: list[str] = []
+        for w in _py_words(t):
+            toks.extend(encode_word(w, ranks))
+        assert bpe_decode_tokens(toks) == " ".join(_py_words(t))
+
+
+def test_build_vocab_layout():
+    from aws_cdk_pipelines_datalake_etl_spark.operators.bpe import (
+        UNK,
+        build_vocab,
+    )
+
+    wc = [("low", 5), ("newest", 6)]
+    merges = train_bpe_merges(wc, n_merges=3)
+    vocab = build_vocab(wc, merges)
+    assert vocab[UNK] == 0
+    base = sorted(set("lownewst") | {EOW})
+    for i, s in enumerate(base):
+        assert vocab[s] == 1 + i
+    # merge outputs follow in merge order
+    next_id = 1 + len(base)
+    for a, b in merges:
+        if a + b not in base:
+            assert vocab[a + b] == next_id
+            next_id += 1
+    # ids are dense 0..len-1
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+
+
+def test_bpe_encode_ids_roundtrip_and_unk(spark):
+    from aws_cdk_pipelines_datalake_etl_spark.operators.bpe import (
+        UNK,
+        bpe_encode_ids,
+        train_bpe_with_vocab,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the thick thistle sixth"), (2, "thin theme the the")],
+        "doc_id long, text string",
+    )
+    merges, vocab = train_bpe_with_vocab(train, n_merges=20)
+    inv = {i: t for t, i in vocab.items()}
+    held = spark.createDataFrame(
+        [(10, "the thin\nthistle"), (11, "zebra!")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bpe_encode_ids(held, merges, vocab).collect()}
+    ranks = {p: i for i, p in enumerate(merges)}
+    from aws_cdk_pipelines_datalake_etl_spark.operators.bpe import _py_words
+
+    for doc_id, text in [(10, "the thin\nthistle"), (11, "zebra!")]:
+        toks: list[str] = []
+        for w in _py_words(text):
+            toks.extend(encode_word(w, ranks))
+        r = out[doc_id]
+        assert r.n_tokens == len(toks)
+        want_ids = [vocab.get(t, 0) for t in toks]
+        assert list(r.token_ids) == want_ids
+        assert r.n_unk == sum(1 for i in want_ids if i == 0)
+        # decode through the inverted vocab: non-UNK ids reproduce tokens
+        got_toks = [inv[i] for i in r.token_ids]
+        assert [t for t in got_toks if t != UNK] == [
+            t for t, i in zip(toks, want_ids) if i != 0
+        ]
+    # 'z', 'b', 'r', '!' are unseen chars -> UNK tally nonzero
+    assert out[11].n_unk > 0
+    assert out[10].n_unk == 0

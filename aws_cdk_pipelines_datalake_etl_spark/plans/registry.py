@@ -7352,6 +7352,29 @@ def lm_perplexity_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lm_perplexity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``boundary_mode="approx"`` — the TRUE 100 TB form of the
+    cutpoint bucketing (operators/lm.py): boundaries from
+    ``approx_percentile`` (Greenwald-Khanna summary, state bounded at
+    ~accuracy entries regardless of corpus size) instead of the exact
+    value->count percentile whose final merge is O(distinct scores).
+    Rows-only BY DESIGN: GK boundaries are layout-dependent within
+    the 1/accuracy rank bound, so no engine-exact oracle exists; the
+    strong gate is tests/test_lm.py::test_cutpoints_approx_drift_bound
+    (per-doc bucket drift vs exact boundaries bounded by the
+    documented N/accuracy rank error, at accuracy=10000)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.lm import (
+        bigram_logprob,
+        perplexity_buckets,
+    )
+
+    train, held = _lm_splits(spark, sf_dir)
+    return perplexity_buckets(
+        bigram_logprob(train, held), method="cutpoints",
+        boundary_mode="approx",
+    )
+
+
 LM_PERPLEXITY_CUTPOINTS_ORACLE = _LM_SCORED_SQL + """
 , bounds AS (
   SELECT list_transform(
@@ -7784,6 +7807,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "lm_perplexity_cutpoints": QuerySpec(
             lm_perplexity_cutpoints, LM_PERPLEXITY_CUTPOINTS_ORACLE
         ),
+        "lm_perplexity_approx": QuerySpec(lm_perplexity_approx, None),
         "tokenizer_bpe_encode": QuerySpec(tokenizer_bpe_encode, None),
         "corpus_packed_ids": QuerySpec(corpus_packed_ids, None),
         "text_gopher_rules": QuerySpec(text_gopher_rules, TEXT_GOPHER_ORACLE),

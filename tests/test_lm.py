@@ -177,3 +177,40 @@ def test_perplexity_buckets_approx_mode_close_to_exact(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_cutpoints_approx_drift_bound(spark):
+    """VERDICT r7 #5: the GK boundaries' documented rank-error bound,
+    exercised at N=5000.  accuracy=10000 means each boundary's rank
+    is within N/10000 = 0.5 of the true rank — i.e. the boundary is
+    one of the two samples bracketing the exact interpolated
+    percentile — so per boundary at most the docs BETWEEN those two
+    adjacent samples (= 1 doc on distinct values) can shift, and only
+    to the adjacent bucket.  Bound asserted: <= 2 mismatches per
+    boundary, every mismatch exactly +/-1 bucket, NULLs in the tail
+    under both modes."""
+    rows = [
+        (i, -float((i * 2654435761) % 1000003) / 100000.0)
+        for i in range(5000)
+    ] + [(9001, None), (9002, None)]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, avg_logprob double"
+    )
+    exact = {
+        r.doc_id: r.ppl_bucket
+        for r in perplexity_buckets(scored, method="cutpoints").collect()
+    }
+    approx = {
+        r.doc_id: r.ppl_bucket
+        for r in perplexity_buckets(
+            scored, method="cutpoints", boundary_mode="approx"
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    mismatches = [d for d in exact if exact[d] != approx[d]]
+    n_boundaries = 2  # n_buckets=3
+    assert len(mismatches) <= 2 * n_boundaries, mismatches
+    for d in mismatches:
+        assert abs(exact[d] - approx[d]) == 1, (d, exact[d], approx[d])
+    assert exact[9001] == exact[9002] == 3
+    assert approx[9001] == approx[9002] == 3

@@ -71,6 +71,7 @@ _IMA_STEPS = np.array([
     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
 ], dtype=np.int64)
 _IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_INDEX_NP = np.array(_IMA_INDEX, dtype=np.int64)
 
 
 def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
@@ -162,31 +163,72 @@ def encode_adpcm_wav(
 def _decode_adpcm(
     data: bytes, block_align: int, samples_per_block: int, n_frames: int
 ) -> np.ndarray:
-    out = np.empty(n_frames, dtype=np.int16)
-    got = 0
-    for off in range(0, len(data), block_align):
-        if got >= n_frames:
-            break
-        block = data[off : off + block_align]
-        pred = int.from_bytes(block[0:2], "little", signed=True)
-        index = max(0, min(88, block[2]))
-        out[got] = pred
-        got += 1
-        want = min(samples_per_block - 1, n_frames - got)
-        k = 0
-        for b in block[4:]:
-            for nib in (b & 0x0F, b >> 4):
-                if k >= want:
-                    break
-                pred, index = _ima_step(pred, index, nib)
-                out[got] = pred
-                got += 1
-                k += 1
-            if k >= want:
-                break
-    if got < n_frames:
+    """Vectorized IMA decode (VERDICT r7 #6): the nibble unpack, sign/
+    magnitude bit tests, and both table lookups are numpy ops over ALL
+    blocks at once; only the predictor/index recurrence is a Python
+    loop — and it runs ``samples_per_block - 1`` iterations total,
+    each advancing every block one sample in parallel, instead of one
+    iteration per output sample.  All arithmetic stays int64 with the
+    same shifts/clamps as the scalar :func:`_ima_step`, so the output
+    is bit-identical (property-tested encode->decode identity)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n_full = len(arr) // block_align
+    usable = n_full * block_align
+    rem = arr[usable:]
+    last_cap = None
+    if rem.size >= 4:  # truncated trailing block: decode what's there
+        padded = np.zeros(block_align, dtype=np.uint8)
+        padded[: rem.size] = rem
+        blocks = np.concatenate(
+            [arr[:usable].reshape(n_full, block_align), padded[None, :]]
+        )
+        last_cap = 1 + 2 * (rem.size - 4)
+    else:
+        blocks = arr[:usable].reshape(n_full, block_align)
+    if blocks.shape[0] == 0:
         raise ValueError("truncated ADPCM data")
-    return out
+    # 4-byte header: int16 LE predictor seed + step index
+    pred = (
+        blocks[:, 0].astype(np.int64) | (blocks[:, 1].astype(np.int64) << 8)
+    )
+    pred = (pred ^ 0x8000) - 0x8000  # sign-extend
+    index = np.clip(blocks[:, 2].astype(np.int64), 0, 88)
+    # nibble unpack, low nibble first
+    nib_bytes = blocks[:, 4:]
+    spb1 = samples_per_block - 1
+    nibs = np.empty((blocks.shape[0], nib_bytes.shape[1] * 2), dtype=np.int64)
+    nibs[:, 0::2] = nib_bytes & 0x0F
+    nibs[:, 1::2] = nib_bytes >> 4
+    nibs = nibs[:, :spb1]
+    sign = (nibs & 8) != 0
+    b4 = nibs & 4
+    b2 = nibs & 2
+    b1 = nibs & 1
+    idx_adj = _IMA_INDEX_NP[nibs]
+    out_blocks = np.empty((blocks.shape[0], 1 + nibs.shape[1]), dtype=np.int64)
+    out_blocks[:, 0] = pred
+    for k in range(nibs.shape[1]):
+        step = _IMA_STEPS[index]
+        diffq = (
+            (step >> 3)
+            + np.where(b4[:, k] != 0, step, 0)
+            + np.where(b2[:, k] != 0, step >> 1, 0)
+            + np.where(b1[:, k] != 0, step >> 2, 0)
+        )
+        pred = np.clip(
+            np.where(sign[:, k], pred - diffq, pred + diffq), -32768, 32767
+        )
+        index = np.clip(index + idx_adj[:, k], 0, 88)
+        out_blocks[:, k + 1] = pred
+    if last_cap is not None:
+        out = np.concatenate(
+            [out_blocks[:-1].reshape(-1), out_blocks[-1, :last_cap]]
+        )
+    else:
+        out = out_blocks.reshape(-1)
+    if out.size < n_frames:
+        raise ValueError("truncated ADPCM data")
+    return out[:n_frames].astype(np.int16)
 
 
 def decode_wav(payload: bytes) -> dict:

@@ -6277,80 +6277,74 @@ _DRIVER_WINDOW = [
     "q01_pricing_summary",
     "q02_taxi_shape_agg",
     "q23_sql_transform",
-    # (2) round-7 fixes, additions and semantic changes:
-    # - lm_bigram_logprob / web_pagerank: r6 hash-reds, oracle CAST
-    #   fixed; lm_bigram_logprob also keeps sub-2-token docs now
-    # - lm_perplexity_buckets: oracle gained the keep-short-docs
-    #   left join (shared _LM_SCORED_SQL)
-    # - lm_perplexity_cutpoints: NEW scale-safe bucketing form
-    # - retrieval_rrf_fusion / retrieval_metrics_bm25: NEW (the r6
-    #   untested tail, now unit-tested + oracle-backed)
-    # - sim_random_projection: sign matrix fixed rank-1 -> full rank
-    # - dedup_substring_spans_prod: NEW bench-headline xxhash64 form,
-    #   shares the text-key oracle (invariance proof)
-    # - web_*: url_path now strips the root slash and robots rules
-    #   get the same strip (ADVICE r6) — operator semantics changed,
-    #   so the whole family re-verifies
-    # - multimodal_decode_jpeg_progressive: NEW SOF2 progressive
-    #   decode (shares the baseline entry's closed-form oracle)
-    # - multimodal_decode_png_adam7: NEW Adam7 interlaced decode
-    #   (shares the non-interlaced entry's closed-form oracle)
-    # - multimodal_audio_adpcm: NEW IMA-ADPCM compressed-audio decode
-    #   (constant-signal exactness device, closed-form oracle)
-    # - source_jsonl_roundtrip: NEW JSON-Lines format parity
-    # - text_gopher_rules: NEW Gopher quality-rule set (late entry:
-    #   targeted oracle_check run logged in the adding commit, per
-    #   the late-entry rule above)
-    "multimodal_decode_jpeg_progressive",
-    "multimodal_decode_png_adam7",
-    "multimodal_audio_adpcm",
-    "source_jsonl_roundtrip",
+    # (2) round-8 semantic changes (each with a targeted oracle_check
+    # run logged in its commit):
+    # - text_gopher_rules: bullet-line threshold corrected to the
+    #   published rule (keep unless >90% of lines are bullets) in
+    #   operator + oracle + tests (VERDICT r7 #1)
+    # - web_robots_filter: slash-terminated Disallow rules now match
+    #   segment-wise (no '/dirty' over-block from 'Disallow: /dir/');
+    #   entry gained a '/p/2/' rule to exercise the branch (ADVICE r7)
+    # - multimodal_audio_adpcm: decoder vectorized (numpy across
+    #   blocks, bit-identical by property test) — physical rewrite,
+    #   so the entry re-verifies (VERDICT r7 #6)
+    # Round-8 ADDITIONS are rows-only by design and therefore NOT
+    # windowed (policy below): corpus_packed_ids, lm_perplexity_approx
+    # (GK boundaries are layout-dependent within the rank bound), and
+    # tokenizer_bpe_encode (retrained tokenization, still rows-only).
     "text_gopher_rules",
-    "lm_bigram_logprob",
-    "web_pagerank",
-    "lm_perplexity_buckets",
-    "lm_perplexity_cutpoints",
-    "retrieval_rrf_fusion",
-    "retrieval_metrics_bm25",
-    "sim_random_projection",
-    "dedup_substring_spans_prod",
-    "web_url_normalize",
-    "web_domain_stats",
-    "web_domain_split",
-    "web_html_extract",
-    "web_frontier_dedup",
     "web_robots_filter",
-    # (4) re-confirmation, oldest-verified-first: 28 alphabetically-
-    # first of the 43 entries last green in round 3 (the final 15 —
-    # stream_daily_distinct..udaf_mad — rotate in at round 8)
-    "corpus_training_set",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "incremental_rollup",
-    "join_salted_skew",
-    "multimodal_meta",
-    "q06_broadcast_dim_join",
-    "q07_revenue_top_orders",
-    "q09_anti_join",
-    "q11_window_topk_per_group",
-    "q13_sessionize",
-    "q14_set_ops",
-    "q16_rollup",
-    "q19_pivot",
-    "q21_correlated_subquery",
-    "q24_grouping_sets",
-    "q27_percentiles",
-    "q29_pandas_udf_score",
-    "q30_range_join",
-    "q35_trailing_window",
-    "q61_recursive_closure",
-    "sample_stratified",
-    "sim_brute_topk",
-    "sim_lsh_near_dup",
-    "sketch_theta_audience",
+    "multimodal_audio_adpcm",
+    # (4a) re-confirmation, oldest-verified-first: ALL 15 entries last
+    # green in round 3 (stream_daily_distinct..udaf_mad) — this
+    # completes the round-3 rotation promised in the r7 window; after
+    # this round every oracle-backed entry is green within 5 rounds.
+    "stream_daily_distinct",
+    "stream_left_outer_join",
+    "stream_session_window",
+    "stream_sessionize_stateful",
+    "stream_stream_join",
+    "stream_tumbling",
+    "text_chunk_windows",
+    "text_contamination",
+    "text_langid",
+    "text_metrics",
+    "text_pack_bins",
+    "text_tfidf_top_terms",
+    "text_token_count",
+    "ts_gapfill",
+    "udaf_mad",
+    # (4b) next-oldest: 29 alphabetically-first of the 45 entries last
+    # green in round 4 (the remaining 16 rotate in at round 9).
+    "asof_cogroup_pandas",
+    "asof_forward_next_purchase",
+    "cdc_table_diff",
+    "corpus_dedup_survivors",
+    "dedup_bloom_prefilter",
+    "dedup_incremental_fingerprint",
+    "dedup_incremental_lsh",
+    "dedup_winnow_fingerprints",
+    "dedup_winnow_overlap",
+    "dq_report",
+    "grouped_apply_zscore",
+    "multimodal_audio_features",
+    "multimodal_embed_cosine",
+    "multimodal_video_frames",
+    "q42_disjunctive_join",
+    "q43_dormant_customers",
+    "q44_supplier_variety",
+    "q45_retention_cohorts",
+    "q46_funnel_stages",
+    "q48_rolling_wau",
+    "q49_variant_json",
+    "q50_unpivot",
+    "q51_forecast_revenue",
+    "q53_top_supplier",
+    "q54_equidepth_histogram",
+    "q55_ratio_to_report",
+    "q56_full_outer_join",
+    "q57_dense_grid_report",
+    "q58_event_transitions",
 ]
 
 

@@ -1604,6 +1604,95 @@ FROM best
 """
 
 
+def text_langid_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL language ID (operators/langid.py): char-trigram Naive
+    Bayes with add-one smoothing, trained in-query as a pure Spark
+    aggregation over the embedded public-domain sample (UDHR Art. 1 +
+    everyday sentences, 7 languages), argmax per document.  Every
+    log-prob is an integer micro-nat before summation, so the score
+    is engine-exact; the DuckDB oracle RETRAINS the identical model
+    in SQL from the same sample table.  Plan: broadcast model join on
+    trigram occurrences + two hash aggs — no window of scored rows,
+    no UDF."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.langid import (
+        language_id_nb,
+    )
+
+    return language_id_nb(_t(spark, sf_dir, "documents"))
+
+
+def _langid_nb_oracle() -> str:
+    from aws_cdk_pipelines_datalake_etl_spark.operators.langid import (
+        LANGID_SAMPLES,
+    )
+
+    values = ",\n    ".join(
+        "('{}', '{}')".format(lang, text.replace("'", "''"))
+        for lang, text in sorted(LANGID_SAMPLES.items())
+    )
+    norm = (
+        "' ' || trim(regexp_replace(regexp_replace(lower({c}), "
+        "'[^a-z ]', ' ', 'g'), ' +', ' ', 'g')) || ' '"
+    )
+    return f"""
+WITH samples(lang, sample) AS (VALUES
+    {values}
+),
+snorm AS (SELECT lang, {norm.format(c='sample')} AS s FROM samples),
+stris AS (
+  SELECT lang, substring(s, i, 3) AS tri
+  FROM (SELECT lang, s, unnest(generate_series(1, length(s) - 2)) AS i
+        FROM snorm WHERE length(s) >= 3)
+),
+counts AS (SELECT lang, tri, count(*) AS cnt FROM stris GROUP BY lang, tri),
+model AS (
+  SELECT lang, tri,
+         CAST(floor(ln(cnt + 1) * 1000000 + 0.5) AS BIGINT) AS micro_logp
+  FROM counts
+),
+vsize AS (SELECT count(DISTINCT tri) AS v FROM counts),
+consts AS (
+  SELECT lang,
+         CAST(floor(ln(sum(cnt) + (SELECT v FROM vsize)) * 1000000 + 0.5)
+              AS BIGINT) AS micro_denom
+  FROM counts GROUP BY lang
+),
+dnorm AS (SELECT doc_id, {norm.format(c='text')} AS s FROM documents),
+dk AS (
+  SELECT doc_id,
+         CASE WHEN length(s) >= 3 THEN length(s) - 2 ELSE 0 END AS n_trigrams
+  FROM dnorm
+),
+dtris AS (
+  SELECT doc_id, substring(s, i, 3) AS tri
+  FROM (SELECT doc_id, s, unnest(generate_series(1, length(s) - 2)) AS i
+        FROM dnorm WHERE length(s) >= 3)
+),
+matched AS (
+  SELECT doc_id, lang, sum(micro_logp) AS matched_micro
+  FROM dtris JOIN model USING (tri) GROUP BY doc_id, lang
+),
+grid AS (
+  SELECT dk.doc_id, c.lang, dk.n_trigrams,
+         COALESCE(m.matched_micro, 0) - dk.n_trigrams * c.micro_denom
+           AS score_micro
+  FROM dk CROSS JOIN consts c
+  LEFT JOIN matched m ON m.doc_id = dk.doc_id AND m.lang = c.lang
+),
+best AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score_micro DESC, lang ASC) AS rn
+  FROM grid
+)
+SELECT doc_id,
+       CASE WHEN n_trigrams = 0 THEN 'und' ELSE lang END AS lang,
+       CAST(CASE WHEN n_trigrams = 0 THEN 0 ELSE score_micro END
+            AS BIGINT) AS score_micro,
+       CAST(n_trigrams AS INT) AS n_trigrams
+FROM best WHERE rn = 1
+"""
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count plus a BPE-ish subword estimate
     (ceil(len/4) per token) per document (operators/text.py
@@ -6288,13 +6377,17 @@ _DRIVER_WINDOW = [
     # - multimodal_audio_adpcm: decoder vectorized (numpy across
     #   blocks, bit-identical by property test) — physical rewrite,
     #   so the entry re-verifies (VERDICT r7 #6)
-    # Round-8 ADDITIONS are rows-only by design and therefore NOT
-    # windowed (policy below): corpus_packed_ids, lm_perplexity_approx
-    # (GK boundaries are layout-dependent within the rank bound), and
+    # - text_langid_nb: NEW char-trigram Naive Bayes language ID
+    #   (operators/langid.py), oracle retrains the identical model in
+    #   SQL (targeted oracle_check logged)
+    # Round-8 ADDITIONS that are rows-only by design are NOT windowed
+    # (policy below): corpus_packed_ids, lm_perplexity_approx (GK
+    # boundaries are layout-dependent within the rank bound), and
     # tokenizer_bpe_encode (retrained tokenization, still rows-only).
     "text_gopher_rules",
     "web_robots_filter",
     "multimodal_audio_adpcm",
+    "text_langid_nb",
     # (4a) re-confirmation, oldest-verified-first: ALL 15 entries last
     # green in round 3 (stream_daily_distinct..udaf_mad) — this
     # completes the round-3 rotation promised in the r7 window; after
@@ -6314,8 +6407,9 @@ _DRIVER_WINDOW = [
     "text_token_count",
     "ts_gapfill",
     "udaf_mad",
-    # (4b) next-oldest: 29 alphabetically-first of the 45 entries last
-    # green in round 4 (the remaining 16 rotate in at round 9).
+    # (4b) next-oldest: 28 alphabetically-first of the 45 entries last
+    # green in round 4 (the remaining 17, q58_event_transitions..
+    # udtf_word_ngrams, rotate in at round 9).
     "asof_cogroup_pandas",
     "asof_forward_next_purchase",
     "cdc_table_diff",
@@ -6344,7 +6438,6 @@ _DRIVER_WINDOW = [
     "q55_ratio_to_report",
     "q56_full_outer_join",
     "q57_dense_grid_report",
-    "q58_event_transitions",
 ]
 
 
@@ -7648,6 +7741,7 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "text_metrics": QuerySpec(text_metrics_q, TEXT_METRICS_ORACLE),
         "text_langid": QuerySpec(text_langid, _langid_oracle()),
+        "text_langid_nb": QuerySpec(text_langid_nb, _langid_nb_oracle()),
         "text_token_count": QuerySpec(text_token_count, TEXT_TOKEN_COUNT_ORACLE),
         "sim_brute_topk": QuerySpec(sim_brute_topk, SIM_BRUTE_TOPK_ORACLE),
         "sim_near_dup_pairs": QuerySpec(sim_near_dup_pairs, SIM_NEAR_DUP_ORACLE),

@@ -7327,6 +7327,37 @@ def corpus_packed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("shard", "seq_id")
 
 
+def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision distillation (operators/classifier.py): the
+    90% split is labeled by the Gopher rule set (cheap rules as the
+    teacher), a hashed-bag-of-words logistic regression is trained on
+    those labels by batch GD — every corpus-sized reduction an integer
+    micro-unit sum, so the weights are bit-identical under any
+    partitioning — and the held-out 10% is scored with the broadcast
+    quantized weight table.  Rows-only: the GD loop is not
+    SQL-expressible; the stronger gates are in pytest
+    (tests/test_classifier.py: held-out accuracy 1.0 on separable
+    data, EXACT partition invariance of the learned weights, the
+    gopher-rules weak-supervision composition, broadcast/no-Python
+    plan)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.text import (
+        gopher_rules,
+    )
+
+    train, held = _lm_splits(spark, sf_dir)
+    labeled = train.join(
+        gopher_rules(train).select("doc_id", "keep"), "doc_id"
+    )
+    w = train_quality_classifier(
+        labeled, "keep", dim=1024, iterations=10, lr=1.0
+    )
+    return score_quality(held, w, dim=1024).orderBy("doc_id")
+
+
 def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out bigram LM scoring (operators/lm.py): train stupid-
     backoff counts on 90% of the corpus, score the held-out 10% —
@@ -7898,6 +7929,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "lm_perplexity_approx": QuerySpec(lm_perplexity_approx, None),
         "tokenizer_bpe_encode": QuerySpec(tokenizer_bpe_encode, None),
         "corpus_packed_ids": QuerySpec(corpus_packed_ids, None),
+        "corpus_quality_classifier": QuerySpec(corpus_quality_classifier, None),
         "text_gopher_rules": QuerySpec(text_gopher_rules, TEXT_GOPHER_ORACLE),
         "web_pagerank": QuerySpec(web_pagerank, WEB_PAGERANK_ORACLE),
     }

@@ -130,6 +130,22 @@ SHOWCASE = {
         "merge table row-locally; the only shuffle in the whole entry is "
         "the training word-count aggregation"
     ),
+    "corpus_packed_ids": (
+        "tokenize->pack: ArrowEvalPython (broadcast merge+vocab tables) "
+        "feeds ONE per-shard Window (16-way Exchange, never single-"
+        "partition) then a per-(doc x overlapped-sequence) Generate — "
+        "row-local slice fan-out, no per-token rows — and one hash "
+        "Exchange reassembling sequences; intermediate volume is "
+        "O(total_tokens + n_docs) regardless of budget"
+    ),
+    "text_langid_nb": (
+        "NB language ID is pure Catalyst: the trigram model rides a "
+        "BroadcastExchange into a BroadcastHashJoin on the exploded "
+        "trigram occurrences (corpus side never shuffles before the "
+        "(doc, lang) partial aggregation); the per-language constant "
+        "table joins via BroadcastNestedLoopJoin (7 rows); argmax is a "
+        "min(struct) hash aggregate, NO Window and NO Python anywhere"
+    ),
 }
 
 

@@ -101,6 +101,7 @@ def pack_token_sequences(
     id_col: str = "doc_id",
     ids_col: str = "token_ids",
     budget_tokens: int = 2048,
+    shard_chars: int = 1,
 ) -> DataFrame:
     """Materialize FIXED-LENGTH token-id training sequences from
     per-document id arrays — the terminal artifact of an LLM data
@@ -115,7 +116,7 @@ def pack_token_sequences(
     budget_tokens`` for every sequence except possibly the last of
     each shard.
 
-    Scale shape: same 16-shard md5 bucketing + per-shard running-sum
+    Scale shape: md5-prefix shard bucketing + per-shard running-sum
     window as :func:`pack_greedy_bins` to locate each doc's global
     offset, then a ROW-LOCAL fan-out of one row per (doc x overlapped
     sequence) carrying just the doc's ``slice`` of that sequence —
@@ -124,12 +125,24 @@ def pack_token_sequences(
     position, then `flatten`).  Two shuffles total (window + agg),
     both on keys with bounded fan-in; intermediate volume is
     O(total_tokens + n_docs) ids regardless of budget.
+
+    ``shard_chars`` is the parallelism dial: ``16**shard_chars``
+    shards, each packed independently (the per-shard window IS the
+    sequential part).  The default 1 (16 shards) matches
+    :func:`pack_greedy_bins`; at 100 TB set 3-4 (4k-64k shards) so a
+    shard's token stream fits one task comfortably — sequences never
+    cross shards, so widening only changes the layout, not the
+    invariants.
     """
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
+    if shard_chars < 1 or shard_chars > 8:
+        raise ValueError("shard_chars must be in [1, 8]")
     d = encoded.select(
         F.col(id_col),
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 1).alias("shard"),
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, shard_chars).alias(
+            "shard"
+        ),
         F.col(ids_col).alias("_ids"),
         F.size(ids_col).alias("_n"),
     ).filter(F.col("_n") > 0)

@@ -7315,7 +7315,10 @@ def corpus_packed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     train, held = _lm_splits(spark, sf_dir)
     merges, vocab = train_bpe_with_vocab(train, n_merges=120)
-    encoded = bpe_encode_ids(held, merges, vocab)
+    encoded = bpe_encode_ids(
+        held, merges, vocab,
+        repartition=spark.sparkContext.defaultParallelism,
+    )
     packed = pack_token_sequences(encoded, budget_tokens=64)
     return packed.select(
         "shard",

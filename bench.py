@@ -95,6 +95,13 @@ HEADLINE = [
     "web_url_normalize",
     "dedup_substring_spans_prod",
     "text_repetition_metrics",
+    # round-8 additions: the Gopher rule pass (threshold corrected to
+    # the published rule this round), the char-trigram NB language ID
+    # (pure Catalyst, broadcast model), and the tokenize->pack
+    # junction (BPE ids -> fixed-budget training sequences)
+    "text_gopher_rules",
+    "text_langid_nb",
+    "corpus_packed_ids",
 ]
 
 

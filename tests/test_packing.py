@@ -87,3 +87,29 @@ def test_pack_empty_docs_and_partition_invariance(spark):
     kb = sorted((r.shard, r.seq_id, list(r.token_ids)) for r in b.collect())
     assert ka == kb
     assert sum(len(t) for _, _, t in ka) == 5  # empty doc contributes 0
+
+
+def test_pack_shard_chars_widens_without_breaking_invariants(spark):
+    """shard_chars=2 (256 shards) must preserve the concatenation
+    identity against its own shard keys and the budget invariant."""
+    import hashlib
+
+    rows = [(i, list(range(i * 10, i * 10 + (i % 5) + 1))) for i in range(1, 60)]
+    out = pack_token_sequences(
+        _encoded(spark, rows), budget_tokens=4, shard_chars=2
+    ).collect()
+    got: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.seq_id)):
+        got.setdefault(r.shard, []).extend(r.token_ids)
+    want: dict[str, list] = {}
+    for doc_id, ids in sorted(rows):
+        shard = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+        want.setdefault(shard, []).extend(ids)
+    assert got == want
+    by_shard: dict[str, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows_ in by_shard.values():
+        rows_.sort(key=lambda r: r.seq_id)
+        assert all(r.n_tokens == 4 for r in rows_[:-1])
+        assert 1 <= rows_[-1].n_tokens <= 4

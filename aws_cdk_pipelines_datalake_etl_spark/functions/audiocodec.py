@@ -96,11 +96,13 @@ def encode_adpcm_wav(
     """Encode MONO int16 samples as an IMA ADPCM (format 0x0011) WAV.
 
     Block layout per the IMA practice: a 4-byte header (first sample
-    verbatim as the predictor, step index, reserved byte) followed by
-    4-bit nibbles for the remaining ``samples_per_block - 1`` samples,
-    low nibble first.  The default 505 samples/block gives the classic
-    256-byte block align.  The final short block is zero-padded in the
-    nibble area (decoders stop at the ``fact`` frame count)."""
+    verbatim as the predictor, a block-local starting step index —
+    see below — and a reserved byte) followed by 4-bit nibbles for the
+    remaining
+    ``samples_per_block - 1`` samples, low nibble first.  The default
+    505 samples/block gives the classic 256-byte block align.  The
+    final short block is zero-padded in the nibble area (decoders stop
+    at the ``fact`` frame count)."""
     if samples.ndim == 2:
         if samples.shape[1] != 1:
             raise NotImplementedError("IMA ADPCM encoder is mono-only")
@@ -111,35 +113,79 @@ def encode_adpcm_wav(
         raise ValueError("samples_per_block must be odd and >= 3")
     n = len(samples)
     block_align = 4 + (samples_per_block - 1) // 2
-    data = bytearray()
-    index = 0
-    for start in range(0, n, samples_per_block):
-        chunk = samples[start : start + samples_per_block]
-        pred = int(chunk[0])
-        data += int(pred & 0xFFFF).to_bytes(2, "little")
-        data.append(index)
-        data.append(0)
-        nibbles = []
-        for s in chunk[1:]:
-            s = int(s)
-            step = int(_IMA_STEPS[index])
-            diff = s - pred
-            nib = 8 if diff < 0 else 0
-            diff = abs(diff)
-            if diff >= step:
-                nib |= 4
-                diff -= step
-            if diff >= step >> 1:
-                nib |= 2
-                diff -= step >> 1
-            if diff >= step >> 2:
-                nib |= 1
-            pred, index = _ima_step(pred, index, nib)
-            nibbles.append(nib)
-        while len(nibbles) < samples_per_block - 1:
-            nibbles.append(0)  # pad; beyond the fact frame count
-        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
-            data.append(lo | (hi << 4))
+    # Blocks are encoded INDEPENDENTLY (the seekable-stream form:
+    # every block is self-contained through its header, which is why
+    # the header carries predictor+index at all).  Each block's
+    # STARTING step index is chosen block-locally — the smallest step
+    # covering the block's mean |sample delta| — so the quantizer is
+    # already at the right scale at every block boundary (a chained
+    # index would need no warm-up either, but chains sequentially
+    # across blocks; the local estimate decodes identically well and
+    # is what lets the encoder vectorize).  A constant signal has
+    # mean delta 0 -> index 0 -> step(0)>>3 == 0: the exactness
+    # device the registry oracle relies on is preserved.  The nibble
+    # loop below runs samples_per_block - 1 iterations total,
+    # advancing every block one sample per iteration, mirroring the
+    # vectorized _decode_adpcm.
+    spb = samples_per_block
+    n_blocks = (n + spb - 1) // spb
+    real_len = np.minimum(
+        np.full(n_blocks, spb, dtype=np.int64),
+        n - spb * np.arange(n_blocks, dtype=np.int64),
+    )
+    padded = np.zeros(n_blocks * spb, dtype=np.int64)
+    padded[:n] = samples.astype(np.int64)
+    chunks = padded.reshape(n_blocks, spb)
+    pred = chunks[:, 0].copy()
+    deltas = np.abs(np.diff(chunks, axis=1))
+    valid = np.arange(1, spb)[None, :] < real_len[:, None]
+    mean_ad = (deltas * valid).sum(axis=1) // np.maximum(
+        1, real_len - 1
+    )
+    index = np.clip(
+        np.searchsorted(_IMA_STEPS, mean_ad), 0, 88
+    ).astype(np.int64)
+    index0 = index.copy()
+    nibbles = np.zeros((n_blocks, spb - 1), dtype=np.int64)
+    for k in range(1, spb):
+        s = chunks[:, k]
+        step = _IMA_STEPS[index]
+        diff = s - pred
+        sign = diff < 0
+        ad = np.abs(diff)
+        b4 = ad >= step
+        ad = ad - np.where(b4, step, 0)
+        h = step >> 1
+        b2 = ad >= h
+        ad = ad - np.where(b2, h, 0)
+        b1 = ad >= (step >> 2)
+        nib = (
+            np.where(sign, 8, 0)
+            + np.where(b4, 4, 0)
+            + np.where(b2, 2, 0)
+            + np.where(b1, 1, 0)
+        )
+        nib = np.where(k < real_len, nib, 0)  # zero-pad short tail
+        diffq = (
+            (step >> 3)
+            + np.where(b4, step, 0)
+            + np.where(b2, step >> 1, 0)
+            + np.where(b1, step >> 2, 0)
+        )
+        pred = np.clip(np.where(sign, pred - diffq, pred + diffq), -32768, 32767)
+        index = np.clip(index + _IMA_INDEX_NP[nib], 0, 88)
+        nibbles[:, k - 1] = nib
+    headers = np.zeros((n_blocks, 4), dtype=np.uint8)
+    first = chunks[:, 0] & 0xFFFF
+    headers[:, 0] = first & 0xFF
+    headers[:, 1] = first >> 8
+    headers[:, 2] = index0  # block-local starting step index
+    packed_nibs = (
+        nibbles[:, 0::2] | (nibbles[:, 1::2] << 4)
+    ).astype(np.uint8)
+    data = bytearray(
+        np.concatenate([headers, packed_nibs], axis=1).tobytes()
+    )
     byte_rate = (sample_rate * block_align + samples_per_block - 1) // samples_per_block
     fmt = (
         b"fmt "

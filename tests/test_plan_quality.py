@@ -301,6 +301,9 @@ def test_registry_wide_plan_lint(spark):
         "sim_ivf_trained",  # k-means training job on build
         "sim_ann_recall_trained",
         "q61_recursive_closure",  # driver-loop recursive CTE
+        # batch-GD training loop (bounded collects) on build; the
+        # scoring plan is asserted in tests/test_classifier.py
+        "corpus_quality_classifier",
         # PQ entries train codebooks (collect) on build; their plans
         # and recall are asserted in tests/test_pq.py
         "sim_pq_rerank_topk",

@@ -41,6 +41,8 @@ LLM-corpus toolkit (SURVEY.md §2.6/§6).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -122,51 +124,86 @@ def _norm(col) -> F.Column:
     return F.concat(F.lit(" "), c, F.lit(" "))
 
 
-def _trigrams(norm_col) -> F.Column:
-    """All overlapping char trigrams of the normalized string; empty
-    array when fewer than 3 chars survive normalization."""
-    return F.when(
-        F.length(norm_col) >= 3,
-        F.expr(
-            "transform(sequence(1, length(_n) - 2), i -> substring(_n, i, 3))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+def _trigram_rows(d: DataFrame, key: str) -> DataFrame:
+    """Explode a ``(key, _n)`` frame to one row per overlapping char
+    trigram: ``(key, tri)``.
+
+    Deliberately Generate+Project, NOT a higher-order ``transform``
+    lambda (the :mod:`..dedup` winnow lesson): Catalyst's project
+    collapsing inlines the whole normalization regexp chain into a
+    lambda body, where codegen CSE does not apply — so the chain
+    would re-evaluate once PER TRIGRAM (~300x per doc; measured 64 s
+    for 1.5M trigrams at sf0.1 vs ~1 s this way).  Here ``_n`` is a
+    real attribute computed once per doc in the upstream Project, the
+    Generate explodes just the position sequence, and the substring
+    is one codegen'd expression per output row."""
+    return d.select(
+        key,
+        "_n",
+        F.explode(
+            F.when(
+                F.length("_n") >= 3,
+                F.sequence(F.lit(1), F.length("_n") - 2),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    ).select(key, F.expr("substring(_n, i, 3)").alias("tri"))
+
+
+def _py_norm(text: str) -> str:
+    """Driver-side twin of :func:`_norm` (same char class, same
+    collapse/trim/pad) — applied only to the embedded SAMPLE strings;
+    corpus text is always normalized by the Catalyst expression."""
+    import re
+
+    t = re.sub(r"[^a-z ]", " ", text.lower())
+    t = re.sub(r" +", " ", t).strip()
+    return f" {t} "
 
 
 def train_langid_model(
     spark: SparkSession, samples: dict[str, str] | None = None
 ) -> tuple[DataFrame, DataFrame]:
-    """Train the NB model as a pure Spark aggregation over the sample
-    corpus.  Returns ``(model, consts)``:
+    """Build the NB model tables.  Returns ``(model, consts)``:
 
     - ``model``: (lang, tri, micro_logp) with ``micro_logp =
       floor(ln(cnt + 1) * 1e6 + 0.5)`` — broadcast-sized (a few
       thousand rows; grows with the SAMPLE, never the corpus);
     - ``consts``: (lang, micro_denom) with ``micro_denom =
       floor(ln(N_lang + V) * 1e6 + 0.5)`` — one row per language.
-    """
+
+    Counting runs DRIVER-side: the training input is the embedded
+    sample dict (a handful of strings), so spinning Spark jobs for it
+    would only add scheduler overhead — the distributed work of this
+    operator is the corpus scoring, and the model ships to it as two
+    small createDataFrame tables (broadcast by the scorer).  The
+    quantization (floor(ln(x) * 1e6 + 0.5), IEEE doubles) is the same
+    arithmetic the DuckDB oracle's in-SQL retraining performs, so the
+    tables are engine-exact either way."""
     samples = LANGID_SAMPLES if samples is None else samples
-    sample_df = spark.createDataFrame(
-        sorted(samples.items()), "lang string, sample string"
+    counts: dict[tuple[str, str], int] = {}
+    totals: dict[str, int] = {}
+    vocab: set[str] = set()
+    for lang, text in sorted(samples.items()):
+        s = _py_norm(text)
+        for i in range(len(s) - 2):
+            tri = s[i : i + 3]
+            counts[(lang, tri)] = counts.get((lang, tri), 0) + 1
+            totals[lang] = totals.get(lang, 0) + 1
+            vocab.add(tri)
+    v = len(vocab)
+    model = spark.createDataFrame(
+        [
+            (lang, tri, int(math.floor(math.log(c + 1) * MICRO + 0.5)))
+            for (lang, tri), c in sorted(counts.items())
+        ],
+        "lang string, tri string, micro_logp long",
     )
-    tris = sample_df.select(
-        "lang", _norm(F.col("sample")).alias("_n")
-    ).select("lang", F.explode(_trigrams(F.col("_n"))).alias("tri"))
-    counts = tris.groupBy("lang", "tri").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    model = counts.select(
-        "lang",
-        "tri",
-        F.floor(F.log(F.col("cnt") + 1) * MICRO + F.lit(0.5))
-        .cast("long")
-        .alias("micro_logp"),
-    )
-    v = counts.select("tri").distinct().count()  # global trigram vocab
-    consts = counts.groupBy("lang").agg(
-        F.floor(F.log(F.sum("cnt") + F.lit(v)) * MICRO + F.lit(0.5))
-        .cast("long")
-        .alias("micro_denom")
+    consts = spark.createDataFrame(
+        [
+            (lang, int(math.floor(math.log(n + v) * MICRO + 0.5)))
+            for lang, n in sorted(totals.items())
+        ],
+        "lang string, micro_denom long",
     )
     return model, consts
 
@@ -190,10 +227,13 @@ def language_id_nb(
 
     docs = df.select(
         F.col(id_col).alias("_id"), _norm(F.col(text_col)).alias("_n")
-    ).select("_id", _trigrams(F.col("_n")).alias("_tris"))
-    doc_k = docs.select("_id", F.size("_tris").alias("n_trigrams"))
+    )
+    doc_k = docs.select(
+        "_id",
+        F.greatest(F.lit(0), F.length("_n") - 2).alias("n_trigrams"),
+    )
 
-    occurrences = docs.select("_id", F.explode("_tris").alias("tri"))
+    occurrences = _trigram_rows(docs, "_id")
     matched = (
         occurrences.join(F.broadcast(model), "tri")
         .groupBy("_id", "lang")

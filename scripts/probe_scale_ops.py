@@ -44,10 +44,15 @@ def _time(spark, registry, names, sf_dir):
     out = {}
     for n in names:
         best = None
-        for _ in range(2):
+        for i in range(2):
             t0 = time.time()
             registry[n].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             took = round(time.time() - t0, 3)
+            print(
+                f"# {n} @ {sf_dir} run{i + 1}: {took}s",
+                file=sys.stderr,
+                flush=True,
+            )
             best = took if best is None else min(best, took)
         out[n] = best
     return out

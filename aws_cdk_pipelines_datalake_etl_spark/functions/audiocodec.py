@@ -129,6 +129,43 @@ def encode_adpcm_wav(
     # vectorized _decode_adpcm.
     spb = samples_per_block
     n_blocks = (n + spb - 1) // spb
+    if n_blocks < _VECTORIZE_MIN_BLOCKS:
+        # scalar twin (byte-identical; see _VECTORIZE_MIN_BLOCKS)
+        data = bytearray()
+        s64 = samples.astype(np.int64)
+        for start in range(0, n, spb):
+            chunk = s64[start : start + spb]
+            rl = len(chunk)
+            mean_ad = (
+                int(np.abs(np.diff(chunk)).sum()) // max(1, rl - 1)
+            )
+            index = int(np.clip(np.searchsorted(_IMA_STEPS, mean_ad), 0, 88))
+            pred = int(chunk[0])
+            data += int(pred & 0xFFFF).to_bytes(2, "little")
+            data.append(index)
+            data.append(0)
+            nibs = []
+            for s in chunk[1:]:
+                s = int(s)
+                step = int(_IMA_STEPS[index])
+                diff = s - pred
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                pred, index = _ima_step(pred, index, nib)
+                nibs.append(nib)
+            while len(nibs) < spb - 1:
+                nibs.append(0)  # pad; beyond the fact frame count
+            for lo, hi in zip(nibs[0::2], nibs[1::2]):
+                data.append(lo | (hi << 4))
+        return _adpcm_wrap(bytes(data), n, sample_rate, spb, block_align)
     real_len = np.minimum(
         np.full(n_blocks, spb, dtype=np.int64),
         n - spb * np.arange(n_blocks, dtype=np.int64),
@@ -183,10 +220,20 @@ def encode_adpcm_wav(
     packed_nibs = (
         nibbles[:, 0::2] | (nibbles[:, 1::2] << 4)
     ).astype(np.uint8)
-    data = bytearray(
-        np.concatenate([headers, packed_nibs], axis=1).tobytes()
-    )
-    byte_rate = (sample_rate * block_align + samples_per_block - 1) // samples_per_block
+    data = np.concatenate([headers, packed_nibs], axis=1).tobytes()
+    return _adpcm_wrap(data, n, sample_rate, spb, block_align)
+
+
+def _adpcm_wrap(
+    data: bytes, n: int, sample_rate: int, samples_per_block: int,
+    block_align: int,
+) -> bytes:
+    """RIFF container for an IMA ADPCM nibble stream: fmt (tag 0x11,
+    cbSize=2 samplesPerBlock extension), fact (true frame count —
+    the decode stop marker past zero-padded tails), data."""
+    byte_rate = (
+        sample_rate * block_align + samples_per_block - 1
+    ) // samples_per_block
     fmt = (
         b"fmt "
         + (20).to_bytes(4, "little")
@@ -201,9 +248,51 @@ def encode_adpcm_wav(
     )
     fact = b"fact" + (4).to_bytes(4, "little") + n.to_bytes(4, "little")
     chunks = (
-        fmt + fact + b"data" + len(data).to_bytes(4, "little") + bytes(data)
+        fmt + fact + b"data" + len(data).to_bytes(4, "little") + data
     )
     return _RIFF + (4 + len(chunks)).to_bytes(4, "little") + _WAVE + chunks
+
+
+#: below this many blocks the scalar loops win: the vectorized paths
+#: pay ~samples_per_block numpy-dispatch calls regardless of block
+#: count, which loses on short clips (the many-tiny-blobs shape) and
+#: wins roughly linearly beyond it (the long-recording shape).
+_VECTORIZE_MIN_BLOCKS = 8
+
+
+def _decode_adpcm_scalar(
+    data: bytes, block_align: int, samples_per_block: int, n_frames: int
+) -> np.ndarray:
+    """Per-sample reference decode — the fast path for SHORT clips
+    (see :data:`_VECTORIZE_MIN_BLOCKS`); semantics identical to the
+    vectorized path (property-asserted around the threshold)."""
+    out = np.empty(n_frames, dtype=np.int16)
+    got = 0
+    for off in range(0, len(data), block_align):
+        if got >= n_frames:
+            break
+        block = data[off : off + block_align]
+        if len(block) < 4:
+            break
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        index = max(0, min(88, block[2]))
+        out[got] = pred
+        got += 1
+        want = min(samples_per_block - 1, n_frames - got)
+        k = 0
+        for b in block[4:]:
+            for nib in (b & 0x0F, b >> 4):
+                if k >= want:
+                    break
+                pred, index = _ima_step(pred, index, nib)
+                out[got] = pred
+                got += 1
+                k += 1
+            if k >= want:
+                break
+    if got < n_frames:
+        raise ValueError("truncated ADPCM data")
+    return out
 
 
 def _decode_adpcm(
@@ -216,7 +305,14 @@ def _decode_adpcm(
     each advancing every block one sample in parallel, instead of one
     iteration per output sample.  All arithmetic stays int64 with the
     same shifts/clamps as the scalar :func:`_ima_step`, so the output
-    is bit-identical (property-tested encode->decode identity)."""
+    is bit-identical (property-tested encode->decode identity).
+    Short clips dispatch to the scalar loop instead — fewer than
+    :data:`_VECTORIZE_MIN_BLOCKS` blocks cannot amortize the
+    per-iteration numpy dispatch."""
+    if len(data) < _VECTORIZE_MIN_BLOCKS * block_align:
+        return _decode_adpcm_scalar(
+            data, block_align, samples_per_block, n_frames
+        )
     arr = np.frombuffer(data, dtype=np.uint8)
     n_full = len(arr) // block_align
     usable = n_full * block_align

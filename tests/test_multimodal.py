@@ -898,3 +898,34 @@ def test_adpcm_through_default_audio_decode(spark):
     assert (f.sample_rate, f.n_channels, f.n_frames) == (8000, 1, 800)
     assert f.peak == 1234 and f.zero_crossings == 0
     assert abs(f.rms - 1234.0) < 1e-9
+
+
+def test_adpcm_scalar_vectorized_paths_byte_identical():
+    """The short-clip scalar paths and the long-recording vectorized
+    paths (dispatch at _VECTORIZE_MIN_BLOCKS) must produce identical
+    BYTES on encode and identical samples on decode — forced onto the
+    same signals by toggling the threshold."""
+    import numpy as np
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions import (
+        audiocodec as ac,
+    )
+
+    sigs = [
+        np.full(600, 900, dtype=np.int16),
+        (np.sin(np.arange(5000) * 0.03) * 8000).astype(np.int16),
+        (np.arange(4500) % 251 - 125).astype(np.int16),
+    ]
+    orig = ac._VECTORIZE_MIN_BLOCKS
+    try:
+        for sig in sigs:
+            ac._VECTORIZE_MIN_BLOCKS = 10**9  # force scalar
+            a = ac.encode_adpcm_wav(sig, 8000)
+            da = ac.decode_wav(a)["samples"][:, 0].copy()
+            ac._VECTORIZE_MIN_BLOCKS = 0  # force vectorized
+            b = ac.encode_adpcm_wav(sig, 8000)
+            db = ac.decode_wav(b)["samples"][:, 0].copy()
+            assert a == b
+            assert np.array_equal(da, db)
+    finally:
+        ac._VECTORIZE_MIN_BLOCKS = orig

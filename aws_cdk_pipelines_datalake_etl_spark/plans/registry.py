@@ -6380,6 +6380,9 @@ _DRIVER_WINDOW = [
     # - text_langid_nb: NEW char-trigram Naive Bayes language ID
     #   (operators/langid.py), oracle retrains the identical model in
     #   SQL (targeted oracle_check logged)
+    # - text_pack_sequences: NEW oracle-backed isolation of
+    #   pack_token_sequences (portable-hash token ids, DuckDB replays
+    #   shard/offset/slice/reassembly; targeted oracle_check logged)
     # Round-8 ADDITIONS that are rows-only by design are NOT windowed
     # (policy below): corpus_packed_ids, lm_perplexity_approx (GK
     # boundaries are layout-dependent within the rank bound), and
@@ -6388,6 +6391,7 @@ _DRIVER_WINDOW = [
     "web_robots_filter",
     "multimodal_audio_adpcm",
     "text_langid_nb",
+    "text_pack_sequences",
     # (4a) re-confirmation, oldest-verified-first: ALL 15 entries last
     # green in round 3 (stream_daily_distinct..udaf_mad) — this
     # completes the round-3 rotation promised in the r7 window; after
@@ -6407,8 +6411,8 @@ _DRIVER_WINDOW = [
     "text_token_count",
     "ts_gapfill",
     "udaf_mad",
-    # (4b) next-oldest: 28 alphabetically-first of the 45 entries last
-    # green in round 4 (the remaining 17, q58_event_transitions..
+    # (4b) next-oldest: 27 alphabetically-first of the 45 entries last
+    # green in round 4 (the remaining 18, q57_dense_grid_report..
     # udtf_word_ngrams, rotate in at round 9).
     "asof_cogroup_pandas",
     "asof_forward_next_purchase",
@@ -6437,7 +6441,6 @@ _DRIVER_WINDOW = [
     "q54_equidepth_histogram",
     "q55_ratio_to_report",
     "q56_full_outer_join",
-    "q57_dense_grid_report",
 ]
 
 
@@ -7330,6 +7333,83 @@ def corpus_packed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("shard", "seq_id")
 
 
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing operator alone, ORACLE-BACKED (the corpus_packed_ids
+    twin isolates pack_token_sequences from the non-SQL-expressible
+    BPE trainer): whitespace tokens map to ids through the portable
+    48-bit md5 hash (mod 1000), then cut into fixed 32-id training
+    sequences with docs spilling across cuts.  The DuckDB oracle
+    replays the identical hash, shard, running-sum offset, slice
+    fan-out, and reassembly — every stage of the packing math is
+    hash-verified, not just row counts."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        hash48,
+        tokens,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.chunking import (
+        pack_token_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select(
+        "doc_id",
+        F.transform(
+            tokens("text"), lambda w: (hash48(w) % 1000).cast("int")
+        ).alias("token_ids"),
+    )
+    packed = pack_token_sequences(ids, budget_tokens=32)
+    return packed.select(
+        "shard",
+        "seq_id",
+        "n_tokens",
+        F.array_join(F.col("token_ids").cast("array<string>"), " ").alias(
+            "ids_joined"
+        ),
+    ).orderBy("shard", "seq_id")
+
+
+TEXT_PACK_SEQUENCES_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+),
+ids AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         list_transform(ws, w ->
+           CAST((('0x' || substr(md5(w), 1, 12))::BIGINT % 1000) AS INT))
+           AS tid,
+         len(ws) AS n
+  FROM toks
+),
+off AS (
+  SELECT *, CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS s
+  FROM ids
+),
+pieces AS (
+  SELECT shard, s, n, tid,
+         unnest(generate_series(s // 32, (s + n - 1) // 32)) AS seq_id
+  FROM off WHERE n > 0
+),
+cut AS (
+  SELECT shard, seq_id,
+         greatest(seq_id * 32, s) - seq_id * 32 AS pos,
+         tid[(greatest(seq_id * 32, s) - s + 1):
+             (least((seq_id + 1) * 32, s + n) - s)] AS piece
+  FROM pieces
+),
+packed AS (
+  SELECT shard, seq_id, flatten(list(piece ORDER BY pos)) AS token_ids
+  FROM cut GROUP BY shard, seq_id
+)
+SELECT shard,
+       CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(len(token_ids) AS INT) AS n_tokens,
+       array_to_string(token_ids, ' ') AS ids_joined
+FROM packed
+"""
+
+
 def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weak-supervision distillation (operators/classifier.py): the
     90% split is labeled by the Gopher rule set (cheap rules as the
@@ -7932,6 +8012,9 @@ def build_registry() -> dict[str, QuerySpec]:
         "lm_perplexity_approx": QuerySpec(lm_perplexity_approx, None),
         "tokenizer_bpe_encode": QuerySpec(tokenizer_bpe_encode, None),
         "corpus_packed_ids": QuerySpec(corpus_packed_ids, None),
+        "text_pack_sequences": QuerySpec(
+            text_pack_sequences, TEXT_PACK_SEQUENCES_ORACLE
+        ),
         "corpus_quality_classifier": QuerySpec(corpus_quality_classifier, None),
         "text_gopher_rules": QuerySpec(text_gopher_rules, TEXT_GOPHER_ORACLE),
         "web_pagerank": QuerySpec(web_pagerank, WEB_PAGERANK_ORACLE),

@@ -138,6 +138,13 @@ SHOWCASE = {
         "Exchange reassembling sequences; intermediate volume is "
         "O(total_tokens + n_docs) regardless of budget"
     ),
+    "text_pack_sequences": (
+        "packing is two bounded shuffles: ONE 16-way per-shard Window "
+        "(never single-partition), a Generate fanning each doc to only "
+        "its overlapped sequences (no per-token rows), and one hash "
+        "Exchange reassembling sequences via sort_array+flatten — "
+        "intermediate volume O(total_tokens + n_docs) at any budget"
+    ),
     "text_langid_nb": (
         "NB language ID is pure Catalyst: the trigram model rides a "
         "BroadcastExchange into a BroadcastHashJoin on the exploded "

@@ -158,13 +158,24 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 
 
 def build_vocab(
-    word_counts: list[tuple[str, int]], merges: list[tuple[str, str]]
+    word_counts: list[tuple[str, int]],
+    merges: list[tuple[str, str]],
+    specials: tuple[str, ...] = (),
 ) -> dict[str, int]:
     """Deterministic token->id table: id 0 is :data:`UNK`, then every
     base symbol seen in the training words (single characters + the
     EOW sentinel, sorted), then each merge's output token in merge
     order — the standard BPE vocabulary layout (merge rank == id
-    order), reproducible from (word table, merges) on any engine."""
+    order), reproducible from (word table, merges) on any engine.
+
+    ``specials`` reserves ids at the TAIL of the vocabulary (the GPT
+    convention — ``<|endoftext|>`` is the last id) for sentinel tokens
+    like the end-of-document marker :func:`..operators.chunking.
+    pack_token_sequences` inserts; appending keeps every real token's
+    id unchanged whether or not specials are reserved.  A special can
+    never be emitted by the encoder (encoder tokens are built from
+    corpus characters and merges only), so the reserved ids are
+    collision-free by construction."""
     base = sorted({c for w, _ in word_counts for c in w} | {EOW})
     vocab: dict[str, int] = {UNK: 0}
     for s in base:
@@ -174,6 +185,9 @@ def build_vocab(
         t = a + b
         if t not in vocab:
             vocab[t] = len(vocab)
+    for sp in specials:
+        if sp not in vocab:
+            vocab[sp] = len(vocab)
     return vocab
 
 
@@ -202,9 +216,11 @@ def train_bpe_with_vocab(
     n_merges: int = 200,
     min_count: int = 1,
     top_words: int = 1 << 16,
+    specials: tuple[str, ...] = (),
 ) -> tuple[list[tuple[str, str]], dict[str, int]]:
     """:func:`train_bpe` that also returns the token->id vocabulary
-    (see :func:`build_vocab`) from the same one bounded collect."""
+    (see :func:`build_vocab`; ``specials`` reserves tail sentinel ids)
+    from the same one bounded collect."""
     wf = (
         word_frequencies(df, text_col, min_count)
         .orderBy(F.col("count").desc(), F.col("word").asc())
@@ -213,7 +229,7 @@ def train_bpe_with_vocab(
     # bounded control collect: <= top_words (word, count) rows
     rows = [(r["word"], r["count"]) for r in wf.collect()]
     merges = train_bpe_merges(rows, n_merges)
-    return merges, build_vocab(rows, merges)
+    return merges, build_vocab(rows, merges, specials)
 
 
 def bpe_vocab_table(spark, vocab: dict[str, int]) -> DataFrame:

@@ -102,6 +102,8 @@ def pack_token_sequences(
     ids_col: str = "token_ids",
     budget_tokens: int = 2048,
     shard_chars: int = 1,
+    eod_id: int | None = None,
+    emit_doc_spans: bool = False,
 ) -> DataFrame:
     """Materialize FIXED-LENGTH token-id training sequences from
     per-document id arrays — the terminal artifact of an LLM data
@@ -133,19 +135,43 @@ def pack_token_sequences(
     shard's token stream fits one task comfortably — sequences never
     cross shards, so widening only changes the layout, not the
     invariants.
+
+    Document boundaries (VERDICT r8 #1 — what makes the artifact
+    actually trainable):
+
+    - ``eod_id``: when set, this reserved id is appended to every
+      (non-empty) document's id array BEFORE packing — the GPT-style
+      end-of-document sentinel.  Reserve the id in the vocabulary
+      (:func:`..bpe.build_vocab` ``specials=``) so it cannot collide
+      with a real token.  Appending is row-local, so the packing
+      invariants (budget cuts, spill-across-cuts) are unchanged —
+      only the stream is ``len+1`` ids per doc.
+    - ``emit_doc_spans``: when True the output gains ``doc_spans
+      array<struct<pos:int,len:int>>`` — one entry per document PIECE
+      in the sequence, sorted by ``pos``; spans tile the sequence
+      exactly (``pos`` cumulative, lens sum to ``n_tokens``).  A
+      training loader derives the attention-mask reset points from
+      them.  A doc spilling across a cut contributes its tail piece
+      as span ``(0, ...)`` of the next sequence — sequences are
+      trained independently, so the continuation is a fresh span by
+      construction.  Derived from the same fan-out structs the
+      reassembly already sorts; no extra shuffle.
     """
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
     if shard_chars < 1 or shard_chars > 8:
         raise ValueError("shard_chars must be in [1, 8]")
-    d = encoded.select(
+    ids_in = F.col(ids_col)
+    if eod_id is not None:
+        ids_in = F.concat(ids_in, F.array(F.lit(eod_id).cast("int")))
+    d = encoded.filter(F.size(ids_col) > 0).select(
         F.col(id_col),
         F.substring(F.md5(F.col(id_col).cast("string")), 1, shard_chars).alias(
             "shard"
         ),
-        F.col(ids_col).alias("_ids"),
-        F.size(ids_col).alias("_n"),
-    ).filter(F.col("_n") > 0)
+        ids_in.alias("_ids"),
+        F.size(ids_in).alias("_n"),
+    )
     w = (
         Window.partitionBy("shard")
         .orderBy(id_col)
@@ -158,7 +184,10 @@ def pack_token_sequences(
         "_n",
         (F.sum("_n").over(w) - F.col("_n")).cast("long").alias("_start"),
     )
-    # one row per (doc x sequence it overlaps): docs spill across cuts
+    # one row per (doc x sequence it overlaps): docs spill across cuts.
+    # Integer `div`, NOT float `/`: float division is only exact while
+    # offsets stay below 2^53 — a real 100 TB shard stream can exceed
+    # that, so the bounds must be long arithmetic end to end.
     d = d.select(
         "shard",
         "_ids",
@@ -166,8 +195,8 @@ def pack_token_sequences(
         "_start",
         F.explode(
             F.sequence(
-                (F.col("_start") / B).cast("long"),
-                ((F.col("_start") + F.col("_n") - 1) / B).cast("long"),
+                F.expr(f"_start div {B}"),
+                F.expr(f"(_start + _n - 1) div {B}"),
             )
         ).alias("seq_id"),
     )
@@ -184,22 +213,29 @@ def pack_token_sequences(
         "seq_id",
         F.struct(pos_in_seq.alias("pos"), piece.alias("piece")).alias("part"),
     )
-    return (
-        parts.groupBy("shard", "seq_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.sort_array(F.collect_list("part")), lambda s: s["piece"]
-                )
-            ).alias("token_ids")
-        )
-        .select(
-            "shard",
-            "seq_id",
-            F.size("token_ids").alias("n_tokens"),
-            "token_ids",
-        )
+    agged = parts.groupBy("shard", "seq_id").agg(
+        F.sort_array(F.collect_list("part")).alias("_parts")
     )
+    out_cols = [
+        F.col("shard"),
+        F.col("seq_id"),
+        F.flatten(F.transform("_parts", lambda s: s["piece"])).alias(
+            "token_ids"
+        ),
+    ]
+    if emit_doc_spans:
+        out_cols.append(
+            F.transform(
+                "_parts",
+                lambda s: F.struct(
+                    s["pos"].alias("pos"), F.size(s["piece"]).alias("len")
+                ),
+            ).alias("doc_spans")
+        )
+    final = ["shard", "seq_id", F.size("token_ids").alias("n_tokens"), "token_ids"]
+    if emit_doc_spans:
+        final.append("doc_spans")
+    return agged.select(*out_cols).select(*final)
 
 
 def pack_with_offsets(

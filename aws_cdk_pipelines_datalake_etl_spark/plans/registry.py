@@ -7298,16 +7298,22 @@ def corpus_packed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenize->pack junction (operators/bpe.py:bpe_encode_ids ->
     operators/chunking.py:pack_token_sequences) — the TERMINAL
     artifact of an LLM data pipeline: BPE merges + vocab trained on
-    the 90% split (one word-count shuffle, bounded collect), the
-    held-out 10% encoded to token-id sequences row-locally (broadcast
+    the 90% split (one word-count shuffle, bounded collect) with the
+    ``<|endoftext|>`` special reserved at the vocab tail, the held-out
+    10% encoded to token-id sequences row-locally (broadcast
     merge/vocab tables, Arrow-batched), then cut into fixed 64-id
     training sequences with docs spilling across cuts (16-shard md5
-    packing, two shuffles).  Rows-only: the BPE merge loop is not
-    SQL-expressible; the stronger gates are in pytest
-    (tests/test_packing.py: budget invariant, concatenation identity,
+    packing, two shuffles) — EOD sentinel appended per document and
+    per-sequence attention-mask ``doc_spans`` emitted (serialized
+    ``pos:len``), so the artifact is directly trainable.  Rows-only:
+    the BPE merge loop is not SQL-expressible; the stronger gates are
+    in pytest (tests/test_packing.py: budget invariant, concatenation
+    identity, span tiling/mask boundaries, eod+span consistency,
     partition invariance; tests/test_bpe.py: id round-trip, unified
-    train/encode tokenization).  ``token_ids`` is serialized with
-    array_join — the driver canonicalizer cannot hash arrays."""
+    train/encode tokenization) plus the hash-verified
+    text_pack_sequences twin that oracle-replays the identical
+    eod/span math.  ``token_ids`` is serialized with array_join — the
+    driver canonicalizer cannot hash arrays."""
     from aws_cdk_pipelines_datalake_etl_spark.operators.bpe import (
         bpe_encode_ids,
         train_bpe_with_vocab,
@@ -7317,12 +7323,19 @@ def corpus_packed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     train, held = _lm_splits(spark, sf_dir)
-    merges, vocab = train_bpe_with_vocab(train, n_merges=120)
+    merges, vocab = train_bpe_with_vocab(
+        train, n_merges=120, specials=("<|endoftext|>",)
+    )
     encoded = bpe_encode_ids(
         held, merges, vocab,
         repartition=spark.sparkContext.defaultParallelism,
     )
-    packed = pack_token_sequences(encoded, budget_tokens=64)
+    packed = pack_token_sequences(
+        encoded,
+        budget_tokens=64,
+        eod_id=vocab["<|endoftext|>"],
+        emit_doc_spans=True,
+    )
     return packed.select(
         "shard",
         "seq_id",
@@ -7330,6 +7343,12 @@ def corpus_packed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.col("token_ids").cast("array<string>"), " ").alias(
             "ids_joined"
         ),
+        F.array_join(
+            F.transform(
+                "doc_spans", lambda s: F.concat_ws(":", s["pos"], s["len"])
+            ),
+            " ",
+        ).alias("spans_joined"),
     ).orderBy("shard", "seq_id")
 
 
@@ -7337,11 +7356,15 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The packing operator alone, ORACLE-BACKED (the corpus_packed_ids
     twin isolates pack_token_sequences from the non-SQL-expressible
     BPE trainer): whitespace tokens map to ids through the portable
-    48-bit md5 hash (mod 1000), then cut into fixed 32-id training
-    sequences with docs spilling across cuts.  The DuckDB oracle
-    replays the identical hash, shard, running-sum offset, slice
-    fan-out, and reassembly — every stage of the packing math is
-    hash-verified, not just row counts."""
+    48-bit md5 hash (mod 1000), the reserved sentinel id 1000 is
+    appended per document (``eod_id`` — GPT end-of-document), then the
+    stream is cut into fixed 32-id training sequences with docs
+    spilling across cuts; ``emit_doc_spans`` adds the per-sequence
+    attention-mask boundary spans, serialized ``pos:len`` (the driver
+    canonicalizer cannot hash struct arrays).  The DuckDB oracle
+    replays the identical hash, sentinel append, shard, running-sum
+    offset, slice fan-out, reassembly AND span math — every stage of
+    the trainable artifact is hash-verified, not just row counts."""
     from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
         hash48,
         tokens,
@@ -7357,7 +7380,9 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             tokens("text"), lambda w: (hash48(w) % 1000).cast("int")
         ).alias("token_ids"),
     )
-    packed = pack_token_sequences(ids, budget_tokens=32)
+    packed = pack_token_sequences(
+        ids, budget_tokens=32, eod_id=1000, emit_doc_spans=True
+    )
     return packed.select(
         "shard",
         "seq_id",
@@ -7365,6 +7390,12 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.col("token_ids").cast("array<string>"), " ").alias(
             "ids_joined"
         ),
+        F.array_join(
+            F.transform(
+                "doc_spans", lambda s: F.concat_ws(":", s["pos"], s["len"])
+            ),
+            " ",
+        ).alias("spans_joined"),
     ).orderBy("shard", "seq_id")
 
 
@@ -7375,11 +7406,11 @@ WITH toks AS (
 ids AS (
   SELECT doc_id,
          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
-         list_transform(ws, w ->
-           CAST((('0x' || substr(md5(w), 1, 12))::BIGINT % 1000) AS INT))
-           AS tid,
-         len(ws) AS n
-  FROM toks
+         list_append(list_transform(ws, w ->
+           CAST((('0x' || substr(md5(w), 1, 12))::BIGINT % 1000) AS INT)),
+           1000) AS tid,
+         len(ws) + 1 AS n
+  FROM toks WHERE len(ws) > 0
 ),
 off AS (
   SELECT *, CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
@@ -7389,7 +7420,7 @@ off AS (
 pieces AS (
   SELECT shard, s, n, tid,
          unnest(generate_series(s // 32, (s + n - 1) // 32)) AS seq_id
-  FROM off WHERE n > 0
+  FROM off
 ),
 cut AS (
   SELECT shard, seq_id,
@@ -7399,13 +7430,17 @@ cut AS (
   FROM pieces
 ),
 packed AS (
-  SELECT shard, seq_id, flatten(list(piece ORDER BY pos)) AS token_ids
+  SELECT shard, seq_id,
+         flatten(list(piece ORDER BY pos)) AS token_ids,
+         string_agg(CAST(pos AS VARCHAR) || ':' || CAST(len(piece) AS VARCHAR),
+                    ' ' ORDER BY pos) AS spans_joined
   FROM cut GROUP BY shard, seq_id
 )
 SELECT shard,
        CAST(seq_id AS BIGINT) AS seq_id,
        CAST(len(token_ids) AS INT) AS n_tokens,
-       array_to_string(token_ids, ' ') AS ids_joined
+       array_to_string(token_ids, ' ') AS ids_joined,
+       spans_joined
 FROM packed
 """
 

@@ -929,3 +929,35 @@ def test_adpcm_scalar_vectorized_paths_byte_identical():
             assert np.array_equal(da, db)
     finally:
         ac._VECTORIZE_MIN_BLOCKS = orig
+
+
+def test_adpcm_truncated_data_raises_in_both_paths():
+    """Malformed-input consistency (ADVICE r8): a data section shorter
+    than n_frames requires must raise ValueError from BOTH the scalar
+    and the vectorized decode — never return uninitialized memory."""
+    import numpy as np
+    import pytest
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions import (
+        audiocodec as ac,
+    )
+
+    sig = (np.arange(4000) % 97 - 48).astype(np.int16)
+    blob = ac.encode_adpcm_wav(sig, 8000, samples_per_block=101)
+    # locate the data chunk and chop half of it off
+    i = blob.rfind(b"data")
+    n = int.from_bytes(blob[i + 4 : i + 8], "little")
+    cut = n // 2
+    trunc = (
+        blob[: i + 4]
+        + (n - cut).to_bytes(4, "little")
+        + blob[i + 8 : i + 8 + n - cut]
+    )
+    orig = ac._VECTORIZE_MIN_BLOCKS
+    try:
+        for forced in (10**9, 0):  # scalar, then vectorized
+            ac._VECTORIZE_MIN_BLOCKS = forced
+            with pytest.raises(ValueError, match="truncated ADPCM"):
+                ac.decode_wav(trunc)
+    finally:
+        ac._VECTORIZE_MIN_BLOCKS = orig

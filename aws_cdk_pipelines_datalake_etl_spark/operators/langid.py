@@ -14,13 +14,24 @@ quantized to integer MICRO-NATS (``floor(ln(x) * 1e6 + 0.5)``) before
 any summation — the same device as ``operators/lm.py`` — so a doc's
 per-language score is an integer sum, independent of partitioning,
 summation order, and engine.  The DuckDB oracle retrains the identical
-model from the same embedded sample in SQL.
+model from the same embedded sample in SQL (single-source CTE text:
+:func:`langid_model_sql_ctes`), and
+``tests/test_langid.py`` asserts the driver-built and SQL-retrained
+model tables are equal VALUE-FOR-VALUE, so a libm ``ln`` divergence at
+a floor boundary would be caught in pytest, not by a spurious driver
+mismatch.
 
-Scale shape: the model is a few thousand (lang, trigram) rows —
-broadcast; docs explode to trigram occurrences row-locally, the
-broadcast join fans out at most ``n_languages`` per occurrence, and
-two hash aggregations (per (doc, lang) sum; per doc argmax) finish the
-job.  No window over scored rows, no UDF, no collect.
+Scale shape (round 9: ONE doc-proportional exchange): the model is a
+few thousand (lang, trigram) rows — broadcast; docs explode to trigram
+occurrences row-locally (carrying the doc's trigram count), the
+broadcast LEFT join fans out at most ``n_languages`` per occurrence,
+and a single hash aggregation per doc computes every language's
+matched sum as a pivoted conditional sum (languages are a fixed,
+driver-known set).  The argmax, the per-language smoothing denominator
+(a driver-side integer constant per language), and the top-2
+confidence margin are then ROW-LOCAL array expressions — no second
+shuffle, no window over scored rows, no UDF, no collect.  Docs with
+zero trigrams come back via a cheap filtered union branch.
 
 NB math with add-one smoothing, per language L with trigram counts
 ``cnt(L, t)``, total trigrams ``N_L`` and GLOBAL trigram vocabulary
@@ -32,7 +43,13 @@ size ``V``::
 
 Unmatched trigrams contribute ``ln(1) = 0`` to the first term, so only
 the broadcast-join MATCHES are aggregated; the second term is a
-row-local multiply against a tiny per-language constant table.
+row-local multiply against a tiny per-language integer constant.
+
+Confidence (round 9): ``margin_micro`` = best minus second-best score
+(integer micro-nats, >= 0).  A near-tie doc (e.g. es vs pt) used to get
+a confident wrong label; with ``min_margin_micro`` set, docs whose
+margin is below ``min_margin_micro * n_trigrams`` (i.e. a per-trigram
+margin threshold in micro-nats) are labeled ``'und'`` instead.
 
 No reference-parity citation: the reference (aws-samples
 aws-cdk-pipelines-datalake-etl) has no language-ID surface; Tier-E
@@ -48,9 +65,12 @@ from pyspark.sql import functions as F
 
 MICRO = 1_000_000
 
-#: Public-domain training sample per language: UDHR Article 1 plus a
-#: few original everyday sentences (weather/family/food/city) to widen
-#: trigram coverage beyond the declaration's register.
+#: Public-domain training sample per language: UDHR Article 1 plus
+#: original everyday sentences (weather/family/food/city/travel) to
+#: widen trigram coverage beyond the declaration's register.  All text
+#: is pre-folded to ascii (ue/oe/ae/aa-style transliteration) because
+#: :func:`_norm` strips non-[a-z ] — the model discriminates on letter
+#: patterns, not diacritics.
 LANGID_SAMPLES: dict[str, str] = {
     "en": (
         "All human beings are born free and equal in dignity and "
@@ -58,7 +78,10 @@ LANGID_SAMPLES: dict[str, str] = {
         "should act towards one another in a spirit of brotherhood. "
         "The weather was cold this morning and the streets of the "
         "city were quiet. She bought bread and cheese at the market "
-        "and walked home with her children."
+        "and walked home with her children. The old train left the "
+        "small station before sunrise and the passengers slept. My "
+        "brother reads a book about the history of bridges every "
+        "evening after dinner."
     ),
     "es": (
         "Todos los seres humanos nacen libres e iguales en dignidad "
@@ -66,7 +89,10 @@ LANGID_SAMPLES: dict[str, str] = {
         "deben comportarse fraternalmente los unos con los otros. "
         "Esta manana hacia frio y las calles de la ciudad estaban "
         "tranquilas. Ella compro pan y queso en el mercado y volvio "
-        "a casa con sus hijos."
+        "a casa con sus hijos. El viejo tren salio de la pequena "
+        "estacion antes del amanecer y los pasajeros dormian. Mi "
+        "hermano lee cada noche un libro sobre la historia de los "
+        "puentes despues de cenar."
     ),
     "de": (
         "Alle Menschen sind frei und gleich an Wuerde und Rechten "
@@ -74,7 +100,10 @@ LANGID_SAMPLES: dict[str, str] = {
         "sollen einander im Geist der Bruederlichkeit begegnen. "
         "Heute morgen war es kalt und die Strassen der Stadt waren "
         "ruhig. Sie kaufte Brot und Kaese auf dem Markt und ging mit "
-        "ihren Kindern nach Hause."
+        "ihren Kindern nach Hause. Der alte Zug verliess den kleinen "
+        "Bahnhof vor Sonnenaufgang und die Fahrgaeste schliefen. "
+        "Mein Bruder liest jeden Abend nach dem Essen ein Buch ueber "
+        "die Geschichte der Bruecken."
     ),
     "fr": (
         "Tous les etres humains naissent libres et egaux en dignite "
@@ -82,7 +111,10 @@ LANGID_SAMPLES: dict[str, str] = {
         "doivent agir les uns envers les autres dans un esprit de "
         "fraternite. Ce matin il faisait froid et les rues de la "
         "ville etaient calmes. Elle a achete du pain et du fromage "
-        "au marche et elle est rentree avec ses enfants."
+        "au marche et elle est rentree avec ses enfants. Le vieux "
+        "train a quitte la petite gare avant le lever du soleil et "
+        "les passagers dormaient. Mon frere lit chaque soir apres le "
+        "diner un livre sur l histoire des ponts."
     ),
     "it": (
         "Tutti gli esseri umani nascono liberi ed eguali in dignita "
@@ -90,7 +122,10 @@ LANGID_SAMPLES: dict[str, str] = {
         "devono agire gli uni verso gli altri in spirito di "
         "fratellanza. Questa mattina faceva freddo e le strade della "
         "citta erano tranquille. Lei ha comprato pane e formaggio al "
-        "mercato ed e tornata a casa con i suoi bambini."
+        "mercato ed e tornata a casa con i suoi bambini. Il vecchio "
+        "treno parti dalla piccola stazione prima dell alba e i "
+        "passeggeri dormivano. Mio fratello legge ogni sera dopo "
+        "cena un libro sulla storia dei ponti."
     ),
     "pt": (
         "Todos os seres humanos nascem livres e iguais em dignidade "
@@ -98,7 +133,10 @@ LANGID_SAMPLES: dict[str, str] = {
         "agir uns para com os outros em espirito de fraternidade. "
         "Esta manha estava frio e as ruas da cidade estavam calmas. "
         "Ela comprou pao e queijo no mercado e voltou para casa com "
-        "os seus filhos."
+        "os seus filhos. O velho trem saiu da pequena estacao antes "
+        "do amanhecer e os passageiros dormiam. Meu irmao le todas "
+        "as noites depois do jantar um livro sobre a historia das "
+        "pontes."
     ),
     "nl": (
         "Alle mensen worden vrij en gelijk in waardigheid en rechten "
@@ -106,7 +144,83 @@ LANGID_SAMPLES: dict[str, str] = {
         "behoren zich jegens elkander in een geest van broederschap "
         "te gedragen. Vanmorgen was het koud en de straten van de "
         "stad waren stil. Zij kocht brood en kaas op de markt en "
-        "liep met haar kinderen naar huis."
+        "liep met haar kinderen naar huis. De oude trein verliet het "
+        "kleine station voor zonsopgang en de passagiers sliepen. "
+        "Mijn broer leest elke avond na het eten een boek over de "
+        "geschiedenis van de bruggen."
+    ),
+    "da": (
+        "Alle mennesker er foedt frie og lige i vaerdighed og "
+        "rettigheder. De er udstyret med fornuft og samvittighed, og "
+        "de boer handle mod hverandre i en broderskabets aand. Det "
+        "var koldt i morges og byens gader var stille. Hun koebte "
+        "broed og ost paa markedet og gik hjem med sine boern. Det "
+        "gamle tog forlod den lille station foer solopgang og "
+        "passagererne sov. Min bror laeser hver aften en bog om "
+        "broernes historie."
+    ),
+    "sv": (
+        "Alla maenniskor aero foedda fria och lika i vaerde och "
+        "raettigheter. De aero utrustade med foernuft och samvete "
+        "och boera handla gentemot varandra i en anda av broderskap. "
+        "Det var kallt i morse och stadens gator var tysta. Hon "
+        "koepte broed och ost paa marknaden och gick hem med sina "
+        "barn. Det gamla taaget laemnade den lilla stationen foere "
+        "soluppgaangen och passagerarna sov. Min bror laeser varje "
+        "kvaell en bok om broarnas historia."
+    ),
+    "fi": (
+        "Kaikki ihmiset syntyvaet vapaina ja tasavertaisina "
+        "arvoltaan ja oikeuksiltaan. Heille on annettu jaerki ja "
+        "omatunto, ja heidaen on toimittava toisiaan kohtaan "
+        "veljeyden hengessae. Taenae aamuna oli kylmae ja kaupungin "
+        "kadut olivat hiljaisia. Haen osti leipaeae ja juustoa "
+        "torilta ja kaeveli kotiin lastensa kanssa. Vanha juna "
+        "laehti pieneltae asemalta ennen auringonnousua ja "
+        "matkustajat nukkuivat. Veljeni lukee joka ilta kirjaa "
+        "siltojen historiasta."
+    ),
+    "tr": (
+        "Butun insanlar hur, haysiyet ve haklar bakimindan esit "
+        "dogarlar. Akil ve vicdana sahiptirler ve birbirlerine karsi "
+        "kardeslik zihniyeti ile hareket etmelidirler. Bu sabah hava "
+        "soguktu ve sehrin sokaklari sessizdi. Pazardan ekmek ve "
+        "peynir aldi ve cocuklariyla eve yurudu. Eski tren gun "
+        "dogmadan once kucuk istasyondan ayrildi ve yolcular uyudu. "
+        "Kardesim her aksam kopruler tarihi hakkinda bir kitap "
+        "okuyor."
+    ),
+    "pl": (
+        "Wszyscy ludzie rodza sie wolni i rowni pod wzgledem swej "
+        "godnosci i swych praw. Sa oni obdarzeni rozumem i sumieniem "
+        "i powinni postepowac wobec innych w duchu braterstwa. Dzis "
+        "rano bylo zimno a ulice miasta byly ciche. Kupila chleb i "
+        "ser na targu i poszla do domu ze swoimi dziecmi. Stary "
+        "pociag odjechal z malej stacji przed wschodem slonca a "
+        "pasazerowie spali. Moj brat czyta co wieczor ksiazke o "
+        "historii mostow."
+    ),
+    "ro": (
+        "Toate fiintele umane se nasc libere si egale in demnitate "
+        "si in drepturi. Ele sunt inzestrate cu ratiune si "
+        "constiinta si trebuie sa se comporte unele fata de altele "
+        "in spiritul fraternitatii. In aceasta dimineata a fost frig "
+        "si strazile orasului erau linistite. Ea a cumparat paine si "
+        "branza de la piata si a mers acasa cu copiii ei. Trenul "
+        "vechi a plecat din gara mica inainte de rasarit si "
+        "calatorii dormeau. Fratele meu citeste in fiecare seara o "
+        "carte despre istoria podurilor."
+    ),
+    "id": (
+        "Semua orang dilahirkan merdeka dan mempunyai martabat dan "
+        "hak hak yang sama. Mereka dikaruniai akal dan hati nurani "
+        "dan hendaknya bergaul satu sama lain dalam semangat "
+        "persaudaraan. Pagi ini udara dingin dan jalan jalan kota "
+        "sepi. Dia membeli roti dan keju di pasar dan berjalan "
+        "pulang bersama anak anaknya. Kereta tua itu meninggalkan "
+        "stasiun kecil sebelum matahari terbit dan para penumpang "
+        "tidur. Saudara saya membaca buku tentang sejarah jembatan "
+        "setiap malam."
     ),
 }
 
@@ -124,31 +238,6 @@ def _norm(col) -> F.Column:
     return F.concat(F.lit(" "), c, F.lit(" "))
 
 
-def _trigram_rows(d: DataFrame, key: str) -> DataFrame:
-    """Explode a ``(key, _n)`` frame to one row per overlapping char
-    trigram: ``(key, tri)``.
-
-    Deliberately Generate+Project, NOT a higher-order ``transform``
-    lambda (the :mod:`..dedup` winnow lesson): Catalyst's project
-    collapsing inlines the whole normalization regexp chain into a
-    lambda body, where codegen CSE does not apply — so the chain
-    would re-evaluate once PER TRIGRAM (~300x per doc; measured 64 s
-    for 1.5M trigrams at sf0.1 vs ~1 s this way).  Here ``_n`` is a
-    real attribute computed once per doc in the upstream Project, the
-    Generate explodes just the position sequence, and the substring
-    is one codegen'd expression per output row."""
-    return d.select(
-        key,
-        "_n",
-        F.explode(
-            F.when(
-                F.length("_n") >= 3,
-                F.sequence(F.lit(1), F.length("_n") - 2),
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("i"),
-    ).select(key, F.expr("substring(_n, i, 3)").alias("tri"))
-
-
 def _py_norm(text: str) -> str:
     """Driver-side twin of :func:`_norm` (same char class, same
     collapse/trim/pad) — applied only to the embedded SAMPLE strings;
@@ -158,6 +247,28 @@ def _py_norm(text: str) -> str:
     t = re.sub(r"[^a-z ]", " ", text.lower())
     t = re.sub(r" +", " ", t).strip()
     return f" {t} "
+
+
+def _model_counts(
+    samples: dict[str, str],
+) -> tuple[dict[tuple[str, str], int], dict[str, int], int]:
+    """Driver-side trigram counting over the embedded sample dict:
+    ``(counts[(lang, tri)], totals[lang], vocab_size)``."""
+    counts: dict[tuple[str, str], int] = {}
+    totals: dict[str, int] = {}
+    vocab: set[str] = set()
+    for lang, text in sorted(samples.items()):
+        s = _py_norm(text)
+        for i in range(len(s) - 2):
+            tri = s[i : i + 3]
+            counts[(lang, tri)] = counts.get((lang, tri), 0) + 1
+            totals[lang] = totals.get(lang, 0) + 1
+            vocab.add(tri)
+    return counts, totals, len(vocab)
+
+
+def _micro_ln(x: int) -> int:
+    return int(math.floor(math.log(x) * MICRO + 0.5))
 
 
 def train_langid_model(
@@ -177,35 +288,64 @@ def train_langid_model(
     operator is the corpus scoring, and the model ships to it as two
     small createDataFrame tables (broadcast by the scorer).  The
     quantization (floor(ln(x) * 1e6 + 0.5), IEEE doubles) is the same
-    arithmetic the DuckDB oracle's in-SQL retraining performs, so the
-    tables are engine-exact either way."""
+    arithmetic the DuckDB oracle's in-SQL retraining performs;
+    ``tests/test_langid.py`` pins the two tables EQUAL value-for-value
+    so a 1-ulp libm divergence at a floor boundary cannot slip through
+    as a spurious oracle mismatch."""
     samples = LANGID_SAMPLES if samples is None else samples
-    counts: dict[tuple[str, str], int] = {}
-    totals: dict[str, int] = {}
-    vocab: set[str] = set()
-    for lang, text in sorted(samples.items()):
-        s = _py_norm(text)
-        for i in range(len(s) - 2):
-            tri = s[i : i + 3]
-            counts[(lang, tri)] = counts.get((lang, tri), 0) + 1
-            totals[lang] = totals.get(lang, 0) + 1
-            vocab.add(tri)
-    v = len(vocab)
+    counts, totals, v = _model_counts(samples)
     model = spark.createDataFrame(
         [
-            (lang, tri, int(math.floor(math.log(c + 1) * MICRO + 0.5)))
+            (lang, tri, _micro_ln(c + 1))
             for (lang, tri), c in sorted(counts.items())
         ],
         "lang string, tri string, micro_logp long",
     )
     consts = spark.createDataFrame(
-        [
-            (lang, int(math.floor(math.log(n + v) * MICRO + 0.5)))
-            for lang, n in sorted(totals.items())
-        ],
+        [(lang, _micro_ln(n + v)) for lang, n in sorted(totals.items())],
         "lang string, micro_denom long",
     )
     return model, consts
+
+
+def langid_model_sql_ctes(samples: dict[str, str] | None = None) -> str:
+    """The DuckDB CTE text that RETRAINS the model in SQL from the same
+    embedded sample — the single source both the registry oracle and
+    the model-equality pytest embed, so the two can never drift.
+    Defines CTEs ``samples, snorm, stris, counts, model, vsize,
+    consts`` (same column names/types as :func:`train_langid_model`'s
+    tables)."""
+    samples = LANGID_SAMPLES if samples is None else samples
+    values = ",\n    ".join(
+        "('{}', '{}')".format(lang, text.replace("'", "''"))
+        for lang, text in sorted(samples.items())
+    )
+    norm = (
+        "' ' || trim(regexp_replace(regexp_replace(lower({c}), "
+        "'[^a-z ]', ' ', 'g'), ' +', ' ', 'g')) || ' '"
+    )
+    return f"""samples(lang, sample) AS (VALUES
+    {values}
+),
+snorm AS (SELECT lang, {norm.format(c="sample")} AS s FROM samples),
+stris AS (
+  SELECT lang, substring(s, i, 3) AS tri
+  FROM (SELECT lang, s, unnest(generate_series(1, length(s) - 2)) AS i
+        FROM snorm WHERE length(s) >= 3)
+),
+counts AS (SELECT lang, tri, count(*) AS cnt FROM stris GROUP BY lang, tri),
+model AS (
+  SELECT lang, tri,
+         CAST(floor(ln(cnt + 1) * 1000000 + 0.5) AS BIGINT) AS micro_logp
+  FROM counts
+),
+vsize AS (SELECT count(DISTINCT tri) AS v FROM counts),
+consts AS (
+  SELECT lang,
+         CAST(floor(ln(sum(cnt) + (SELECT v FROM vsize)) * 1000000 + 0.5)
+              AS BIGINT) AS micro_denom
+  FROM counts GROUP BY lang
+)"""
 
 
 def language_id_nb(
@@ -213,57 +353,123 @@ def language_id_nb(
     id_col: str = "doc_id",
     text_col: str = "text",
     samples: dict[str, str] | None = None,
+    min_margin_micro: int = 0,
+    repartition: int | None = None,
 ) -> DataFrame:
     """Per-document language via the char-trigram NB model.
 
-    Output: (id_col, lang, score_micro, n_trigrams) — ``lang`` is the
-    argmax language (ties broken lexicographically; ``'und'`` with
-    score 0 when no trigram survives normalization), ``score_micro``
-    the winning integer micro-nat log-likelihood (more negative =
-    less like ANY trained language; comparable across docs after
-    dividing by ``n_trigrams``)."""
-    spark = df.sparkSession
-    model, consts = train_langid_model(spark, samples)
+    Output: (id_col, lang, score_micro, margin_micro, n_trigrams) —
+    ``lang`` is the argmax language (ties broken lexicographically;
+    ``'und'`` when no trigram survives normalization OR the top-2
+    margin falls below ``min_margin_micro * n_trigrams``),
+    ``score_micro`` the winning integer micro-nat log-likelihood (more
+    negative = less like ANY trained language; comparable across docs
+    after dividing by ``n_trigrams``), ``margin_micro`` the integer
+    gap to the runner-up language (small = near-tie = low confidence;
+    per-trigram confidence is ``margin_micro / n_trigrams``).
 
-    docs = df.select(
-        F.col(id_col).alias("_id"), _norm(F.col(text_col)).alias("_n")
-    )
-    doc_k = docs.select(
+    ``min_margin_micro`` is a PER-TRIGRAM threshold in micro-nats: 0
+    (default) disables the band; ~1000-3000 labels genuine near-ties
+    (e.g. short es-vs-pt fragments) ``'und'`` instead of guessing.
+
+    ``repartition`` widens the documents scan BEFORE the trigram
+    explode — apply when the input has fewer splits than cores (the
+    single-file-parquet ceiling: the explode multiplies rows ~300x, so
+    a 2-split input caps the whole job at 2 tasks; same dial as
+    ``bpe.bpe_encode_ids``).
+
+    Plan (round 9, one doc-proportional exchange — was three): trigram
+    occurrences carry the doc's trigram count; a broadcast LEFT join
+    against the model fans out matches; ONE hash agg per doc computes
+    every language's matched sum as pivoted conditional sums (the
+    language set is driver-known); argmax + smoothing denominator +
+    top-2 margin are row-local array expressions over the per-language
+    integer constants.  Zero-trigram docs union in from a cheap
+    filtered branch of the same scan."""
+    spark = df.sparkSession
+    samples = LANGID_SAMPLES if samples is None else samples
+    model, _ = train_langid_model(spark, samples)
+    counts, totals, v = _model_counts(samples)
+    langs = sorted(totals)
+    denom = {lang: _micro_ln(n + v) for lang, n in totals.items()}
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    if repartition is not None:
+        base = base.repartition(repartition)
+    docs = base.select("_id", _norm(F.col("_t")).alias("_n")).select(
         "_id",
+        "_n",
         F.greatest(F.lit(0), F.length("_n") - 2).alias("n_trigrams"),
     )
 
-    occurrences = _trigram_rows(docs, "_id")
-    matched = (
-        occurrences.join(F.broadcast(model), "tri")
-        .groupBy("_id", "lang")
-        .agg(F.sum("micro_logp").alias("matched_micro"))
+    # row-local explode (Generate+Project, NOT a higher-order lambda —
+    # the ..dedup winnow lesson: a lambda body re-evaluates the whole
+    # normalization chain per trigram; measured 64 s vs ~5 s at sf0.1)
+    occ = (
+        docs.filter(F.col("n_trigrams") > 0)
+        .select(
+            "_id",
+            "_n",
+            "n_trigrams",
+            F.explode(F.sequence(F.lit(1), F.col("n_trigrams"))).alias("i"),
+        )
+        .select(
+            "_id", "n_trigrams", F.expr("substring(_n, i, 3)").alias("tri")
+        )
     )
-    grid = doc_k.crossJoin(F.broadcast(consts))  # n_languages rows per doc
-    scored = grid.join(matched, ["_id", "lang"], "left").select(
-        "_id",
-        "lang",
-        "n_trigrams",
-        (
-            F.coalesce(F.col("matched_micro"), F.lit(0))
-            - F.col("n_trigrams") * F.col("micro_denom")
-        ).alias("score_micro"),
+    # broadcast LEFT join keeps zero-match docs alive through the agg
+    m = occ.join(F.broadcast(model), "tri", "left")
+    wide = m.groupBy("_id").agg(
+        F.max("n_trigrams").alias("n_trigrams"),
+        *[
+            F.sum(
+                F.when(F.col("lang") == lang, F.col("micro_logp")).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"_m{i}")
+            for i, lang in enumerate(langs)
+        ],
     )
-    best = scored.groupBy("_id", "n_trigrams").agg(
-        F.min(
+    # row-local scoring: neg score per language (so array_sort's
+    # (neg, lang) ascending order IS argmax with lexicographic ties),
+    # smoothing denominator folded in as an integer literal per lang
+    neg_structs = F.array(
+        *[
             F.struct(
-                (-F.col("score_micro")).alias("neg"), F.col("lang")
+                (
+                    F.col("n_trigrams").cast("long") * F.lit(denom[lang])
+                    - F.col(f"_m{i}")
+                ).alias("neg"),
+                F.lit(lang).alias("lang"),
             )
-        ).alias("_m")
+            for i, lang in enumerate(langs)
+        ]
     )
-    return best.select(
-        F.col("_id").alias(id_col),
-        F.when(F.col("n_trigrams") == 0, F.lit("und"))
-        .otherwise(F.col("_m.lang"))
+    ranked = wide.select(
+        "_id", "n_trigrams", F.array_sort(neg_structs).alias("_r")
+    )
+    best_neg = F.col("_r")[0]["neg"]
+    best_lang = F.col("_r")[0]["lang"]
+    margin = (
+        (F.col("_r")[1]["neg"] - best_neg) if len(langs) > 1 else F.lit(0)
+    )
+    scored = ranked.select(
+        "_id",
+        F.when(
+            margin < F.lit(min_margin_micro) * F.col("n_trigrams").cast("long"),
+            F.lit("und"),
+        )
+        .otherwise(best_lang)
         .alias("lang"),
-        F.when(F.col("n_trigrams") == 0, F.lit(0))
-        .otherwise(-F.col("_m.neg"))
-        .cast("long")
-        .alias("score_micro"),
+        (-best_neg).cast("long").alias("score_micro"),
+        margin.cast("long").alias("margin_micro"),
         F.col("n_trigrams").cast("int").alias("n_trigrams"),
     )
+    empty = docs.filter(F.col("n_trigrams") == 0).select(
+        "_id",
+        F.lit("und").alias("lang"),
+        F.lit(0).cast("long").alias("score_micro"),
+        F.lit(0).cast("long").alias("margin_micro"),
+        F.lit(0).cast("int").alias("n_trigrams"),
+    )
+    return scored.unionByName(empty).withColumnRenamed("_id", id_col)

@@ -1606,57 +1606,39 @@ FROM best
 
 def text_langid_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL language ID (operators/langid.py): char-trigram Naive
-    Bayes with add-one smoothing, trained in-query as a pure Spark
-    aggregation over the embedded public-domain sample (UDHR Art. 1 +
-    everyday sentences, 7 languages), argmax per document.  Every
-    log-prob is an integer micro-nat before summation, so the score
-    is engine-exact; the DuckDB oracle RETRAINS the identical model
-    in SQL from the same sample table.  Plan: broadcast model join on
-    trigram occurrences + two hash aggs — no window of scored rows,
-    no UDF."""
+    Bayes with add-one smoothing over the embedded public-domain
+    sample (UDHR Art. 1 + everyday sentences, 14 languages), argmax
+    per document with the top-2 confidence margin.  Every log-prob is
+    an integer micro-nat before summation, so scores and margins are
+    engine-exact; the DuckDB oracle RETRAINS the identical model in
+    SQL from the same sample table (single-source CTE text:
+    langid_model_sql_ctes — a pytest additionally pins the two model
+    tables equal value-for-value).  Plan (round 9): broadcast LEFT
+    model join on trigram occurrences + ONE hash agg (pivoted
+    per-language conditional sums) + row-local argmax/margin — one
+    doc-proportional exchange, was three; repartition= widens the
+    single-file-parquet scan to all cores before the ~300x explode."""
     from aws_cdk_pipelines_datalake_etl_spark.operators.langid import (
         language_id_nb,
     )
 
-    return language_id_nb(_t(spark, sf_dir, "documents"))
+    return language_id_nb(
+        _t(spark, sf_dir, "documents"),
+        repartition=spark.sparkContext.defaultParallelism,
+    )
 
 
 def _langid_nb_oracle() -> str:
     from aws_cdk_pipelines_datalake_etl_spark.operators.langid import (
-        LANGID_SAMPLES,
+        langid_model_sql_ctes,
     )
 
-    values = ",\n    ".join(
-        "('{}', '{}')".format(lang, text.replace("'", "''"))
-        for lang, text in sorted(LANGID_SAMPLES.items())
-    )
     norm = (
         "' ' || trim(regexp_replace(regexp_replace(lower({c}), "
         "'[^a-z ]', ' ', 'g'), ' +', ' ', 'g')) || ' '"
     )
     return f"""
-WITH samples(lang, sample) AS (VALUES
-    {values}
-),
-snorm AS (SELECT lang, {norm.format(c='sample')} AS s FROM samples),
-stris AS (
-  SELECT lang, substring(s, i, 3) AS tri
-  FROM (SELECT lang, s, unnest(generate_series(1, length(s) - 2)) AS i
-        FROM snorm WHERE length(s) >= 3)
-),
-counts AS (SELECT lang, tri, count(*) AS cnt FROM stris GROUP BY lang, tri),
-model AS (
-  SELECT lang, tri,
-         CAST(floor(ln(cnt + 1) * 1000000 + 0.5) AS BIGINT) AS micro_logp
-  FROM counts
-),
-vsize AS (SELECT count(DISTINCT tri) AS v FROM counts),
-consts AS (
-  SELECT lang,
-         CAST(floor(ln(sum(cnt) + (SELECT v FROM vsize)) * 1000000 + 0.5)
-              AS BIGINT) AS micro_denom
-  FROM counts GROUP BY lang
-),
+WITH {langid_model_sql_ctes()},
 dnorm AS (SELECT doc_id, {norm.format(c='text')} AS s FROM documents),
 dk AS (
   SELECT doc_id,
@@ -1681,13 +1663,17 @@ grid AS (
 ),
 best AS (
   SELECT *, row_number() OVER (
-      PARTITION BY doc_id ORDER BY score_micro DESC, lang ASC) AS rn
+      PARTITION BY doc_id ORDER BY score_micro DESC, lang ASC) AS rn,
+      lead(score_micro) OVER (
+      PARTITION BY doc_id ORDER BY score_micro DESC, lang ASC) AS next_score
   FROM grid
 )
 SELECT doc_id,
        CASE WHEN n_trigrams = 0 THEN 'und' ELSE lang END AS lang,
        CAST(CASE WHEN n_trigrams = 0 THEN 0 ELSE score_micro END
             AS BIGINT) AS score_micro,
+       CAST(CASE WHEN n_trigrams = 0 THEN 0
+            ELSE score_micro - next_score END AS BIGINT) AS margin_micro,
        CAST(n_trigrams AS INT) AS n_trigrams
 FROM best WHERE rn = 1
 """

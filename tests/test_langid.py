@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from aws_cdk_pipelines_datalake_etl_spark.operators.langid import (
     LANGID_SAMPLES,
+    langid_model_sql_ctes,
     language_id_nb,
     train_langid_model,
 )
@@ -19,6 +20,13 @@ HELD_OUT = [
     (5, "i bambini giocano nel giardino e la casa e molto bella", "it"),
     (6, "as criancas brincam no jardim e a casa e muito bonita", "pt"),
     (7, "de kinderen spelen in de tuin en het weer is vandaag mooi", "nl"),
+    (8, "boernene leger i haven og vejret er koldt i dag", "da"),
+    (9, "barnen leker i traedgaarden och vaedret aer fint i dag", "sv"),
+    (10, "lapset leikkivaet puutarhassa ja saeae on taenaeaen kaunis", "fi"),
+    (11, "cocuklar bahcede oynuyor ve hava bugun cok guzel", "tr"),
+    (12, "dzieci bawia sie w ogrodzie a pogoda jest dzisiaj ladna", "pl"),
+    (13, "copiii se joaca in gradina si vremea este frumoasa astazi", "ro"),
+    (14, "anak anak bermain di taman dan cuaca hari ini cerah", "id"),
 ]
 
 
@@ -84,3 +92,61 @@ def test_plan_broadcasts_model_no_python(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan  # pure Catalyst, no UDF at all
+    # round-9 plan shape: ONE doc-proportional exchange (the pivoted
+    # per-doc hash agg) — no SortMergeJoin, no Window over scored rows
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_margin_confidence_band(spark):
+    """margin_micro semantics: a clearly-English sentence has a large
+    per-trigram margin; a short es/pt-ambiguous fragment a much
+    smaller one; with min_margin_micro set between them the ambiguous
+    doc flips to 'und' while the clear one keeps its label."""
+    clear = "the children walked through the streets of the city"
+    # every word shared es/pt (same spelling in both languages)
+    near = "a casa de la e o mar"
+    df = spark.createDataFrame(
+        [(1, clear), (2, near)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in language_id_nb(df).collect()}
+    assert got[1].lang == "en"
+    assert got[1].margin_micro > 0 and got[2].margin_micro >= 0
+    clear_per = got[1].margin_micro / got[1].n_trigrams
+    near_per = got[2].margin_micro / got[2].n_trigrams
+    assert near_per < clear_per / 3  # genuinely less confident
+    thr = int((near_per + clear_per / 3) / 2) + 1
+    got2 = {
+        r.doc_id: r
+        for r in language_id_nb(df, min_margin_micro=thr).collect()
+    }
+    assert got2[1].lang == "en"  # clear doc keeps its label
+    assert got2[2].lang == "und"  # near-tie falls into the band
+    # scores/margins are unchanged by the band — only the label moves
+    assert got2[2].score_micro == got[2].score_micro
+    assert got2[2].margin_micro == got[2].margin_micro
+
+
+def test_model_tables_match_duckdb_retraining(spark):
+    """ADVICE r8: oracle exactness rests on Python math.log and DuckDB
+    ln agreeing bit-for-bit before floor(x*1e6+0.5).  Pin it: the
+    driver-built model/consts tables must equal the DuckDB-retrained
+    ones VALUE-FOR-VALUE (both derive from langid_model_sql_ctes /
+    LANGID_SAMPLES, the single source the registry oracle embeds)."""
+    import duckdb
+
+    model, consts = train_langid_model(spark)
+    ctes = langid_model_sql_ctes()
+    got_m = duckdb.sql(
+        f"WITH {ctes} SELECT lang, tri, micro_logp FROM model "
+        "ORDER BY lang, tri"
+    ).fetchall()
+    want_m = sorted(
+        (r.lang, r.tri, r.micro_logp) for r in model.collect()
+    )
+    assert [tuple(x) for x in got_m] == want_m
+    got_c = duckdb.sql(
+        f"WITH {ctes} SELECT lang, micro_denom FROM consts ORDER BY lang"
+    ).fetchall()
+    want_c = sorted((r.lang, r.micro_denom) for r in consts.collect())
+    assert [tuple(x) for x in got_c] == want_c

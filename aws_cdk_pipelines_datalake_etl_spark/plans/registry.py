@@ -7462,6 +7462,113 @@ def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality(held, w, dim=1024).orderBy("doc_id")
 
 
+def corpus_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier SCORING path, ORACLE-BACKED (VERDICT r8 #4 — the
+    corpus_quality_classifier twin keeps the full GD loop rows-only):
+    Gopher-rule teacher labels on the 90% split, ONE batch-GD step
+    from w=0 (operators/classifier.py:train_one_step_micro — at zero
+    weights the residual is the integer 500000 - 1000000*y, the
+    per-slot gradient an integer sum, and the single float step uses
+    only correctly-rounded IEEE multiply/divide), then the held-out
+    10% scored with the broadcast quantized weight table: integer dot
+    product + sign (operators/classifier.py:score_quality_micro).
+    Features use the portable 48-bit md5 hash (the text_pack_sequences
+    device) so DuckDB replays labels, features, gradient, weights, and
+    scores — the entire scoring dataflow hash-verifies."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.classifier import (
+        score_quality_micro,
+        train_one_step_micro,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.text import (
+        gopher_rules,
+    )
+
+    train, held = _lm_splits(spark, sf_dir)
+    labeled = train.join(
+        gopher_rules(train).select("doc_id", "keep"), "doc_id"
+    )
+    w = train_one_step_micro(labeled, "keep", dim=1024, lr=1.0)
+    return score_quality_micro(held, w, dim=1024).orderBy("doc_id")
+
+
+_QUALITY_SCORES_FEATS = """
+  SELECT doc_id,
+         (('0x' || substr(md5(tok), 1, 12))::BIGINT) % 1024 AS slot,
+         count(*) AS k
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                      w -> w != '')) AS tok
+        FROM documents WHERE doc_id % 10 {op} 0)
+  GROUP BY doc_id, slot
+  UNION ALL
+  SELECT doc_id, -1 AS slot, 1 AS k
+  FROM documents WHERE doc_id % 10 {op} 0
+"""
+
+CORPUS_QUALITY_SCORES_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(lower(text), ' ') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents WHERE doc_id % 10 != 0
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         list_sum(list_transform(toks, w -> length(w))) AS total_len,
+         len(list_filter(toks,
+             w -> contains(w, '#') OR contains(w, '...'))) AS n_symbolish,
+         len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+         len(lines) AS n_lines,
+         len(list_filter(lines,
+             ln -> starts_with(trim(ln), '•')
+                OR starts_with(trim(ln), '- ')
+                OR starts_with(trim(ln), '* '))) AS n_bullet,
+         len(list_filter(lines,
+             ln -> ends_with(trim(ln), '...'))) AS n_ellipsis,
+         len(list_intersect(list_distinct(toks),
+             ['the','be','to','of','and','that','have','with'])) AS n_stop
+  FROM t
+),
+labels AS (
+  SELECT doc_id,
+         CAST(((n_words >= 50 AND n_words <= 100000)
+          AND (total_len >= 3 * n_words AND total_len <= 10 * n_words)
+          AND (10 * n_symbolish <= n_words)
+          AND (10 * n_bullet <= 9 * n_lines)
+          AND (10 * n_ellipsis <= 3 * n_lines)
+          AND (10 * n_alpha >= 8 * n_words)
+          AND (n_stop >= 2)) AS INT) AS y
+  FROM m
+),
+tr_feats AS ({_QUALITY_SCORES_FEATS.format(op="!=")}),
+nn AS (SELECT count(*) AS n FROM labels),
+resid AS (SELECT doc_id, 500000 - 1000000 * y AS r_micro FROM labels),
+grad AS (
+  SELECT slot, sum(k * r_micro) AS g_micro
+  FROM tr_feats JOIN resid USING (doc_id) GROUP BY slot
+),
+wnz AS (
+  SELECT * FROM (
+    SELECT slot,
+           CAST(floor(-1.0 * g_micro / (SELECT n FROM nn) + 0.5) AS BIGINT)
+             AS w_micro
+    FROM grad
+  ) WHERE w_micro != 0
+),
+h_feats AS ({_QUALITY_SCORES_FEATS.format(op="=")}),
+logit AS (
+  SELECT doc_id, CAST(sum(k * w_micro) AS BIGINT) AS logit_micro
+  FROM h_feats JOIN wnz USING (slot) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(l.logit_micro, 0) AS BIGINT) AS logit_micro,
+       COALESCE(l.logit_micro, 0) >= 0 AS pred
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN logit l USING (doc_id)
+"""
+
+
 def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out bigram LM scoring (operators/lm.py): train stupid-
     backoff counts on 90% of the corpus, score the held-out 10% —
@@ -8037,6 +8144,9 @@ def build_registry() -> dict[str, QuerySpec]:
             text_pack_sequences, TEXT_PACK_SEQUENCES_ORACLE
         ),
         "corpus_quality_classifier": QuerySpec(corpus_quality_classifier, None),
+        "corpus_quality_scores": QuerySpec(
+            corpus_quality_scores, CORPUS_QUALITY_SCORES_ORACLE
+        ),
         "text_gopher_rules": QuerySpec(text_gopher_rules, TEXT_GOPHER_ORACLE),
         "web_pagerank": QuerySpec(web_pagerank, WEB_PAGERANK_ORACLE),
     }

@@ -109,3 +109,87 @@ def test_feature_and_scoring_plan_shape(spark):
     feats = hashed_features(df, dim=256)
     n_bias = feats.filter(F.col("slot") == -1).count()
     assert n_bias == 20
+
+
+def test_one_step_micro_matches_local_reference(spark):
+    """train_one_step_micro's weight table equals a driver-side
+    replica of the same math (portable hash, integer residual at w=0,
+    floor(-lr*g/n + 0.5)) on a small fixture — and is EXACTLY
+    partition-layout invariant."""
+    import hashlib
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.classifier import (
+        train_one_step_micro,
+    )
+
+    rows = [
+        (1, "alpha beta beta gamma", True),
+        (2, "beta gamma gamma delta", False),
+        (3, "alpha alpha epsilon", True),
+        (4, "delta delta delta", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+    dim = 64
+
+    def h48(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:12], 16) % dim
+
+    g: dict[int, int] = {}
+    for _, text, y in rows:
+        r = 500_000 - 1_000_000 * int(y)
+        slots: dict[int, int] = {-1: 1}
+        for tok in text.lower().split(" "):
+            if tok:
+                slots[h48(tok)] = slots.get(h48(tok), 0) + 1
+        for s, k in slots.items():
+            g[s] = g.get(s, 0) + k * r
+    import math
+
+    want = {
+        s: int(math.floor(-1.0 * gm / len(rows) + 0.5))
+        for s, gm in g.items()
+    }
+    want = {s: w for s, w in want.items() if w != 0}
+    got = {
+        r.slot: r.w_micro
+        for r in train_one_step_micro(df, "label", dim=dim).collect()
+    }
+    assert got == want
+    got7 = {
+        r.slot: r.w_micro
+        for r in train_one_step_micro(
+            df.repartition(7), "label", dim=dim
+        ).collect()
+    }
+    assert got7 == want
+
+
+def test_score_quality_micro_sign_and_plan(spark):
+    """score_quality_micro: pred == (logit_micro >= 0) for every doc,
+    docs with no matching slots score exactly 0, and the plan
+    broadcasts the weight table with no Python anywhere."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.classifier import (
+        score_quality_micro,
+        train_one_step_micro,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "good text with signal" if i % 2 else "bad noise", i % 2 == 1)
+         for i in range(20)],
+        "doc_id long, text string, label boolean",
+    )
+    w = train_one_step_micro(train, "label", dim=128)
+    held = spark.createDataFrame(
+        [(100, "good text with signal"), (101, "bad noise"),
+         (102, "zzz qqq www")],  # no trained slot except bias
+        "doc_id long, text string",
+    )
+    out = score_quality_micro(held, w, dim=128)
+    got = {r.doc_id: r for r in out.collect()}
+    for r in got.values():
+        assert r.pred == (r.logit_micro >= 0)
+    assert got[100].logit_micro > got[101].logit_micro
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

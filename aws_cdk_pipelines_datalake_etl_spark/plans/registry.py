@@ -6352,81 +6352,74 @@ _DRIVER_WINDOW = [
     "q01_pricing_summary",
     "q02_taxi_shape_agg",
     "q23_sql_transform",
-    # (2) round-8 semantic changes (each with a targeted oracle_check
-    # run logged in its commit):
-    # - text_gopher_rules: bullet-line threshold corrected to the
-    #   published rule (keep unless >90% of lines are bullets) in
-    #   operator + oracle + tests (VERDICT r7 #1)
-    # - web_robots_filter: slash-terminated Disallow rules now match
-    #   segment-wise (no '/dirty' over-block from 'Disallow: /dir/');
-    #   entry gained a '/p/2/' rule to exercise the branch (ADVICE r7)
-    # - multimodal_audio_adpcm: decoder vectorized (numpy across
-    #   blocks, bit-identical by property test) — physical rewrite,
-    #   so the entry re-verifies (VERDICT r7 #6)
-    # - text_langid_nb: NEW char-trigram Naive Bayes language ID
-    #   (operators/langid.py), oracle retrains the identical model in
-    #   SQL (targeted oracle_check logged)
-    # - text_pack_sequences: NEW oracle-backed isolation of
-    #   pack_token_sequences (portable-hash token ids, DuckDB replays
-    #   shard/offset/slice/reassembly; targeted oracle_check logged)
-    # Round-8 ADDITIONS that are rows-only by design are NOT windowed
-    # (policy below): corpus_packed_ids, lm_perplexity_approx (GK
-    # boundaries are layout-dependent within the rank bound), and
-    # tokenizer_bpe_encode (retrained tokenization, still rows-only).
-    "text_gopher_rules",
-    "web_robots_filter",
-    "multimodal_audio_adpcm",
-    "text_langid_nb",
+    # (2) round-9 new/changed entries (each with a targeted
+    # oracle_check run logged in its commit):
+    # - corpus_quality_scores: NEW oracle-backed classifier SCORING
+    #   path (one-step-GD integer weights + integer dot product +
+    #   sign; portable md5 feature hash) — never driver-verified
+    # - text_pack_sequences: CHANGED — eod_id sentinel + doc_spans
+    #   boundary output, both replayed by the oracle (VERDICT r8 #1)
+    # - text_langid_nb: CHANGED — 14-language sample, margin_micro
+    #   output, single-exchange pivoted plan, repartition dial
+    #   (VERDICT r8 #2/#6)
+    # - dedup_substring_spans / _prod: PHYSICAL rewrite (complement
+    #   scheme replaces the dup-gram marking join, VERDICT r8 #5) —
+    #   output + oracle unchanged, re-verify like the r8 ADPCM
+    #   precedent
+    "corpus_quality_scores",
     "text_pack_sequences",
-    # (4a) re-confirmation, oldest-verified-first: ALL 15 entries last
-    # green in round 3 (stream_daily_distinct..udaf_mad) — this
-    # completes the round-3 rotation promised in the r7 window; after
+    "text_langid_nb",
+    "dedup_substring_spans",
+    "dedup_substring_spans_prod",
+    # (4a) re-confirmation, oldest-verified-first: the final 18
+    # entries last green in round 4 (q57..udtf_word_ngrams) — this
+    # COMPLETES the round-4 rotation promised in the r8 window; after
     # this round every oracle-backed entry is green within 5 rounds.
-    "stream_daily_distinct",
-    "stream_left_outer_join",
-    "stream_session_window",
-    "stream_sessionize_stateful",
-    "stream_stream_join",
-    "stream_tumbling",
-    "text_chunk_windows",
-    "text_contamination",
-    "text_langid",
-    "text_metrics",
-    "text_pack_bins",
-    "text_tfidf_top_terms",
-    "text_token_count",
-    "ts_gapfill",
-    "udaf_mad",
-    # (4b) next-oldest: 27 alphabetically-first of the 45 entries last
-    # green in round 4 (the remaining 18, q57_dense_grid_report..
-    # udtf_word_ngrams, rotate in at round 9).
-    "asof_cogroup_pandas",
-    "asof_forward_next_purchase",
-    "cdc_table_diff",
-    "corpus_dedup_survivors",
-    "dedup_bloom_prefilter",
-    "dedup_incremental_fingerprint",
-    "dedup_incremental_lsh",
-    "dedup_winnow_fingerprints",
-    "dedup_winnow_overlap",
-    "dq_report",
-    "grouped_apply_zscore",
-    "multimodal_audio_features",
-    "multimodal_embed_cosine",
-    "multimodal_video_frames",
-    "q42_disjunctive_join",
-    "q43_dormant_customers",
-    "q44_supplier_variety",
-    "q45_retention_cohorts",
-    "q46_funnel_stages",
-    "q48_rolling_wau",
-    "q49_variant_json",
-    "q50_unpivot",
-    "q51_forecast_revenue",
-    "q53_top_supplier",
-    "q54_equidepth_histogram",
-    "q55_ratio_to_report",
-    "q56_full_outer_join",
+    "q57_dense_grid_report",
+    "q58_event_transitions",
+    "q60_edit_distance",
+    "q64_filtered_aggregates",
+    "q66_mode_aggregate",
+    "q68_numeric_profile",
+    "sample_cap_per_class",
+    "sample_train_val_test",
+    "sim_ivf_index_full_probe",
+    "sim_near_dup_pairs",
+    "sketch_cm_heavy_hitters",
+    "source_python_datasource",
+    "stream_cdc_upsert",
+    "text_quality_gate",
+    "text_redact_pii",
+    "text_repetition_removal",
+    "text_top_bigrams",
+    "udtf_word_ngrams",
+    # (4b) next-oldest: 24 alphabetically-first of the 45 entries last
+    # green in round 5 (the remaining 21, sample_quality_weighted..
+    # ts_ewma, rotate in at round 10).
+    "cdc_scd2",
+    "corpus_data_card",
+    "corpus_epoch_shuffle",
+    "dedup_fingerprint",
+    "dedup_simhash_pairs",
+    "multimodal_decode_png",
+    "multimodal_embed_topk",
+    "multimodal_image_resize",
+    "q12_window_running_sum",
+    "q22_cube",
+    "q25_exists_correlated",
+    "q31_shipping_priority",
+    "q33_market_share",
+    "q34_window_navigation",
+    "q47_reaggregation_rollup",
+    "q52_product_profit",
+    "q59_union_heterogeneous",
+    "q62_distribution_ranks",
+    "q63_array_algebra",
+    "q65_regexp_extract",
+    "q67_null_safe_join",
+    "q69_suppliers_who_kept_waiting",
+    "q70_map_functions",
+    "range_join_binned",
 ]
 
 

@@ -102,6 +102,9 @@ HEADLINE = [
     "text_gopher_rules",
     "text_langid_nb",
     "corpus_packed_ids",
+    # round-9 addition: the oracle-backed classifier scoring path
+    # (one-step-GD integer weights + broadcast integer dot product)
+    "corpus_quality_scores",
 ]
 
 
@@ -151,32 +154,36 @@ def main() -> None:
     # the mean of the two brackets the run.
     cal_start = _calibration(spark)
 
-    # Best-of-3 per query (raised from best-of-2 in round 6 after a
-    # uniform +12% host drift was observed across untouched plans):
-    # later passes run against warm code + page cache and damp
-    # host-level jitter (shared-machine noise was measured at +-40% on
-    # single shots) — the reported number is the query's demonstrated
-    # cost.
+    # 3 timed passes per query; the PRIMARY number is the per-query
+    # MEDIAN (VERDICT r8 #7: BENCH_r08 vs the same-methodology
+    # BENCH_SCALE_r08 sf0.1 leg differed 14% on identical untouched
+    # queries — best-of-N tracks the single luckiest scheduling window,
+    # medians damp that).  The best-of-3 is still emitted
+    # (queries_best / value_best) so rounds 1-8, which reported best,
+    # stay directly comparable; from round 9 on, compare medians.
+    import statistics
+
     timings: dict[str, float] = {}
+    timings_best: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = registry[name].fn
-        best: float | None = None
+        got: list[float] = []
         for _attempt in range(3):
             t0 = time.time()
             try:
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                took = round(time.time() - t0, 3)
-                best = took if best is None else min(best, took)
+                got.append(round(time.time() - t0, 3))
             except Exception as exc:  # noqa: BLE001 — one bad query must
                 # not zero out the whole benchmark; record it and keep
                 # timing the rest (the error surfaces in the JSON line).
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
                 break
-        if best is not None:
-            timings[name] = best
+        if got:
+            timings[name] = round(statistics.median(got), 3)
+            timings_best[name] = min(got)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -191,6 +198,13 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_best": timings_best,
+        "value_best": round(sum(timings_best.values()), 3),
+        "methodology": (
+            "per-query MEDIAN of 3 warm passes (primary, round 9+); "
+            "best-of-3 in queries_best/value_best for comparison with "
+            "rounds 1-8, which reported best"
+        ),
         "sf": sf_val,
         "calibration_sec": cal,
         "calibration_samples": [cal_start, cal_end],

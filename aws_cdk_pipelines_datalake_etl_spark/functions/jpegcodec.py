@@ -171,18 +171,36 @@ def _build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int
     return table
 
 
-def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
-    table: dict[tuple[int, int], int] = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+class _HuffTable:
+    """16-bit-lookahead Huffman decode table (round 9): every possible
+    16-bit window maps to (code length, symbol) — one peek + two
+    indexed loads per symbol instead of the bit-by-bit
+    ``(length, code)`` dict walk (which cost one dict probe PER BIT;
+    the profile showed ``huff``+``bit`` at ~75% of progressive decode).
+    JPEG codes are <= 16 bits, so the table is total: a window whose
+    prefix is no code has length 0 (invalid-code sentinel)."""
+
+    __slots__ = ("lut_len", "lut_sym")
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.lut_len = bytearray(1 << 16)
+        self.lut_sym = bytearray(1 << 16)
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                lo = code << (16 - length)
+                hi = (code + 1) << (16 - length)
+                self.lut_len[lo:hi] = bytes([length]) * (hi - lo)
+                self.lut_sym[lo:hi] = bytes([vals[k]]) * (hi - lo)
+                code += 1
+                k += 1
+            code <<= 1
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    """Huffman decode table (see :class:`_HuffTable`)."""
+    return _HuffTable(bits, vals)
 
 
 class _BitWriter:
@@ -212,49 +230,81 @@ class _BitWriter:
 
 
 class _BitReader:
-    """MSB-first bit reader over entropy-coded data with unstuffing;
-    raises on markers inside the scan (no restart support)."""
+    """MSB-first bit reader over entropy-coded data; raises on markers
+    inside the scan (no restart support).
+
+    Round 9: the whole entropy-coded segment is DESTUFFED ONCE up
+    front (numpy scan for the terminating marker + vectorized 0xFF00
+    unstuffing), after which ``bit`` is two shifts on a flat bit
+    cursor, ``bits`` one ``int.from_bytes`` window, and ``huff`` one
+    16-bit peek into the :class:`_HuffTable` lookahead — the
+    bit-by-bit dict walk this replaces was ~75% of progressive decode
+    time.  ``pos`` (used only by the caller's ``_next_marker``) is the
+    marker position the destuffer already found."""
 
     def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self._acc = 0
-        self._n = 0
+        arr = np.frombuffer(data, dtype=np.uint8)[pos:]
+        cand = np.flatnonzero((arr[:-1] == 0xFF) & (arr[1:] != 0x00))
+        if cand.size:
+            end = int(cand[0])
+            self.pos = pos + end  # the 0xFF of the next marker
+            self._end_is_marker = int(arr[end + 1])
+        else:
+            end = len(arr)
+            self.pos = pos + end
+            self._end_is_marker = None
+        seg = arr[:end]
+        stuffed = np.flatnonzero(seg[:-1] == 0xFF) + 1
+        self._dest = (
+            np.delete(seg, stuffed).tobytes() if stuffed.size else seg.tobytes()
+        )
+        self._nbits = 8 * len(self._dest)
+        self._bitpos = 0
+
+    def _end_error(self) -> Exception:
+        if self._end_is_marker is not None:
+            return NotImplementedError(
+                f"marker 0xFF{self._end_is_marker:02X} inside scan "
+                "(restart intervals / multi-scan streams not supported)"
+            )
+        return ValueError("truncated entropy-coded segment")
 
     def bit(self) -> int:
-        if self._n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated entropy-coded segment")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else None
-                if nxt == 0x00:
-                    self.pos += 1
-                else:
-                    raise NotImplementedError(
-                        f"marker 0xFF{nxt:02X} inside scan (restart "
-                        "intervals / multi-scan streams not supported)"
-                    )
-            self._acc = b
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
+        bp = self._bitpos
+        if bp >= self._nbits:
+            raise self._end_error()
+        self._bitpos = bp + 1
+        return (self._dest[bp >> 3] >> (7 - (bp & 7))) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        if n == 0:
+            return 0
+        bp = self._bitpos
+        if bp + n > self._nbits:
+            raise self._end_error()
+        self._bitpos = bp + n
+        lo = bp >> 3
+        hi = (bp + n - 1) >> 3
+        chunk = int.from_bytes(self._dest[lo : hi + 1], "big")
+        return (chunk >> (8 * (hi - lo + 1) - (bp & 7) - n)) & ((1 << n) - 1)
 
-    def huff(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in scan")
+    def huff(self, table: _HuffTable) -> int:
+        bp = self._bitpos
+        lo = bp >> 3
+        window = self._dest[lo : lo + 3]
+        peek = (
+            int.from_bytes(window, "big") << (8 * (3 - len(window)))
+            >> (8 - (bp & 7))
+        ) & 0xFFFF
+        length = table.lut_len[peek]
+        if length == 0:
+            if bp + 16 > self._nbits:
+                raise self._end_error()
+            raise ValueError("invalid Huffman code in scan")
+        if bp + length > self._nbits:
+            raise self._end_error()
+        self._bitpos = bp + length
+        return table.lut_sym[peek]
 
 
 def _magnitude(v: int) -> tuple[int, int]:

@@ -2125,6 +2125,10 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         _t(spark, sf_dir, "documents")
         .select("doc_id")
+        # split-ceiling dial: a single-file parquet would cap the
+        # per-clip Python codec at <=2 tasks (the bpe_encode_ids /
+        # progressive-JPEG lesson)
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("blob", synth("doc_id"))
     )
     feats = decode_audio_batch(d)
@@ -2199,6 +2203,10 @@ def multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         _t(spark, sf_dir, "documents")
         .select("doc_id")
+        # split-ceiling dial: a single-file parquet would cap the
+        # per-clip Python codec at <=2 tasks (the bpe_encode_ids /
+        # progressive-JPEG lesson)
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("blob", synth("doc_id"))
     )
     feats = decode_audio_batch(d)
@@ -2252,6 +2260,10 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         _t(spark, sf_dir, "documents")
         .select("doc_id")
+        # split-ceiling dial: a single-file parquet would cap the
+        # per-blob Python codec at <=2 tasks (the bpe_encode_ids /
+        # progressive-JPEG lesson)
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("blob", synth("doc_id"))
     )
     frames = sample_video_frames(d, every_nth=2)
@@ -2321,6 +2333,10 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         _t(spark, sf_dir, "documents")
         .select("doc_id")
+        # split-ceiling dial: a single-file parquet would cap the
+        # per-blob Python codec at <=2 tasks (the bpe_encode_ids /
+        # progressive-JPEG lesson)
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("blob", synth("doc_id"))
     )
     resized = resize_image_batch(d, width=5, height=3)
@@ -2391,6 +2407,10 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         _t(spark, sf_dir, "documents")
         .select("doc_id")
+        # split-ceiling dial: a single-file parquet would cap the
+        # per-blob Python codec at <=2 tasks (the bpe_encode_ids /
+        # progressive-JPEG lesson)
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("blob", synth("doc_id"))
     )
     return decode_image_batch(d)
@@ -2457,6 +2477,10 @@ def multimodal_decode_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         _t(spark, sf_dir, "documents")
         .select("doc_id")
+        # split-ceiling dial: a single-file parquet would cap the
+        # per-blob Python codec at <=2 tasks (the bpe_encode_ids /
+        # progressive-JPEG lesson)
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("blob", synth("doc_id"))
     )
     return decode_image_batch(d)
@@ -2507,6 +2531,10 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         _t(spark, sf_dir, "documents")
         .select("doc_id")
+        # split-ceiling dial: a single-file parquet would cap the
+        # per-blob Python codec at <=2 tasks (the bpe_encode_ids /
+        # progressive-JPEG lesson)
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("blob", synth("doc_id"))
     )
     return decode_image_batch(d)
@@ -2577,6 +2605,12 @@ def multimodal_decode_jpeg_progressive(
     d = (
         _t(spark, sf_dir, "documents")
         .select("doc_id")
+        # split-ceiling dial (the bpe_encode_ids / text_langid_nb
+        # lesson): the sf1 documents parquet is a single file (<=2
+        # scan tasks), which would run the per-blob Python codec
+        # 2-wide on 32 cores — repartition BEFORE the synth/decode
+        # UDFs so the probe measures the codec, not the split count
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("blob", synth("doc_id"))
     )
     return decode_image_batch(d)

@@ -1628,7 +1628,27 @@ def text_langid_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _langid_nb_oracle() -> str:
+def text_langid_confident(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_langid_nb with the round-9 CONFIDENCE BAND engaged
+    (min_margin_micro=3000 micro-nats/trigram — ~p7 of the corpus's
+    per-trigram margin distribution): near-tie documents are labeled
+    'und' instead of guessing between close languages (es/pt,
+    da/sv...).  Scores and margins are unchanged — only the label
+    moves, and the DuckDB oracle applies the identical integer
+    cross-multiply band, so the banding rule itself is
+    driver-hash-verified."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.langid import (
+        language_id_nb,
+    )
+
+    return language_id_nb(
+        _t(spark, sf_dir, "documents"),
+        min_margin_micro=3000,
+        repartition=spark.sparkContext.defaultParallelism,
+    )
+
+
+def _langid_nb_oracle(min_margin_micro: int = 0) -> str:
     from aws_cdk_pipelines_datalake_etl_spark.operators.langid import (
         langid_model_sql_ctes,
     )
@@ -1669,7 +1689,10 @@ best AS (
   FROM grid
 )
 SELECT doc_id,
-       CASE WHEN n_trigrams = 0 THEN 'und' ELSE lang END AS lang,
+       CASE WHEN n_trigrams = 0 THEN 'und'
+            WHEN (score_micro - next_score)
+                 < {min_margin_micro} * n_trigrams THEN 'und'
+            ELSE lang END AS lang,
        CAST(CASE WHEN n_trigrams = 0 THEN 0 ELSE score_micro END
             AS BIGINT) AS score_micro,
        CAST(CASE WHEN n_trigrams = 0 THEN 0
@@ -6400,9 +6423,13 @@ _DRIVER_WINDOW = [
     #   scheme replaces the dup-gram marking join, VERDICT r8 #5) —
     #   output + oracle unchanged, re-verify like the r8 ADPCM
     #   precedent
+    # - text_langid_confident: NEW — the margin band engaged
+    #   (min_margin_micro=3000), oracle applies the identical integer
+    #   cross-multiply banding rule
     "corpus_quality_scores",
     "text_pack_sequences",
     "text_langid_nb",
+    "text_langid_confident",
     "dedup_substring_spans",
     "dedup_substring_spans_prod",
     # (4a) re-confirmation, oldest-verified-first: the final 18
@@ -6427,8 +6454,8 @@ _DRIVER_WINDOW = [
     "text_repetition_removal",
     "text_top_bigrams",
     "udtf_word_ngrams",
-    # (4b) next-oldest: 24 alphabetically-first of the 45 entries last
-    # green in round 5 (the remaining 21, sample_quality_weighted..
+    # (4b) next-oldest: 23 alphabetically-first of the 45 entries last
+    # green in round 5 (the remaining 22, range_join_binned..
     # ts_ewma, rotate in at round 10).
     "cdc_scd2",
     "corpus_data_card",
@@ -6453,7 +6480,6 @@ _DRIVER_WINDOW = [
     "q67_null_safe_join",
     "q69_suppliers_who_kept_waiting",
     "q70_map_functions",
-    "range_join_binned",
 ]
 
 
@@ -8011,6 +8037,9 @@ def build_registry() -> dict[str, QuerySpec]:
         "text_metrics": QuerySpec(text_metrics_q, TEXT_METRICS_ORACLE),
         "text_langid": QuerySpec(text_langid, _langid_oracle()),
         "text_langid_nb": QuerySpec(text_langid_nb, _langid_nb_oracle()),
+        "text_langid_confident": QuerySpec(
+            text_langid_confident, _langid_nb_oracle(min_margin_micro=3000)
+        ),
         "text_token_count": QuerySpec(text_token_count, TEXT_TOKEN_COUNT_ORACLE),
         "sim_brute_topk": QuerySpec(sim_brute_topk, SIM_BRUTE_TOPK_ORACLE),
         "sim_near_dup_pairs": QuerySpec(sim_near_dup_pairs, SIM_NEAR_DUP_ORACLE),

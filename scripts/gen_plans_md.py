@@ -98,10 +98,12 @@ SHOWCASE = {
         "crawl-scale normalization at scan speed"
     ),
     "dedup_substring_spans": (
-        "linear substring-span pass: Generate (gram explode) then ONE "
-        "shuffle family on the gram key — partial HashAggregate map-side, "
-        "min!=max cross-doc test (constant per-gram state), join back, "
-        "doc-keyed count; no all-pairs stage anywhere"
+        "linear substring-span pass, round-9 COMPLEMENT scheme: Generate "
+        "(gram explode) then ONE gram-key Exchange into a constant-state "
+        "HashAggregate (min/max/count, map-side partials) — positions "
+        "never re-shuffle; single-doc grams (min==max) flow straight "
+        "into a tiny doc-keyed sum and n_dup = n_grams - singles; the "
+        "r8 dup-gram marking JOIN is gone entirely"
     ),
     "q69_suppliers_who_kept_waiting": (
         "both correlated branches decorrelated: EXISTS -> LeftSemi, "
@@ -146,12 +148,23 @@ SHOWCASE = {
         "intermediate volume O(total_tokens + n_docs) at any budget"
     ),
     "text_langid_nb": (
-        "NB language ID is pure Catalyst: the trigram model rides a "
-        "BroadcastExchange into a BroadcastHashJoin on the exploded "
-        "trigram occurrences (corpus side never shuffles before the "
-        "(doc, lang) partial aggregation); the per-language constant "
-        "table joins via BroadcastNestedLoopJoin (7 rows); argmax is a "
-        "min(struct) hash aggregate, NO Window and NO Python anywhere"
+        "NB language ID, round-9 single-exchange plan: the trigram model "
+        "rides a BroadcastExchange into a LEFT BroadcastHashJoin on the "
+        "exploded occurrences (corpus side never shuffles before the "
+        "aggregation), ONE doc-keyed HashAggregate computes all 14 "
+        "per-language matched sums as pivoted conditional sums (map-side "
+        "partials), and argmax + smoothing denominators + top-2 margin "
+        "are a row-local array_sort over integer literals — NO grid "
+        "join, NO SortMergeJoin, NO Window, NO Python anywhere"
+    ),
+    "corpus_quality_scores": (
+        "the oracle-backed classifier scoring path: hashed features are "
+        "one explode + (doc, slot) HashAggregate; the one-step-GD weight "
+        "table is slot-keyed integer gradient sums (map-side partials) "
+        "with the only float op a correctly-rounded IEEE divide; scoring "
+        "is a BroadcastHashJoin of the weight table into one doc-keyed "
+        "integer-dot-product aggregate — bounded control data only, "
+        "no collect of anything corpus-sized"
     ),
 }
 

@@ -607,3 +607,105 @@ def substring_span_stats(
             - F.coalesce(F.col("_n_single"), F.lit(0))
         ).alias("n_dup_grams"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    key: str = "hash",
+) -> DataFrame:
+    """The REMOVAL half of Lee et al. 2022 substring dedup (the
+    :func:`substring_span_stats` twin measures; this one edits): every
+    word ``k``-gram that also occurs in a different document is a
+    duplicated span, and all its occurrences are cut from every doc
+    EXCEPT the canonical one — the gram's minimum ``id`` (the same
+    min-id canonicalization as MinHash cluster collapse), so exactly
+    one copy of every duplicated run survives corpus-wide.
+
+    Output: ``(id_col, n_tokens, n_removed, text_dedup)`` —
+    ``n_removed`` counts removed token POSITIONS, ``text_dedup`` is
+    the doc's tokens minus every position covered by a removed gram
+    (overlapping gram windows merge naturally through position-set
+    union).  Docs shorter than ``k`` tokens pass through unchanged.
+
+    Scale shape: positions explode once; the per-gram aggregation is
+    the same constant-state (min, max) pass as the stats twin; the
+    position-marking join ships ONLY grams that are duplicated
+    somewhere (its output is the positions being removed — on a real
+    corpus the small minority; the work is proportional to the edit,
+    not the corpus).  The interval union + text rebuild are row-local
+    higher-order array expressions after one doc-keyed reassembly agg
+    — no Python, no window over positions.
+
+    ``key='hash'`` (default) marks positions through 8-byte xxhash64
+    gram keys; ``key='text'`` uses the raw gram so DuckDB can replay
+    the whole edit (oracle path; identical barring 2^-64 collisions).
+    """
+    w = F.split(F.lower(F.col(text_col)), " ")
+    d = df.select(F.col(id_col).alias("id"), w.alias("w"))
+    grams_arr = F.when(
+        F.size("w") >= k,
+        F.expr(
+            f"transform(sequence(0, size(w) - {k}), i -> "
+            f"array_join(slice(w, i + 1, {k}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("id", F.posexplode(grams_arr).alias("pos", "gram"))
+    if key == "hash":
+        g = g.select("id", "pos", F.xxhash64("gram").alias("gram"))
+    elif key != "text":
+        raise ValueError(f"key must be 'hash' or 'text', got {key!r}")
+    # duplicated grams + their canonical owner, constant agg state
+    dup = (
+        g.groupBy("gram")
+        .agg(F.min("id").alias("_lo"), F.max("id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select("gram", "_lo")
+    )
+    # positions to remove: occurrences of a duplicated gram OUTSIDE
+    # its canonical (min-id) doc — join output is exactly the edit
+    # set.  The covered-position union ([start, start+k) windows,
+    # overlaps merged by array_distinct) is computed HERE, below the
+    # doc join, so the final projection references a join-side
+    # attribute — referencing a derived column from inside the filter
+    # lambda above the join would re-evaluate it per token (the
+    # HOF-inlining trap, SCALE.md round 8).
+    removed = (
+        g.join(dup, "gram")
+        .filter(F.col("id") != F.col("_lo"))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("_starts"))
+        .select(
+            "id",
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "_starts",
+                        lambda p: F.sequence(p, p + F.lit(k - 1)),
+                    )
+                )
+            ).alias("_covered"),
+        )
+    )
+    out = d.join(removed, "id", "left").select(
+        "id",
+        "w",
+        F.coalesce("_covered", F.array().cast("array<int>")).alias(
+            "_covered"
+        ),
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.size("w").alias("n_tokens"),
+        F.size("_covered").alias("n_removed"),
+        F.array_join(
+            F.expr(
+                "transform(filter(transform(w, (t, i) -> "
+                "struct(i as i, t as t)), "
+                "s -> NOT array_contains(_covered, s.i)), s -> s.t)"
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )

@@ -5935,6 +5935,56 @@ def dedup_substring_spans_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of Lee et al. 2022 substring dedup
+    (operators/dedup.py:remove_duplicate_spans — dedup_substring_spans
+    measures, this EDITS): every cross-document word-8-gram is cut
+    from every doc except the gram's min-id canonical owner, the
+    covered windows merged by position-set union, and the text rebuilt
+    row-locally.  ``key='hash'`` (the production 8-byte-key form) —
+    proven equal to the text-key form the DuckDB oracle replays
+    (tests/test_dedup.py::test_remove_duplicate_spans_matches_reference),
+    the dedup_substring_spans_prod precedent."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    return remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), k=8, key="hash"
+    )
+
+
+DEDUP_SPAN_REMOVAL_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(w[i + 1:i + 8], ' ') AS gram
+  FROM d, LATERAL (SELECT unnest(generate_series(0, len(w) - 8)) AS i)
+  WHERE len(w) >= 8
+),
+dup AS (
+  SELECT gram, min(doc_id) AS lo FROM g GROUP BY gram
+  HAVING min(doc_id) != max(doc_id)
+),
+cov AS (
+  SELECT doc_id,
+         list_distinct(flatten(list_transform(
+           list(DISTINCT pos), p -> generate_series(p, p + 7)))) AS covered
+  FROM g JOIN dup USING (gram) WHERE doc_id != lo GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.w) AS INT) AS n_tokens,
+       CAST(coalesce(len(cov.covered), 0) AS INT) AS n_removed,
+       coalesce(array_to_string(
+         list_filter(d.w, (t, i) ->
+           NOT list_contains(coalesce(cov.covered, []), i - 1)),
+         ' '), '') AS text_dedup
+FROM d LEFT JOIN cov USING (doc_id)
+"""
+
+
 DEDUP_SUBSTRING_ORACLE = """
 WITH d AS (
   SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
@@ -8150,6 +8200,9 @@ def build_registry() -> dict[str, QuerySpec]:
             web_url_normalize, WEB_URL_NORMALIZE_ORACLE
         ),
         "web_domain_stats": QuerySpec(web_domain_stats, WEB_DOMAIN_STATS_ORACLE),
+        "dedup_span_removal": QuerySpec(
+            dedup_span_removal, DEDUP_SPAN_REMOVAL_ORACLE
+        ),
         "dedup_substring_spans": QuerySpec(
             dedup_substring_spans, DEDUP_SUBSTRING_ORACLE
         ),

@@ -337,3 +337,81 @@ def test_simhash_pairs_pigeonhole_equals_quadratic(spark, docs):
         for r in dd.simhash_near_dup_pairs(docs, max_hamming=3).collect()
     }
     assert got == want and want
+
+
+def _remove_spans_reference(rows, k):
+    """Brute-force driver-side replica of remove_duplicate_spans."""
+    grams = {}
+    toks = {i: t.lower().split(" ") for i, t in rows}
+    for i, w in toks.items():
+        for p in range(len(w) - k + 1):
+            grams.setdefault(" ".join(w[p : p + k]), []).append((i, p))
+    dup_lo = {
+        g: min(i for i, _ in occ)
+        for g, occ in grams.items()
+        if len({i for i, _ in occ}) >= 2
+    }
+    out = {}
+    for i, w in toks.items():
+        covered = set()
+        for p in range(len(w) - k + 1):
+            g = " ".join(w[p : p + k])
+            if g in dup_lo and dup_lo[g] != i:
+                covered.update(range(p, p + k))
+        kept = [t for j, t in enumerate(w) if j not in covered]
+        out[i] = (len(w), len(covered), " ".join(kept))
+    return out
+
+
+def test_remove_duplicate_spans_matches_reference(spark):
+    """remove_duplicate_spans == the brute-force reference on a corpus
+    with shared runs, overlapping duplicated grams, self-repeats, and
+    short docs — and the hash-key form equals the text-key form."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, f"intro words {shared} closing remark one"),
+        (2, f"other beginning {shared} and a different tail"),
+        (3, f"unrelated text with no big overlap at all here {shared}"),
+        (4, "completely unique document content nothing shared anywhere"),
+        (5, "tiny doc"),  # shorter than k: passes through
+        (6, "rep rep rep rep rep rep rep rep"),  # self-repeat, single doc
+    ]
+    k = 3
+    want = _remove_spans_reference(rows, k)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for key in ("text", "hash"):
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.text_dedup)
+            for r in remove_duplicate_spans(df, k=k, key=key).collect()
+        }
+        assert got == want, (key, got)
+    # canonical doc (min id sharing each gram) keeps the span: doc 1
+    assert shared in want[1][2]
+    assert shared not in want[2][2] and shared not in want[3][2]
+    # single-doc self-repeats are NOT cross-doc duplicates
+    assert want[6] == (8, 0, "rep rep rep rep rep rep rep rep")
+    # short doc untouched
+    assert want[5] == (2, 0, "tiny doc")
+
+
+def test_remove_duplicate_spans_plan_no_python(spark):
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "b c d e f g")], "doc_id long, text string"
+    )
+    plan = (
+        remove_duplicate_spans(df, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -4893,6 +4893,185 @@ WHERE n_tokens >= 30 AND ttr >= 0.35 AND ttr <= 0.95
 )
 
 
+def corpus_training_set_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROUND-9 capstone composition — every corpus-curation family
+    the engine grew this round, composed into ONE oracle-verified
+    relation: documents that (a) pass the quality gate, (b) survive
+    near-dup cluster collapse, (c) route to the train split, (d) get a
+    CONFIDENT language label (14-language NB, margin band 3000 — no
+    near-tie guesses), and (e) pass the distilled quality classifier:
+    the quality GATE itself is the teacher — its boolean over the 90%
+    split labels the one-step-GD training (the distillation pattern:
+    learn the rule from its own decisions so the learned WORDS
+    generalize past the rule's hard metric edges) — scored by integer
+    dot-product sign.  Output carries the evidence columns
+    ``(doc_id, lang, logit_micro)``.  The DuckDB oracle replays the
+    ENTIRE pipeline — MinHash-free exact-Jaccard clustering, metrics,
+    NB model retraining + banded argmax, teacher labels, gradient,
+    weights, scoring — as one SQL statement; each piece is also
+    individually oracle-backed elsewhere (corpus_training_set,
+    text_langid_confident, corpus_quality_scores)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.classifier import (
+        score_quality_micro,
+        train_one_step_micro,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.langid import (
+        language_id_nb,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    passing = tx.quality_gate(docs).select("doc_id")
+    train = (
+        train_val_test_split(docs, "doc_id")
+        .filter(F.col("split") == "train")
+        .select("doc_id")
+    )
+    confident = (
+        language_id_nb(
+            docs,
+            min_margin_micro=3000,
+            repartition=spark.sparkContext.defaultParallelism,
+        )
+        .filter(F.col("lang") != "und")
+        .select("doc_id", "lang")
+    )
+    labeled = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .join(
+            passing.select("doc_id", F.lit(True).alias("keep")),
+            "doc_id",
+            "left",
+        )
+        .withColumn("keep", F.coalesce("keep", F.lit(False)))
+    )
+    w = train_one_step_micro(labeled, "keep", dim=1024, lr=1.0)
+    scored = (
+        score_quality_micro(docs, w, dim=1024)
+        .filter(F.col("pred"))
+        .select("doc_id", "logit_micro")
+    )
+    return (
+        docs.select("doc_id")
+        .join(passing, "doc_id", "left_semi")
+        .join(_dedup_dropped(spark, sf_dir), "doc_id", "left_anti")
+        .join(train, "doc_id", "left_semi")
+        .join(confident, "doc_id")
+        .join(scored, "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _training_set_v2_oracle() -> str:
+    from aws_cdk_pipelines_datalake_etl_spark.operators.langid import (
+        langid_model_sql_ctes,
+    )
+
+    norm = (
+        "' ' || trim(regexp_replace(regexp_replace(lower({c}), "
+        "'[^a-z ]', ' ', 'g'), ' +', ' ', 'g')) || ' '"
+    )
+    feats = """
+  SELECT doc_id,
+         (('0x' || substr(md5(tok), 1, 12))::BIGINT) % 1024 AS slot,
+         count(*) AS k
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                      x -> x != '')) AS tok
+        FROM documents{where})
+  GROUP BY doc_id, slot
+  UNION ALL
+  SELECT doc_id, -1 AS slot, 1 AS k FROM documents{where}
+"""
+    return (
+        _CLUSTER_DROP_CTE
+        + f"""
+, metrics AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+         round(len(list_distinct(string_split(lower(text), ' '))) * 1.0
+               / len(string_split(lower(text), ' ')), 6) AS ttr
+  FROM documents
+),
+{langid_model_sql_ctes()},
+dnorm AS (SELECT doc_id, {norm.format(c="text")} AS s FROM documents),
+dk AS (
+  SELECT doc_id,
+         CASE WHEN length(s) >= 3 THEN length(s) - 2 ELSE 0 END AS n_trigrams
+  FROM dnorm
+),
+dtris AS (
+  SELECT doc_id, substring(s, i, 3) AS tri
+  FROM (SELECT doc_id, s, unnest(generate_series(1, length(s) - 2)) AS i
+        FROM dnorm WHERE length(s) >= 3)
+),
+matched AS (
+  SELECT doc_id, lang, sum(micro_logp) AS matched_micro
+  FROM dtris JOIN model USING (tri) GROUP BY doc_id, lang
+),
+grid AS (
+  SELECT dk.doc_id, c.lang, dk.n_trigrams,
+         COALESCE(m.matched_micro, 0) - dk.n_trigrams * c.micro_denom
+           AS score_micro
+  FROM dk CROSS JOIN consts c
+  LEFT JOIN matched m ON m.doc_id = dk.doc_id AND m.lang = c.lang
+),
+best AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score_micro DESC, lang ASC) AS rn,
+      lead(score_micro) OVER (
+      PARTITION BY doc_id ORDER BY score_micro DESC, lang ASC) AS next_score
+  FROM grid
+),
+lng AS (
+  SELECT doc_id,
+         CASE WHEN n_trigrams = 0 THEN 'und'
+              WHEN (score_micro - next_score) < 3000 * n_trigrams THEN 'und'
+              ELSE lang END AS lang
+  FROM best WHERE rn = 1
+),
+cl_labels AS (
+  SELECT doc_id,
+         CAST((n_tokens >= 30 AND ttr >= 0.35 AND ttr <= 0.95) AS INT) AS y
+  FROM metrics WHERE doc_id % 10 != 0
+),
+cl_trf AS ({feats.format(where=" WHERE doc_id % 10 != 0")}),
+cl_nn AS (SELECT count(*) AS n FROM cl_labels),
+cl_resid AS (SELECT doc_id, 500000 - 1000000 * y AS r_micro FROM cl_labels),
+cl_grad AS (
+  SELECT slot, sum(k * r_micro) AS g_micro
+  FROM cl_trf JOIN cl_resid USING (doc_id) GROUP BY slot
+),
+cl_wnz AS (
+  SELECT * FROM (
+    SELECT slot,
+           CAST(floor(-1.0 * g_micro / (SELECT n FROM cl_nn) + 0.5)
+                AS BIGINT) AS w_micro
+    FROM cl_grad
+  ) WHERE w_micro != 0
+),
+cl_allf AS ({feats.format(where="")}),
+cl_logit AS (
+  SELECT doc_id, CAST(sum(k * w_micro) AS BIGINT) AS logit_micro
+  FROM cl_allf JOIN cl_wnz USING (slot) GROUP BY doc_id
+)
+SELECT q.doc_id,
+       lng.lang,
+       CAST(COALESCE(cl_logit.logit_micro, 0) AS BIGINT) AS logit_micro
+FROM metrics q
+JOIN lng USING (doc_id)
+LEFT JOIN cl_logit USING (doc_id)
+WHERE q.n_tokens >= 30 AND q.ttr >= 0.35 AND q.ttr <= 0.95
+  AND q.doc_id NOT IN (SELECT node FROM dropped)
+  AND substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 1) NOT IN ('0', '1')
+  AND lng.lang != 'und'
+  AND COALESCE(cl_logit.logit_micro, 0) >= 0
+"""
+    )
+
+
 def udtf_word_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF surface (functions/udtf_fn.py WordNgrams): per-row
     fan-out through a LATERAL table function — every word trigram of
@@ -8058,6 +8237,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "corpus_training_set": QuerySpec(
             corpus_training_set, CORPUS_TRAINING_SET_ORACLE
+        ),
+        "corpus_training_set_v2": QuerySpec(
+            corpus_training_set_v2, _training_set_v2_oracle()
         ),
         "corpus_data_card": QuerySpec(corpus_data_card, CORPUS_DATA_CARD_ORACLE),
         "corpus_epoch_shuffle": QuerySpec(

@@ -6684,8 +6684,11 @@ _DRIVER_WINDOW = [
     "text_top_bigrams",
     "udtf_word_ngrams",
     # (4b) next-oldest: 23 alphabetically-first of the 45 entries last
-    # green in round 5 (the remaining 22, range_join_binned..
-    # ts_ewma, rotate in at round 10).
+    # green in round 5.  ROUND-10 WINDOW OWES: the remaining 22
+    # round-5 entries (range_join_binned + sample_quality_weighted..
+    # ts_ewma) plus the two round-9 LATE entries added after this
+    # window froze (dedup_span_removal, corpus_training_set_v2 — both
+    # with targeted oracle_check runs logged per the late-entry rule).
     "cdc_scd2",
     "corpus_data_card",
     "corpus_epoch_shuffle",

@@ -1,0 +1,274 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling",
+NeurIPS 2023) re-expressed as a Catalyst dataflow.
+
+Given a RAW corpus and a small TARGET-domain subset, DSIR scores every
+raw document by the log importance ratio ``log p_target(x) / p_raw(x)``
+under two hashed bag-of-n-gram unigram models, then resamples the raw
+corpus toward the target distribution by taking the highest-weight
+documents.  The published method uses hashed unigram+bigram features
+(10k buckets) and Gumbel-top-k resampling; here the scoring path is
+EXACT and engine-portable, and the resample step is deterministic
+top-k (the Gumbel noise seam is documented on
+:func:`dsir_topk` — noise injection changes ranking only, not the
+weights, so the oracle-verified surface is the whole scoring model).
+
+Why this is engine-exact (the langid/classifier device):
+
+* features are ``slot = hash48(gram) % dim`` — the portable 48-bit
+  md5-prefix hash DuckDB replays verbatim
+  (``('0x' || substr(md5(g), 1, 12))::BIGINT``);
+* both bucket models are add-one-smoothed multinomials whose log
+  probabilities are only ever taken of INTEGERS (``ln(ct+1)``,
+  ``ln(Ct+dim)``), quantized to integer micro-nats
+  (``floor(ln(x) * 1e6 + 0.5)``) exactly as ``operators/langid.py``
+  does, so the per-document weight
+
+      w(d) = sum_b k_b * [ln(ct_b+1) - ln(cr_b+1)]
+             - K_d * [ln(Ct+dim) - ln(Cr+dim)]
+
+  is a pure bigint sum — identical under any partitioning, and
+  identical between Spark and a DuckDB oracle that retrains both
+  models in SQL (``tests/test_dsir.py`` pins the driver-built lambda
+  table against the DuckDB-retrained one value-for-value, the ADVICE
+  r8 ln-boundary safeguard).
+
+Plan shape (the 100 TB story): one documents scan materializes the
+token array, a Generate+Project fan-out emits unigram+bigram
+occurrences (never a higher-order lambda over the tokenization chain —
+the HOF-inlining lesson, SCALE.md), one hash agg builds the per-(doc,
+slot) count table; the bucket model is a second ≤``dim``-row hash agg
+collected to the driver (bounded control data, like the classifier
+gradient), re-broadcast as the lambda table; scoring is a broadcast
+LEFT join plus ONE per-doc hash agg.  Nothing doc-proportional is
+ever collected; top-k is ``TakeOrderedAndProject`` (per-partition
+heads, no global sort).
+
+No reference-parity citation: the reference (aws-samples
+aws-cdk-pipelines-datalake-etl) has no data-selection surface; Tier-E
+LLM-corpus toolkit (SURVEY.md §2.6/§6).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def _micro_ln(x: int) -> int:
+    """floor(ln(x) * 1e6 + 0.5) — ln of an INTEGER only, the langid
+    quantization contract (both engines hand the same integer to the
+    same libm)."""
+    return int(math.floor(math.log(x) * MICRO + 0.5))
+
+
+def _gram_occurrences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Unigram + bigram occurrences ``(_id, *extra, gram)`` via
+    Generate+Project: the token array is materialized BEFORE the
+    explode so the split/lower chain runs once per document, not once
+    per gram.  Tokenization contract: single-space split of the
+    lowercased text, empties dropped (mirrors DuckDB
+    ``list_filter(string_split(lower(text), ' '), w -> w != '')``).
+
+    Index i runs 1..2n-1: i <= n yields unigram ``w[i]``; i > n yields
+    bigram ``w[i-n] || ' ' || w[i-n+1]`` (n-1 of them).  A doc with n
+    tokens therefore emits exactly 2n-1 grams (n >= 1)."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        tokens,
+    )
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in extra_cols],
+        F.filter(tokens(text_col), lambda w: w != "").alias("_w"),
+    ).select(
+        "_id", *extra_cols, "_w", F.size("_w").alias("_n")
+    )
+    return (
+        toks.filter(F.col("_n") >= 1)
+        .select(
+            "_id",
+            *extra_cols,
+            "_w",
+            "_n",
+            F.explode(F.sequence(F.lit(1), 2 * F.col("_n") - 1)).alias("i"),
+        )
+        .select(
+            "_id",
+            *extra_cols,
+            F.expr(
+                "CASE WHEN i <= _n THEN _w[i - 1] "
+                "ELSE concat(_w[i - _n - 1], ' ', _w[i - _n]) END"
+            ).alias("gram"),
+        )
+    )
+
+
+def _hashed_gram_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    dim: int,
+) -> DataFrame:
+    """Per-(doc, slot) feature counts ``(_id, _tgt, slot, k)`` with
+    ``slot = hash48(gram) % dim`` (hash48 is < 2^48, so ``%`` == pmod
+    on both engines)."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        hash48,
+    )
+
+    occ = _gram_occurrences(df, id_col, text_col, extra_cols=("_tgt",))
+    return (
+        occ.select(
+            "_id",
+            "_tgt",
+            F.pmod(hash48(F.col("gram")), F.lit(dim)).alias("slot"),
+        )
+        .groupBy("_id", "_tgt", "slot")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+
+
+def train_dsir_model(
+    feats: DataFrame, dim: int
+) -> tuple[list[tuple[int, int]], int]:
+    """Bucket log-ratio table from the feature counts: returns
+    ``(lam_rows, const_micro)`` where ``lam_rows`` is
+    ``[(slot, lam_micro)]`` for every slot with ct != cr (equal-count
+    slots have lambda exactly 0 and are dropped — they contribute
+    nothing to the matched sum), and ``const_micro`` is the smoothing
+    denominator difference ``micro_ln(Ct+dim) - micro_ln(Cr+dim)``.
+
+    The agg output is <= ``dim`` rows — bounded control data (the
+    classifier-gradient precedent), the ONLY collect in the flow."""
+    m = (
+        feats.groupBy("slot")
+        .agg(
+            F.sum(F.when(F.col("_tgt"), F.col("k")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("ct"),
+            F.sum(F.when(~F.col("_tgt"), F.col("k")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("cr"),
+        )
+        .collect()
+    )
+    big_ct = sum(r["ct"] for r in m)
+    big_cr = sum(r["cr"] for r in m)
+    lam = [
+        (int(r["slot"]), _micro_ln(r["ct"] + 1) - _micro_ln(r["cr"] + 1))
+        for r in sorted(m, key=lambda r: r["slot"])
+        if r["ct"] != r["cr"]
+    ]
+    const_micro = _micro_ln(big_ct + dim) - _micro_ln(big_cr + dim)
+    return lam, const_micro
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_expr,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 4096,
+    repartition: int | None = None,
+) -> DataFrame:
+    """Importance log-weights for every document.
+
+    ``target_expr`` is a boolean Column marking the TARGET-domain
+    docs (e.g. ``F.col('source').isin('src0', 'src1')``); everything
+    else is the raw pool.  Both models train on the same pass.
+
+    Output: ``(doc_id, is_target boolean, n_grams int,
+    weight_micro bigint)`` — ``weight_micro`` is the integer micro-nat
+    log importance ratio; zero-token docs carry weight 0.
+
+    ``repartition`` widens the scan before the ~2x-tokens explode
+    (the single-file-parquet dial, same as ``bpe_encode_ids`` /
+    ``language_id_nb``).
+
+    The feature table is consumed twice (model agg, then scoring) and
+    deliberately NOT persisted here: at bench scale recompute is one
+    extra scan; at 100 TB you materialize ``_hashed_gram_counts`` to
+    parquet once and run both consumers against it (the standard
+    two-pass shape — same call, pre-staged input)."""
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        target_expr.cast("boolean").alias("_tgt"),
+        F.col(text_col).alias("_text"),
+    )
+    if repartition is not None:
+        base = base.repartition(repartition)
+
+    feats = _hashed_gram_counts(base, "_id", "_text", "_tgt", dim)
+    lam_rows, const_micro = train_dsir_model(feats, dim)
+    lam_df = spark.createDataFrame(
+        lam_rows or [(-1, 0)], "slot bigint, lam bigint"
+    )
+
+    scored = (
+        feats.join(F.broadcast(lam_df), "slot", "left")
+        .groupBy("_id", "_tgt")
+        .agg(
+            F.sum("k").cast("bigint").alias("_kd"),
+            F.sum(F.col("k") * F.coalesce(F.col("lam"), F.lit(0)))
+            .cast("bigint")
+            .alias("_s"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_tgt").alias("is_target"),
+            F.col("_kd").cast("int").alias("n_grams"),
+            (F.col("_s") - F.col("_kd") * F.lit(const_micro))
+            .cast("bigint")
+            .alias("weight_micro"),
+        )
+    )
+    # zero-token docs never reach the explode: union them back with
+    # weight 0 (ln-ratio of an empty product), the langid empty-branch
+    # device.
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        tokens,
+    )
+
+    empty = base.filter(
+        F.size(F.filter(tokens("_text"), lambda w: w != "")) == 0
+    ).select(
+        F.col("_id").alias(id_col),
+        F.col("_tgt").alias("is_target"),
+        F.lit(0).cast("int").alias("n_grams"),
+        F.lit(0).cast("bigint").alias("weight_micro"),
+    )
+    return scored.unionByName(empty)
+
+
+def dsir_topk(
+    weights: DataFrame,
+    k: int,
+    include_target: bool = False,
+) -> DataFrame:
+    """Deterministic DSIR selection: the k raw-pool documents with the
+    highest importance weight (ties broken by doc_id so the choice is
+    total-ordered).  ``orderBy(...).limit(k)`` compiles to
+    ``TakeOrderedAndProject`` — per-partition top-k heads merged on
+    the driver, no global sort, the scalable form.
+
+    The published method resamples with Gumbel noise
+    (``argtop_k(w_i + g_i)``); that seam is a one-line change here
+    (add a hash-derived Gumbel column to the sort key) and is left
+    OUT of the exact path on purpose: noise perturbs only the
+    selection, not the oracle-verified weights."""
+    pool = weights if include_target else weights.filter(~F.col("is_target"))
+    return pool.orderBy(
+        F.col("weight_micro").desc(), F.col("doc_id").asc()
+    ).limit(k)

@@ -7854,6 +7854,105 @@ LEFT JOIN logit l USING (doc_id)
 """
 
 
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir.py — Xie et al. 2023,
+    NeurIPS): target domain = sources src0/src1 (10% of the corpus),
+    raw pool = the rest; hashed unigram+bigram features (hash48 %
+    4096), two add-one bucket models, and the per-doc integer
+    micro-nat log importance ratio.  Every ln is taken of an integer
+    and floor-quantized (the langid device), so the DuckDB oracle
+    retrains BOTH models in SQL and the weights hash-verify.  Plan:
+    one Generate+Project gram fan-out, one (doc, slot) hash agg, a
+    <=4096-row model agg (the only collect — bounded control data),
+    broadcast lambda join, one per-doc hash agg."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dsir import (
+        dsir_weights,
+    )
+
+    return dsir_weights(
+        _t(spark, sf_dir, "documents"),
+        F.col("source").isin("src0", "src1"),
+        dim=4096,
+    )
+
+
+def sample_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection step: the 100 highest-importance raw-pool docs
+    (deterministic top-k, ties broken by doc_id — the published
+    Gumbel-top-k noise seam is documented on operators/dsir.py:
+    dsir_topk).  Compiles to TakeOrderedAndProject over the weight
+    dataflow — per-partition heads, no global sort."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dsir import (
+        dsir_topk,
+        dsir_weights,
+    )
+
+    w = dsir_weights(
+        _t(spark, sf_dir, "documents"),
+        F.col("source").isin("src0", "src1"),
+        dim=4096,
+    )
+    return dsir_topk(w, k=100)
+
+
+_DSIR_WEIGHTS_SQL = """
+WITH b AS (
+  SELECT doc_id, (source IN ('src0', 'src1')) AS tgt,
+         list_filter(string_split(lower(text), ' '), w -> w != '') AS w
+  FROM documents
+),
+nz AS (SELECT doc_id, tgt, w, len(w) AS n FROM b WHERE len(w) >= 1),
+occ AS (
+  SELECT doc_id, tgt,
+         CASE WHEN i <= n THEN w[i]
+              ELSE w[i - n] || ' ' || w[i - n + 1] END AS gram
+  FROM nz, LATERAL (SELECT unnest(generate_series(1, 2 * n - 1)) AS i)
+),
+f AS (
+  SELECT doc_id, tgt,
+         ('0x' || substr(md5(gram), 1, 12))::BIGINT % 4096 AS slot,
+         count(*) AS k
+  FROM occ GROUP BY doc_id, tgt, slot
+),
+m AS (
+  SELECT slot,
+         sum(CASE WHEN tgt THEN k ELSE 0 END) AS ct,
+         sum(CASE WHEN NOT tgt THEN k ELSE 0 END) AS cr
+  FROM f GROUP BY slot
+),
+tot AS (SELECT sum(ct) AS bct, sum(cr) AS bcr FROM m),
+lam AS (
+  SELECT slot,
+         CAST(floor(ln(ct + 1) * 1000000 + 0.5) AS BIGINT)
+         - CAST(floor(ln(cr + 1) * 1000000 + 0.5) AS BIGINT) AS lam
+  FROM m WHERE ct != cr
+),
+cst AS (
+  SELECT CAST(floor(ln(bct + 4096) * 1000000 + 0.5) AS BIGINT)
+         - CAST(floor(ln(bcr + 4096) * 1000000 + 0.5) AS BIGINT) AS c
+  FROM tot
+),
+sc AS (
+  SELECT f.doc_id, f.tgt, sum(f.k) AS kd,
+         sum(f.k * coalesce(lam.lam, 0)) AS s
+  FROM f LEFT JOIN lam USING (slot) GROUP BY f.doc_id, f.tgt
+)
+SELECT doc_id, tgt AS is_target, CAST(kd AS INT) AS n_grams,
+       CAST(s - kd * (SELECT c FROM cst) AS BIGINT) AS weight_micro
+FROM sc
+UNION ALL
+SELECT doc_id, tgt, 0, 0 FROM b WHERE len(w) = 0
+"""
+
+CORPUS_DSIR_WEIGHTS_ORACLE = _DSIR_WEIGHTS_SQL
+
+SAMPLE_DSIR_TOPK_ORACLE = f"""
+WITH wts AS ({_DSIR_WEIGHTS_SQL})
+SELECT * FROM wts WHERE NOT is_target
+ORDER BY weight_micro DESC, doc_id ASC LIMIT 100
+"""
+
+
 def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out bigram LM scoring (operators/lm.py): train stupid-
     backoff counts on 90% of the corpus, score the held-out 10% —
@@ -8440,6 +8539,12 @@ def build_registry() -> dict[str, QuerySpec]:
         "corpus_quality_classifier": QuerySpec(corpus_quality_classifier, None),
         "corpus_quality_scores": QuerySpec(
             corpus_quality_scores, CORPUS_QUALITY_SCORES_ORACLE
+        ),
+        "corpus_dsir_weights": QuerySpec(
+            corpus_dsir_weights, CORPUS_DSIR_WEIGHTS_ORACLE
+        ),
+        "sample_dsir_topk": QuerySpec(
+            sample_dsir_topk, SAMPLE_DSIR_TOPK_ORACLE
         ),
         "text_gopher_rules": QuerySpec(text_gopher_rules, TEXT_GOPHER_ORACLE),
         "web_pagerank": QuerySpec(web_pagerank, WEB_PAGERANK_ORACLE),

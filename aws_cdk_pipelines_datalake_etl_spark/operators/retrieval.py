@@ -265,3 +265,84 @@ def retrieval_metrics(
             ).cast("long").alias("mrr_micro"),
         )
     )
+
+
+def bm25_hard_negatives(
+    df: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k_neg: int = 5,
+    depth: int = 100,
+) -> DataFrame:
+    """Hard-negative mining for retrieval training (the DPR recipe,
+    Karpukhin et al. 2020: "top passages returned by BM25 which don't
+    contain the answer"): rank the corpus per query with BM25 to
+    ``depth``, drop the positives, keep the ``k_neg`` best-scoring
+    survivors — the near-miss documents a contrastive dual-encoder
+    learns the most from.
+
+    Two positive notions, mirroring practice:
+
+    - explicit ``positives`` (query_id, doc_id) qrels — dropped with a
+      broadcast LEFT ANTI join;
+    - ``positives=None``: a document is presumed positive iff it
+      matches EVERY query term (the exact-match relevance rule).  This
+      costs nothing: ``bm25_topk`` already emits ``n_matched_terms``,
+      so the filter is ``n_matched_terms < n_query_terms`` against a
+      broadcast per-query term count — no second corpus scan.
+
+    Output: one row per (query, negative) with the negative's rank
+    among negatives (``neg_rank`` 1..k_neg), its original BM25 rank
+    (``rank``), score and matched-term count.  Deterministic: BM25
+    scores are integer-micro sums, ties break on doc id, and both
+    re-rankings reuse that total order.
+
+    Scale posture: everything after the ``bm25_topk`` probe operates
+    on queries x depth rows — corpus-independent; the probe itself
+    keeps the corpus shuffle-free (broadcast query terms).  At real
+    depth (DPR mines from the top ~100 of a billion-passage index)
+    the per-query volume is still tiny."""
+    ranked = bm25_topk(
+        df,
+        queries,
+        id_col=id_col,
+        text_col=text_col,
+        query_id_col=query_id_col,
+        term_col=term_col,
+        k1=k1,
+        b=b,
+        k=depth,
+    )
+    if positives is not None:
+        rel = positives.select(
+            F.col(query_id_col), F.col(id_col)
+        ).distinct()
+        cand = ranked.join(
+            F.broadcast(rel), [query_id_col, id_col], "left_anti"
+        )
+    else:
+        nq = queries.groupBy(F.col(query_id_col)).agg(
+            F.count_distinct(F.col(term_col)).alias("_n_q_terms")
+        )
+        cand = ranked.join(F.broadcast(nq), query_id_col).filter(
+            F.col("n_matched_terms") < F.col("_n_q_terms")
+        )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("rank").asc())
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k_neg)
+        .select(
+            query_id_col,
+            id_col,
+            "neg_rank",
+            "rank",
+            "bm25",
+            "n_matched_terms",
+        )
+    )

@@ -7474,6 +7474,86 @@ FROM nrel n LEFT JOIN matched m ON n.qid = m.qid
 """
 
 
+def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 hard-negative mining (operators/retrieval.py:
+    bm25_hard_negatives — the DPR recipe, Karpukhin et al. 2020): the
+    deterministic residue-class qrels are the positives; the 10
+    best-scoring NON-relevant docs from each query's BM25 top-50 are
+    the mined negatives a contrastive dual-encoder trains against.
+    The qrels ride a broadcast LEFT ANTI join over the queries x 50
+    ranked rows — corpus-independent after the probe; scores are
+    integer-micro sums so both rankings are engine-exact."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.retrieval import (
+        bm25_hard_negatives,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERY_TERMS, "query_id string, term string"
+    )
+    rels = [
+        docs.select(
+            F.lit(qid).alias("query_id"), F.col("doc_id")
+        ).filter(F.col("doc_id") % m == r)
+        for qid, m, r in _QRELS_RULES
+    ]
+    qrels = rels[0]
+    for part in rels[1:]:
+        qrels = qrels.unionByName(part)
+    return bm25_hard_negatives(
+        docs, queries, positives=qrels, k_neg=10, depth=50
+    ).orderBy("query_id", "neg_rank")
+
+
+RETRIEVAL_HARD_NEGATIVES_ORACLE = f"""
+WITH q AS (SELECT * FROM (VALUES {_BM25_VALUES}) AS t(qid, term)),
+toks AS (
+  SELECT doc_id AS doc, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+docterm AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY doc, term),
+docstats AS (SELECT doc, count(*) AS dl FROM toks GROUP BY doc),
+corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM docstats),
+hits AS (SELECT q.qid, dt.doc, dt.term, dt.tf FROM docterm dt JOIN q USING (term)),
+termdf AS (SELECT term, count(DISTINCT doc) AS df FROM hits GROUP BY term),
+parts AS (
+  SELECT h.qid, h.doc,
+         CAST(floor(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+           * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs)))))
+           * 1000000 + 0.5) AS BIGINT) AS part_micro
+  FROM hits h JOIN termdf USING (term) JOIN docstats USING (doc), corpus
+),
+hn_scored AS (
+  SELECT qid, doc, sum(part_micro) AS score_micro,
+         count(*) AS n_matched_terms
+  FROM parts GROUP BY qid, doc
+),
+hn_ranked AS (
+  SELECT qid, doc, score_micro, n_matched_terms,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY score_micro DESC, doc ASC
+         ) AS rank
+  FROM hn_scored
+),
+rel AS (
+{_QRELS_SQL}
+),
+cand AS (
+  SELECT r.qid, r.doc, r.rank, r.score_micro, r.n_matched_terms,
+         row_number() OVER (
+           PARTITION BY r.qid ORDER BY r.rank ASC
+         ) AS neg_rank
+  FROM (SELECT * FROM hn_ranked WHERE rank <= 50) r
+  LEFT JOIN rel ON rel.qid = r.qid AND rel.doc = r.doc
+  WHERE rel.doc IS NULL
+)
+SELECT qid AS query_id, doc AS doc_id, neg_rank, rank,
+       score_micro / 1000000.0 AS bm25, n_matched_terms
+FROM cand WHERE neg_rank <= 10
+"""
+
+
 def _lm_splits(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -8520,6 +8600,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "retrieval_metrics_bm25": QuerySpec(
             retrieval_metrics_bm25, RETRIEVAL_METRICS_ORACLE
+        ),
+        "retrieval_hard_negatives": QuerySpec(
+            retrieval_hard_negatives, RETRIEVAL_HARD_NEGATIVES_ORACLE
         ),
         "lm_bigram_logprob": QuerySpec(
             lm_bigram_logprob, LM_BIGRAM_LOGPROB_ORACLE

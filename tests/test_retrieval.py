@@ -196,3 +196,86 @@ def test_retrieval_metrics_broadcasts_qrels(spark):
     plan = formatted_plan(retrieval_metrics(results, qrels))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_explicit_qrels(spark):
+    """DPR mining with explicit positives: the qrels docs vanish, the
+    survivors keep BM25 order, neg_rank is dense from 1."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.retrieval import (
+        bm25_hard_negatives,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark"),
+            (2, "spark spark other"),
+            (3, "spark other other"),
+            (4, "other other other"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [("q1", "spark")], "query_id string, term string"
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 1)], "query_id string, doc_id long"
+    )
+    out = bm25_hard_negatives(
+        docs, queries, positives=qrels, k_neg=2, depth=10
+    ).collect()
+    # doc 1 (the positive) is gone; docs 2, 3 are the best negatives
+    assert [(r["doc_id"], r["neg_rank"]) for r in out] == [(2, 1), (3, 2)]
+    # original BM25 ranks are preserved alongside (doc 1 held rank 1)
+    assert [r["rank"] for r in out] == [2, 3]
+
+
+def test_hard_negatives_match_all_rule(spark):
+    """positives=None: a doc matching EVERY query term is presumed
+    positive; the mined negatives are exactly the partial matchers,
+    best BM25 first."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.retrieval import (
+        bm25_hard_negatives,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta noise"),        # full match -> positive
+            (2, "alpha alpha alpha alpha"),  # hard negative (no beta)
+            (3, "beta beta beta"),           # hard negative (no alpha)
+            (4, "noise noise noise"),        # no match at all -> absent
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [("q1", "alpha"), ("q1", "beta")], "query_id string, term string"
+    )
+    out = bm25_hard_negatives(docs, queries, k_neg=5, depth=10).collect()
+    got = {r["doc_id"] for r in out}
+    assert got == {2, 3}
+    assert all(r["n_matched_terms"] == 1 for r in out)
+    assert [r["neg_rank"] for r in sorted(out, key=lambda r: r["rank"])] == [
+        1,
+        2,
+    ]
+
+
+def test_hard_negatives_plan_shape(spark):
+    """Qrels exclusion is a broadcast anti join; no Python, no
+    cartesian product anywhere in the mining plan."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.retrieval import (
+        bm25_hard_negatives,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [("q1", "spark")], "query_id string, term string"
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 2)], "query_id string, doc_id long"
+    )
+    plan = formatted_plan(
+        bm25_hard_negatives(docs, queries, positives=qrels, k_neg=2)
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -245,3 +245,138 @@ def perplexity_buckets(
             .alias("ppl_bucket"),
         )
     )
+
+
+#: Kneser-Ney absolute discount.  3/4 is EXACTLY representable in
+#: binary floating point, so ``c - D`` and ``D * x`` stay correctly
+#: rounded single operations on both engines.
+KN_DISCOUNT = 0.75
+
+
+def train_kneser_ney_lm(
+    df: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Count tables of the interpolated Kneser-Ney bigram LM (Kneser &
+    Ney 1995; the interpolated form of Chen & Goodman 1999):
+    ``(bigrams, ctx, cont, totals)``:
+
+    - ``bigrams``: (w1, w2, c2) — bigram counts;
+    - ``ctx``: per context w1: ``ctx_total`` = sum of its bigram
+      counts and ``n1p_fwd`` = N1+(w1, .) — distinct continuations
+      (the normalizer of the discount mass);
+    - ``cont``: per word w2: ``n1p_bwd`` = N1+(., w2) — distinct left
+      contexts (the continuation-probability numerator: how many
+      *novel* contexts the word completes, not how often it occurs);
+    - ``totals``: one row (n_bigram_types, v_vocab).
+
+    ``ctx`` and ``cont`` both derive from the bigram table (two cheap
+    aggs of an already-aggregated, vocabulary-bounded input) — the
+    corpus is exploded once."""
+    bigrams, unigrams, _ = train_bigram_lm(df, text_col)
+    ctx = bigrams.groupBy("w1").agg(
+        F.sum("c2").alias("ctx_total"),
+        F.count(F.lit(1)).alias("n1p_fwd"),
+    )
+    cont = bigrams.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    totals = bigrams.agg(F.count(F.lit(1)).alias("n_bigram_types")).crossJoin(
+        unigrams.agg(F.count(F.lit(1)).alias("v_vocab"))
+    )
+    return bigrams, ctx, cont, totals
+
+
+def kneser_ney_logprob(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mean interpolated-Kneser-Ney bigram log-probability of each
+    ``score`` document under the model trained on ``train``:
+
+        p(w2 | w1) = max(c(w1 w2) - D, 0) / c(w1 .)
+                     + D * N1+(w1, .) / c(w1 .) * Pcont(w2)
+        Pcont(w2)  = (N1+(., w2) + 1) / (N1+(., .) + V)
+
+    with D = 0.75.  The add-one on the continuation distribution is
+    the same OOV device the stupid-backoff twin uses: unseen words
+    get a small finite probability without a reserved symbol (a
+    documented deviation from the textbook form, which leaves OOV
+    undefined).  An unseen CONTEXT backs off to Pcont(w2) alone.
+
+    Engine-exactness: every input to the probability is an exact
+    integer, D is binary-representable, and the expression tree below
+    is replicated operation-for-operation in the DuckDB oracle — IEEE
+    multiply/divide/subtract are correctly rounded, so both engines
+    feed bit-identical doubles into the one ``ln``, micro-quantized
+    per bigram BEFORE the order-independent bigint sum (the
+    ``bigram_logprob`` contract).
+
+    Output per scored doc: ``avg_logprob``, ``n_bigrams``,
+    ``n_unseen_ctx`` (occurrences whose context never appeared in
+    training — full backoff), ``n_novel`` (seen context, unseen
+    continuation — the discount-mass path).  Docs with < 2 tokens get
+    a NULL-avg row via the same ``explode_outer`` device.
+
+    Scale posture: identical to ``bigram_logprob`` — model tables are
+    vocabulary-bounded join sides (AQE broadcasts while they fit),
+    the scored stream explodes row-locally and aggregates once."""
+    bigrams, ctx, cont, totals = train_kneser_ney_lm(train, text_col)
+
+    stream = score.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(_bigrams(text_col)).alias("bg"),
+    ).select(
+        "id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+
+    joined = (
+        stream.join(bigrams, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    d = F.lit(KN_DISCOUNT)
+    pcont = (
+        (F.coalesce(F.col("n1p_bwd"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("n_bigram_types") + F.col("v_vocab")).cast("double")
+    )
+    ctx_seen = F.col("ctx_total").isNotNull()
+    p_seen_ctx = (
+        F.greatest(
+            F.coalesce(F.col("c2"), F.lit(0)).cast("double") - d, F.lit(0.0)
+        )
+        / F.col("ctx_total").cast("double")
+        + d * F.col("n1p_fwd").cast("double")
+        / F.col("ctx_total").cast("double")
+        * pcont
+    )
+    p = F.when(ctx_seen, p_seen_ctx).otherwise(pcont)
+
+    real = F.col("w1").isNotNull()
+    micro_logp = F.when(
+        real, F.floor(F.log(p) * MICRO + F.lit(0.5)).cast("long")
+    )
+    return (
+        joined.withColumn("micro_logp", micro_logp)
+        .withColumn("is_unseen_ctx", (real & ~ctx_seen).cast("long"))
+        .withColumn(
+            "is_novel",
+            (real & ctx_seen & F.col("c2").isNull()).cast("long"),
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("micro_logp").alias("s"),
+            F.count("micro_logp").alias("n_bigrams"),
+            F.sum("is_unseen_ctx").alias("n_unseen_ctx"),
+            F.sum("is_novel").alias("n_novel"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            (F.col("s") / (F.col("n_bigrams") * F.lit(float(MICRO)))).alias(
+                "avg_logprob"
+            ),
+            "n_bigrams",
+            "n_unseen_ctx",
+            "n_novel",
+        )
+    )

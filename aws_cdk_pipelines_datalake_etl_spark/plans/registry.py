@@ -8102,6 +8102,86 @@ LM_BIGRAM_LOGPROB_ORACLE = (
 )
 
 
+def lm_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (operators/lm.py:
+    kneser_ney_logprob — Kneser & Ney 1995 / Chen & Goodman 1999, the
+    standard n-gram smoothing): same 90/10 split as the stupid-backoff
+    twin, D = 0.75 (binary-exact), continuation probabilities from
+    distinct-context counts, add-one OOV device documented in the
+    operator.  The DuckDB oracle retrains all four model tables in SQL
+    and replicates the probability expression operation-for-operation,
+    so the per-bigram micro-nat quantization hash-verifies."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.lm import (
+        kneser_ney_logprob,
+    )
+
+    train, held = _lm_splits(spark, sf_dir)
+    return kneser_ney_logprob(train, held)
+
+
+LM_KNESER_NEY_ORACLE = """
+WITH train AS (SELECT * FROM documents WHERE doc_id % 10 != 0),
+held AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+tr_toks AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM train),
+unigrams AS (SELECT w, count(*) AS c1 FROM tr_toks GROUP BY w),
+tr_ls AS (SELECT string_split(lower(text), ' ') AS ls FROM train),
+tr_bg AS (
+  SELECT ls[i] AS w1, ls[i + 1] AS w2
+  FROM tr_ls, LATERAL (SELECT unnest(range(1, len(ls))) AS i)
+),
+bigrams AS (SELECT w1, w2, count(*) AS c2 FROM tr_bg GROUP BY w1, w2),
+ctx AS (
+  SELECT w1, sum(c2) AS ctx_total, count(*) AS n1p_fwd
+  FROM bigrams GROUP BY w1
+),
+cont AS (SELECT w2, count(*) AS n1p_bwd FROM bigrams GROUP BY w2),
+kn_tot AS (
+  SELECT (SELECT count(*) FROM bigrams) AS n_bigram_types,
+         (SELECT count(*) FROM unigrams) AS v_vocab
+),
+sc_ls AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS ls FROM held),
+stream AS (
+  SELECT id, ls[i] AS w1, ls[i + 1] AS w2
+  FROM sc_ls, LATERAL (SELECT unnest(range(1, len(ls))) AS i)
+),
+joined AS (
+  SELECT s.id,
+         CASE WHEN c.ctx_total IS NOT NULL
+              THEN greatest(COALESCE(b.c2, 0) - 0.75, 0)
+                     / CAST(c.ctx_total AS DOUBLE)
+                   + 0.75 * CAST(c.n1p_fwd AS DOUBLE)
+                     / CAST(c.ctx_total AS DOUBLE)
+                     * (CAST(COALESCE(ct.n1p_bwd, 0) + 1 AS DOUBLE)
+                        / CAST(n_bigram_types + v_vocab AS DOUBLE))
+              ELSE CAST(COALESCE(ct.n1p_bwd, 0) + 1 AS DOUBLE)
+                   / CAST(n_bigram_types + v_vocab AS DOUBLE)
+         END AS p,
+         CASE WHEN c.ctx_total IS NULL THEN 1 ELSE 0 END AS is_unseen_ctx,
+         CASE WHEN c.ctx_total IS NOT NULL AND b.c2 IS NULL
+              THEN 1 ELSE 0 END AS is_novel
+  FROM stream s
+  LEFT JOIN bigrams b ON s.w1 = b.w1 AND s.w2 = b.w2
+  LEFT JOIN ctx c ON s.w1 = c.w1
+  LEFT JOIN cont ct ON s.w2 = ct.w2
+  , kn_tot
+),
+agged AS (
+  SELECT id AS doc_id,
+         sum(CAST(floor(ln(p) * 1000000 + 0.5) AS BIGINT))
+           / (count(*) * 1000000.0) AS avg_logprob,
+         count(*) AS n_bigrams,
+         CAST(sum(is_unseen_ctx) AS BIGINT) AS n_unseen_ctx,
+         CAST(sum(is_novel) AS BIGINT) AS n_novel
+  FROM joined GROUP BY id
+)
+SELECT h.doc_id, a.avg_logprob,
+       CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(a.n_unseen_ctx, 0) AS BIGINT) AS n_unseen_ctx,
+       CAST(COALESCE(a.n_novel, 0) AS BIGINT) AS n_novel
+FROM held h LEFT JOIN agged a ON h.doc_id = a.doc_id
+"""
+
+
 def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity terciles (operators/lm.py): the
     held-out docs ranked by stupid-backoff model score and split into
@@ -8606,6 +8686,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "lm_bigram_logprob": QuerySpec(
             lm_bigram_logprob, LM_BIGRAM_LOGPROB_ORACLE
+        ),
+        "lm_kneser_ney_logprob": QuerySpec(
+            lm_kneser_ney_logprob, LM_KNESER_NEY_ORACLE
         ),
         "lm_perplexity_buckets": QuerySpec(
             lm_perplexity_buckets, LM_PERPLEXITY_BUCKETS_ORACLE

@@ -214,3 +214,133 @@ def test_cutpoints_approx_drift_bound(spark):
         assert abs(exact[d] - approx[d]) == 1, (d, exact[d], approx[d])
     assert exact[9001] == exact[9002] == 3
     assert approx[9001] == approx[9002] == 3
+
+
+def _kn_reference(train_texts, w1, w2, d=0.75):
+    """Closed-form interpolated KN for one bigram, mirroring
+    kneser_ney_logprob's formula (add-one continuation OOV device)."""
+    bg: dict[tuple[str, str], int] = {}
+    vocab: set[str] = set()
+    for t in train_texts:
+        ws = t.lower().split(" ")
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    ctx_total = sum(c for (a, _), c in bg.items() if a == w1)
+    n1p_fwd = sum(1 for (a, _) in bg if a == w1)
+    n1p_bwd = sum(1 for (_, b) in bg if b == w2)
+    pcont = (n1p_bwd + 1) / (len(bg) + len(vocab))
+    if ctx_total == 0:
+        return pcont
+    return (
+        max(bg.get((w1, w2), 0) - d, 0) / ctx_total
+        + d * n1p_fwd / ctx_total * pcont
+    )
+
+
+def test_kneser_ney_matches_closed_form(spark):
+    """One scored doc walks the three paths (seen bigram, novel
+    continuation, unseen context); per-bigram probabilities match the
+    hand model through the micro-nat quantization."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.lm import (
+        kneser_ney_logprob,
+    )
+
+    train_texts = [
+        "the cat sat on the mat",
+        "the dog sat on the rug",
+        "a cat ate the fish",
+    ]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string"
+    )
+    # seen: (the, cat); novel: (cat, on) and (on, zzz) — contexts
+    # seen, continuations new; unseen ctx: (zzz, the)
+    score = spark.createDataFrame(
+        [(100, "the cat on zzz the")], "doc_id long, text string"
+    )
+    row = kneser_ney_logprob(train, score).collect()[0]
+    assert row["n_bigrams"] == 4
+    assert row["n_unseen_ctx"] == 1  # (zzz, the)
+    assert row["n_novel"] == 2       # (cat, on), (on, zzz)
+    expect = sum(
+        math.floor(
+            math.log(_kn_reference(train_texts, a, b)) * 1_000_000 + 0.5
+        )
+        for a, b in [("the", "cat"), ("cat", "on"), ("on", "zzz"), ("zzz", "the")]
+    )
+    assert abs(row["avg_logprob"] - expect / (4 * 1_000_000.0)) < 1e-12
+
+
+def test_kneser_ney_normalizes_over_training_vocab(spark):
+    """With the add-one continuation device, p(. | w1) sums to EXACTLY
+    1 over the training vocabulary for any seen context (the discount
+    mass is fully redistributed) — the property that makes KN a real
+    probability model, not a heuristic."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.lm import (
+        train_kneser_ney_lm,
+    )
+
+    train_texts = [
+        "b a c a b a d",
+        "a b a c d b",
+        "c a d b a a",
+    ]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string"
+    )
+    bigrams, ctx, cont, totals = train_kneser_ney_lm(train)
+    bg = {(r["w1"], r["w2"]): r["c2"] for r in bigrams.collect()}
+    cx = {r["w1"]: (r["ctx_total"], r["n1p_fwd"]) for r in ctx.collect()}
+    ct = {r["w2"]: r["n1p_bwd"] for r in cont.collect()}
+    t = totals.collect()[0]
+    vocab = {w for pair in bg for w in pair}
+    for w1 in cx:
+        total, n1p_fwd = cx[w1]
+        s = 0.0
+        for w2 in vocab:
+            pcont = (ct.get(w2, 0) + 1) / (
+                t["n_bigram_types"] + t["v_vocab"]
+            )
+            s += (
+                max(bg.get((w1, w2), 0) - 0.75, 0) / total
+                + 0.75 * n1p_fwd / total * pcont
+            )
+        assert abs(s - 1.0) < 1e-9, (w1, s)
+
+
+def test_kneser_ney_short_docs_emit_null_row(spark):
+    from aws_cdk_pipelines_datalake_etl_spark.operators.lm import (
+        kneser_ney_logprob,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b c a b")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "a b a"), (11, "solo")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in kneser_ney_logprob(train, score).collect()}
+    assert set(got) == {10, 11}
+    assert got[11]["avg_logprob"] is None
+    assert got[11]["n_bigrams"] == 0 and got[11]["n_unseen_ctx"] == 0
+    assert got[10]["n_bigrams"] == 2
+
+
+def test_kneser_ney_plan_no_python(spark):
+    from aws_cdk_pipelines_datalake_etl_spark.operators.lm import (
+        kneser_ney_logprob,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(2, "a b")], "doc_id long, text string"
+    )
+    plan = formatted_plan(kneser_ney_logprob(train, score))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,219 @@
+"""Training-sequence augmentation transforms: fill-in-the-middle and
+T5-style span corruption — the last-mile rewrites a pretraining
+pipeline applies to token-id sequences before batching.
+
+Both operators take documents as ``(id, array<int> token_ids)`` rows
+(the output surface of ``bpe_encode_ids`` or any tokenizer) and are
+fully deterministic: every "random" choice is derived from the
+portable 48-bit md5 hash of (doc id, purpose tag), so results are
+engine- and partition-exact and a DuckDB oracle replays them bit for
+bit.  Production pipelines that want true randomness swap the hash
+for a seeded RNG column — a one-line seam that changes selection
+only, never the transform math.
+
+- :func:`fim_transform` — "Efficient Training of Language Models to
+  Fill in the Middle" (Bavarian et al. 2022, OpenAI): split a
+  document at two cuts into (prefix, middle, suffix) and emit the PSM
+  reordering ``[PRE] prefix [SUF] suffix [MID] middle`` for a
+  configurable fraction of documents, reserved sentinel ids supplied
+  by the caller.
+
+- :func:`span_corruption` — the T5 denoising objective (Raffel et
+  al. 2020): mask contiguous spans, replacing each with a sentinel in
+  the encoder input and emitting ``sentinel + original tokens`` pairs
+  as the decoder target.  This implementation uses a BLOCKED variant
+  (one fixed-length span at a hash-derived offset inside each full
+  window of ``window`` tokens): the corruption rate is exactly
+  ``span_len / window`` and span placement needs no sequential
+  conflict resolution, so the operator is one row-local array
+  expression per document — embarrassingly parallel at 100 TB, unlike
+  the paper's sequential span sampler.  Deviation documented here and
+  in the tests.
+
+Everything is Catalyst array algebra (slice / concat / transform /
+filter / sequence) — no explode, no shuffle, no Python: the whole
+transform is a narrow map over documents.
+
+No reference-parity citation: the reference (aws-samples
+aws-cdk-pipelines-datalake-etl) has no training-data surface; Tier-E
+LLM-corpus toolkit (SURVEY.md §2.6/§6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import hash48
+
+MICRO = 1_000_000
+
+
+def _hash_pick(id_col: Column, tag: str, modulus: Column) -> Column:
+    """Deterministic draw in [0, modulus): hash48 of the id string
+    plus a purpose tag, reduced mod ``modulus``.  Distinct tags give
+    independent-looking draws from one id."""
+    return F.pmod(
+        hash48(F.concat(id_col.cast("string"), F.lit(":" + tag))), modulus
+    )
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    pre_id: int = 1000,
+    suf_id: int = 1001,
+    mid_id: int = 1002,
+    rate_micro: int = 900_000,
+) -> DataFrame:
+    """Fill-in-the-middle (PSM mode): for ``rate_micro`` / 1e6 of the
+    documents, pick two hash-derived cut points 0 <= lo <= hi <= n and
+    emit
+
+        [pre_id] ids[:lo] [suf_id] ids[hi:] [mid_id] ids[lo:hi]
+
+    so the model learns to produce the middle conditioned on both
+    sides.  The remaining documents pass through unchanged (the
+    published recipe trains on a mixture; 0.9 is the paper's rate).
+    Empty documents pass through.
+
+    Deterministic cuts: lo/hi are min/max of two independent draws in
+    [0, n] from :func:`_hash_pick` (tags ``u1``/``u2``), and the
+    apply/skip decision is a third draw — so any engine, any
+    partitioning, any retry produces the identical corpus.
+
+    Output: ``(id, fim_applied boolean, n_tokens int,
+    token_ids array<int>)``; transformed docs are exactly 3 ids longer
+    than their input.  One narrow projection — no shuffle."""
+    n = F.size(F.col(ids_col))
+    u1 = _hash_pick(F.col(id_col), "u1", n + 1)
+    u2 = _hash_pick(F.col(id_col), "u2", n + 1)
+    lo = F.least(u1, u2)
+    hi = F.greatest(u1, u2)
+    apply = (
+        _hash_pick(F.col(id_col), "apply", F.lit(MICRO)) < F.lit(rate_micro)
+    ) & (n >= 1)
+
+    prefix = F.slice(F.col(ids_col), F.lit(1), lo)
+    middle = F.slice(F.col(ids_col), lo + 1, hi - lo)
+    suffix = F.slice(F.col(ids_col), hi + 1, n - hi)
+    psm = F.concat(
+        F.array(F.lit(pre_id)),
+        prefix,
+        F.array(F.lit(suf_id)),
+        suffix,
+        F.array(F.lit(mid_id)),
+        middle,
+    ).cast("array<int>")
+    out = F.when(apply, psm).otherwise(F.col(ids_col).cast("array<int>"))
+    return df.select(
+        F.col(id_col),
+        apply.alias("fim_applied"),
+        F.size(out).cast("int").alias("n_tokens"),
+        out.alias(ids_col),
+    )
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    window: int = 20,
+    span_len: int = 3,
+    sentinel_base: int = 1000,
+) -> DataFrame:
+    """T5 denoising pairs, blocked variant (module doc): every FULL
+    window of ``window`` tokens gets one corrupted span of
+    ``span_len`` tokens at a hash-derived offset (tag ``w<k>`` per
+    window index k); the trailing partial window is never corrupted.
+
+    - ``inputs``: the token stream with each span replaced by its
+      window's sentinel ``sentinel_base + k`` (k = 0-based window
+      index — both engines agree on it by construction);
+    - ``targets``: for each corrupted window in order, its sentinel
+      followed by the original span tokens (the decoder target).
+
+    Corruption rate is exactly ``span_len / window`` of every full
+    window.  Requires ``span_len <= window``.
+
+    Implementation is pure row-local array algebra: positions are a
+    ``sequence`` + ``transform``/``filter`` over the ids array — no
+    explode, no shuffle, no per-token rows ever leave the document's
+    row.  Output: ``(id, n_tokens, n_spans, inputs array<int>,
+    targets array<int>)``."""
+    if span_len > window:
+        raise ValueError("span_len must be <= window")
+    ids = F.col(ids_col)
+    n = F.size(ids)
+    n_win = F.floor(n / F.lit(window)).cast("int")
+
+    # per-window span offset in [0, window - span_len]: a draw per
+    # (doc, window index)
+    def off(k: Column) -> Column:
+        return F.pmod(
+            hash48(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":w"),
+                    k.cast("string"),
+                )
+            ),
+            F.lit(window - span_len + 1),
+        )
+
+    # windows: array of structs (k, start_pos) with start_pos the
+    # 0-based position of the span's first token
+    wins = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda k: F.struct(
+            k.alias("k"), (k * window + off(k)).alias("start")
+        ),
+    )
+    wins = F.when(n_win >= 1, wins).otherwise(
+        F.array().cast("array<struct<k:int,start:int>>")
+    )
+
+    # inputs: walk positions 0..n-1; a position inside a span is
+    # dropped unless it is the span start, which becomes the sentinel.
+    # Span membership is a window-local comparison (pos div window
+    # finds the covering window, if any) — O(1) per position.
+    def covering_start(pos: Column) -> Column:
+        k = F.floor(pos / F.lit(window)).cast("int")
+        return F.when(k < n_win, k * window + off(k))
+
+    def to_input(pos: Column) -> Column:
+        start = covering_start(pos)
+        return F.when(start.isNull() | (pos < start) | (pos >= start + span_len),
+                      F.element_at(ids, pos + 1)) \
+                .when(pos == start,
+                      F.lit(sentinel_base)
+                      + F.floor(pos / F.lit(window)).cast("int")) \
+                .otherwise(F.lit(None).cast("int"))
+
+    positions = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    inputs = F.filter(
+        F.transform(positions, to_input), lambda x: x.isNotNull()
+    ).cast("array<int>")
+
+    # targets: per window in order, sentinel + the span's tokens
+    targets = F.flatten(
+        F.transform(
+            wins,
+            lambda w: F.concat(
+                F.array(F.lit(sentinel_base) + w["k"]),
+                F.slice(ids, w["start"] + 1, F.lit(span_len)),
+            ),
+        )
+    ).cast("array<int>")
+    targets = F.coalesce(targets, F.array().cast("array<int>"))
+
+    return df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_tokens"),
+        F.size(wins).cast("int").alias("n_spans"),
+        inputs.alias("inputs"),
+        targets.alias("targets"),
+    )

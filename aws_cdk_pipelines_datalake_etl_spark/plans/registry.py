@@ -7827,6 +7827,160 @@ def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality(held, w, dim=1024).orderBy("doc_id")
 
 
+def text_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (operators/augment.py:fim_transform —
+    Bavarian et al. 2022, PSM mode): portable-hash token ids (the
+    text_pack_sequences device), sentinels 1000/1001/1002, the
+    paper's 0.9 apply rate, hash-derived cut points — fully
+    deterministic, so the DuckDB oracle replays ids, draws, cuts and
+    the PSM reordering exactly.  One narrow projection, no shuffle."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        hash48,
+        tokens,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.augment import (
+        fim_transform,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select(
+        "doc_id",
+        F.transform(
+            tokens("text"), lambda w: (hash48(w) % 1000).cast("int")
+        ).alias("token_ids"),
+    )
+    out = fim_transform(ids, rate_micro=900_000)
+    return out.select(
+        "doc_id",
+        "fim_applied",
+        "n_tokens",
+        F.array_join(F.col("token_ids").cast("array<string>"), " ").alias(
+            "ids_joined"
+        ),
+    )
+
+
+_FIM_IDS_SQL = """
+  SELECT doc_id,
+         list_transform(string_split(lower(text), ' '),
+           w -> CAST(('0x' || substr(md5(w), 1, 12))::BIGINT % 1000 AS INT)
+         ) AS ids
+  FROM documents
+"""
+
+TEXT_FIM_ORACLE = f"""
+WITH d AS ({_FIM_IDS_SQL}),
+p AS (
+  SELECT doc_id, ids, len(ids) AS n,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':u1'), 1, 12))::BIGINT
+           % (len(ids) + 1) AS u1,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':u2'), 1, 12))::BIGINT
+           % (len(ids) + 1) AS u2,
+         (('0x' || substr(md5(doc_id::VARCHAR || ':apply'), 1, 12))::BIGINT
+           % 1000000 < 900000) AND len(ids) >= 1 AS applied
+  FROM d
+),
+c AS (
+  SELECT doc_id, ids, n, applied,
+         least(u1, u2) AS lo, greatest(u1, u2) AS hi
+  FROM p
+)
+SELECT doc_id, applied AS fim_applied,
+       CAST(CASE WHEN applied THEN n + 3 ELSE n END AS INT) AS n_tokens,
+       coalesce(array_to_string(
+         CASE WHEN applied
+              THEN [1000] || ids[1:lo] || [1001] || ids[hi+1:n]
+                   || [1002] || ids[lo+1:hi]
+              ELSE ids END, ' '), '') AS ids_joined
+FROM c
+"""
+
+
+def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span corruption, blocked variant (operators/augment.py:
+    span_corruption — Raffel et al. 2020; one span of 3 at a
+    hash-derived offset per full 20-token window = exactly 15%
+    corruption, no sequential span sampler; deviation documented in
+    the operator).  Sentinels 1000+k per window index; encoder inputs
+    and decoder targets emitted side by side.  Pure row-local array
+    algebra over portable-hash ids — the oracle replays windows,
+    offsets, drops, sentinels and targets exactly."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        hash48,
+        tokens,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.augment import (
+        span_corruption,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select(
+        "doc_id",
+        F.transform(
+            tokens("text"), lambda w: (hash48(w) % 1000).cast("int")
+        ).alias("token_ids"),
+    )
+    out = span_corruption(ids, window=20, span_len=3)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        F.array_join(F.col("inputs").cast("array<string>"), " ").alias(
+            "inputs_joined"
+        ),
+        F.array_join(F.col("targets").cast("array<string>"), " ").alias(
+            "targets_joined"
+        ),
+    )
+
+
+TEXT_SPAN_CORRUPTION_ORACLE = f"""
+WITH d AS ({_FIM_IDS_SQL}),
+p AS (
+  SELECT doc_id, ids, len(ids) AS n,
+         CAST(floor(len(ids) / 20) AS INT) AS n_win
+  FROM d
+),
+w AS (
+  -- per full window: hash-derived span start (0-based)
+  SELECT doc_id, ids, n, n_win,
+         list_transform(
+           CASE WHEN n_win >= 1
+                THEN range(0, n_win) ELSE CAST([] AS INT[]) END,
+           k -> k * 20 + CAST(
+                  ('0x' || substr(md5(doc_id::VARCHAR || ':w' || k::VARCHAR),
+                                  1, 12))::BIGINT % 18 AS INT)
+         ) AS starts
+  FROM p
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_tokens,
+       CAST(n_win AS INT) AS n_spans,
+       coalesce(array_to_string(
+         list_filter(
+           list_transform(
+             CASE WHEN n >= 1 THEN range(0, CAST(n AS INT))
+                  ELSE CAST([] AS INT[]) END,
+             pos -> CASE
+               WHEN CAST(floor(pos / 20) AS INT) >= n_win
+                    OR pos < starts[CAST(floor(pos / 20) AS INT) + 1]
+                    OR pos >= starts[CAST(floor(pos / 20) AS INT) + 1] + 3
+                 THEN ids[pos + 1]
+               WHEN pos = starts[CAST(floor(pos / 20) AS INT) + 1]
+                 THEN 1000 + CAST(floor(pos / 20) AS INT)
+               ELSE NULL END
+           ),
+           x -> x IS NOT NULL), ' '), '') AS inputs_joined,
+       coalesce(array_to_string(
+         flatten(list_transform(
+           CASE WHEN n_win >= 1 THEN range(0, n_win)
+                ELSE CAST([] AS INT[]) END,
+           k -> [1000 + k] || ids[starts[k + 1] + 1 : starts[k + 1] + 3]
+         )), ' '), '') AS targets_joined
+FROM w
+"""
+
+
 def corpus_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The classifier SCORING path, ORACLE-BACKED (VERDICT r8 #4 — the
     corpus_quality_classifier twin keeps the full GD loop rows-only):
@@ -8689,6 +8843,10 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "lm_kneser_ney_logprob": QuerySpec(
             lm_kneser_ney_logprob, LM_KNESER_NEY_ORACLE
+        ),
+        "text_fim_transform": QuerySpec(text_fim_transform, TEXT_FIM_ORACLE),
+        "text_span_corruption": QuerySpec(
+            text_span_corruption, TEXT_SPAN_CORRUPTION_ORACLE
         ),
         "lm_perplexity_buckets": QuerySpec(
             lm_perplexity_buckets, LM_PERPLEXITY_BUCKETS_ORACLE

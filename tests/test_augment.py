@@ -1,0 +1,132 @@
+"""FIM and T5 span corruption (operators/augment.py): invertibility
+golden properties, rate behavior, determinism, plan shape (both are
+single narrow projections — NO exchange anywhere)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_cdk_pipelines_datalake_etl_spark.operators.augment import (
+    fim_transform,
+    span_corruption,
+)
+from aws_cdk_pipelines_datalake_etl_spark.plans.explain import formatted_plan
+
+PRE, SUF, MID = 1000, 1001, 1002
+
+
+def _ids(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, token_ids array<int>")
+
+
+def _undo_fim(out: list[int]) -> list[int]:
+    """Reconstruct the original from a PSM sequence: the inverse the
+    training objective implies."""
+    assert out[0] == PRE
+    suf_at = out.index(SUF)
+    mid_at = out.index(MID)
+    prefix = out[1:suf_at]
+    suffix = out[suf_at + 1 : mid_at]
+    middle = out[mid_at + 1 :]
+    return prefix + middle + suffix
+
+
+def test_fim_is_invertible_and_adds_three(spark):
+    rows = [(i, list(range(i * 20, i * 20 + (i % 11)))) for i in range(1, 30)]
+    out = fim_transform(_ids(spark, rows), rate_micro=1_000_000).collect()
+    orig = dict(rows)
+    for r in out:
+        if not orig[r["doc_id"]]:
+            assert not r["fim_applied"]  # empty docs pass through
+            continue
+        assert r["fim_applied"]
+        assert r["n_tokens"] == len(orig[r["doc_id"]]) + 3
+        assert _undo_fim(list(r["token_ids"])) == orig[r["doc_id"]]
+
+
+def test_fim_rate_zero_is_identity(spark):
+    rows = [(i, list(range(5))) for i in range(10)]
+    out = fim_transform(_ids(spark, rows), rate_micro=0).collect()
+    assert all(not r["fim_applied"] for r in out)
+    assert all(list(r["token_ids"]) == list(range(5)) for r in out)
+
+
+def test_fim_rate_is_hash_deterministic(spark):
+    """Same ids, same decisions — and a mid rate actually splits the
+    population both ways."""
+    rows = [(i, list(range(8))) for i in range(200)]
+    a = {
+        r["doc_id"]: r["fim_applied"]
+        for r in fim_transform(_ids(spark, rows), rate_micro=500_000).collect()
+    }
+    b = {
+        r["doc_id"]: r["fim_applied"]
+        for r in fim_transform(_ids(spark, rows), rate_micro=500_000).collect()
+    }
+    assert a == b
+    applied = sum(a.values())
+    assert 0 < applied < 200
+
+
+def _undo_span(inputs: list[int], targets: list[int], base=1000) -> list[int]:
+    """Splice each sentinel's target span back into the input stream."""
+    spans: dict[int, list[int]] = {}
+    cur = None
+    for t in targets:
+        if t >= base:
+            cur = t
+            spans[cur] = []
+        else:
+            spans[cur].append(t)
+    out: list[int] = []
+    for x in inputs:
+        if x >= base:
+            out.extend(spans[x])
+        else:
+            out.append(x)
+    return out
+
+
+def test_span_corruption_is_invertible(spark):
+    rows = [(i, [x % 700 for x in range(i * 3, i * 3 + 5 * i)]) for i in range(1, 25)]
+    out = span_corruption(_ids(spark, rows), window=10, span_len=3).collect()
+    orig = dict(rows)
+    for r in out:
+        assert _undo_span(list(r["inputs"]), list(r["targets"])) == orig[
+            r["doc_id"]
+        ]
+        assert r["n_spans"] == len(orig[r["doc_id"]]) // 10
+        # exactly span_len tokens dropped per full window, sentinel added
+        assert len(r["inputs"]) == r["n_tokens"] - r["n_spans"] * 3 + r["n_spans"]
+        assert len(r["targets"]) == r["n_spans"] * 4
+
+
+def test_span_corruption_partial_window_untouched(spark):
+    """A 25-token doc with window 10: positions 20..24 are the partial
+    tail — always intact in the inputs."""
+    rows = [(1, list(range(25)))]
+    r = span_corruption(_ids(spark, rows), window=10, span_len=3).collect()[0]
+    assert r["n_spans"] == 2
+    tail = [x for x in r["inputs"] if 20 <= x < 25]
+    assert tail == [20, 21, 22, 23, 24]
+
+
+def test_span_corruption_rejects_bad_span(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        span_corruption(_ids(spark, [(1, [1])]), window=3, span_len=4)
+
+
+def test_augment_plans_are_narrow(spark):
+    """Both transforms must compile to a single stage: no Exchange, no
+    Generate, no Python anywhere — the row-local 100 TB contract."""
+    rows = [(1, list(range(30)))]
+    for op in (
+        lambda d: fim_transform(d),
+        lambda d: span_corruption(d, window=10, span_len=3),
+    ):
+        plan = formatted_plan(op(_ids(spark, rows)))
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "Generate" not in plan

@@ -879,3 +879,66 @@ def random_projection_microunits(
             ).alias(f"p{j}")
         )
     return df.select(*cols)
+
+
+def contrastive_triplets(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(anchor, positive, hard-negative) triplet mining for metric
+    learning (the batch-hard strategy of Hermans et al. 2017, "In
+    Defense of the Triplet Loss", applied corpus-wide): for each
+    anchor, the positive is its most-similar SAME-label vector and the
+    negative its most-similar DIFFERENT-label vector — the hardest
+    pair, which drives triplet-loss training.
+
+    ``anchors`` (id, vec, label) is the small broadcast side; the
+    corpus never reshuffles.  Instead of two ranking windows, ONE hash
+    aggregation per anchor computes both argmaxes as conditional
+    struct-maxes over (cosine, -id) — max cosine first, then smallest
+    id on ties, the repo's deterministic-tie contract on 6-dp-rounded
+    cosines.  Anchors with no same-label (or no different-label) peer
+    keep their row with NULLs.
+
+    Output: (anchor_id, pos_id, pos_cosine, neg_id, neg_cosine,
+    margin = pos_cosine - neg_cosine) — margin <= 0 flags anchors
+    whose nearest neighbor crosses the label boundary (the docs a
+    curation pass should inspect)."""
+    v = _with_double_vec(vectors, vec_col, "v").select(
+        F.col(id_col).alias("nid"), F.col(label_col).alias("nlabel"), "v"
+    )
+    a = _with_double_vec(anchors, vec_col, "a").select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("a_label"),
+        "a",
+    )
+    scored = v.join(
+        F.broadcast(a), F.col("nid") != F.col("anchor_id")
+    ).withColumn("cosine", pround(cosine("a", "v"), 6))
+
+    def best(cond) -> F.Column:
+        return F.max(
+            F.when(
+                cond,
+                F.struct(
+                    F.col("cosine").alias("c"),
+                    (-F.col("nid")).alias("neg_id"),
+                ),
+            )
+        )
+
+    agg = scored.groupBy("anchor_id").agg(
+        best(F.col("nlabel") == F.col("a_label")).alias("p"),
+        best(F.col("nlabel") != F.col("a_label")).alias("n"),
+    )
+    return agg.select(
+        "anchor_id",
+        (-F.col("p.neg_id")).cast("long").alias("pos_id"),
+        F.col("p.c").alias("pos_cosine"),
+        (-F.col("n.neg_id")).cast("long").alias("neg_id"),
+        F.col("n.c").alias("neg_cosine"),
+        (F.col("p.c") - F.col("n.c")).alias("margin"),
+    )

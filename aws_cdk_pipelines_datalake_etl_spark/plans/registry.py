@@ -1746,6 +1746,49 @@ SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
 """
 
 
+def sim_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-hard triplet mining (operators/similarity.py:
+    contrastive_triplets — Hermans et al. 2017): for the 50 anchor
+    vectors (vec_id % 10 = 0), the most-similar same-label vector is
+    the positive and the most-similar different-label vector the hard
+    negative; margin <= 0 marks label-boundary crossers.  One
+    broadcast probe + ONE conditional struct-max agg — no ranking
+    window; ties on the 6-dp cosine break on the smaller id both
+    engines alike."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return contrastive_triplets(e, e.filter(F.col("vec_id") % 10 == 0))
+
+
+SIM_CONTRASTIVE_TRIPLETS_ORACLE = """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+a AS (SELECT vec_id AS anchor_id, label AS a_label, e AS ae
+      FROM v WHERE vec_id % 10 = 0),
+s AS (
+  SELECT anchor_id, a_label, v.vec_id AS nid, v.label AS nlabel,
+         round(list_cosine_similarity(ae, e), 6) AS cosine
+  FROM a, v WHERE v.vec_id != anchor_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY anchor_id, (nlabel = a_label)
+    ORDER BY cosine DESC, nid ASC) AS rn
+  FROM s
+),
+pos AS (SELECT anchor_id, nid AS pos_id, cosine AS pos_cosine
+        FROM r WHERE nlabel = a_label AND rn = 1),
+neg AS (SELECT anchor_id, nid AS neg_id, cosine AS neg_cosine
+        FROM r WHERE nlabel != a_label AND rn = 1)
+SELECT a.anchor_id, pos.pos_id, pos.pos_cosine,
+       neg.neg_id, neg.neg_cosine,
+       pos.pos_cosine - neg.neg_cosine AS margin
+FROM a LEFT JOIN pos USING (anchor_id) LEFT JOIN neg USING (anchor_id)
+"""
+
+
 def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine >= 0.4 by the exact all-pairs
     product — verification-grade twin of the LSH path
@@ -8690,6 +8733,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "text_token_count": QuerySpec(text_token_count, TEXT_TOKEN_COUNT_ORACLE),
         "sim_brute_topk": QuerySpec(sim_brute_topk, SIM_BRUTE_TOPK_ORACLE),
+        "sim_contrastive_triplets": QuerySpec(
+            sim_contrastive_triplets, SIM_CONTRASTIVE_TRIPLETS_ORACLE
+        ),
         "sim_near_dup_pairs": QuerySpec(sim_near_dup_pairs, SIM_NEAR_DUP_ORACLE),
         "sim_lsh_near_dup": QuerySpec(sim_lsh_near_dup, SIM_NEAR_DUP_ORACLE),
         "sim_ivf_topk": QuerySpec(sim_ivf_topk, None),

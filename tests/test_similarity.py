@@ -374,3 +374,73 @@ def test_random_projection_sign_matrix_full_rank_and_jl(spark):
     want = micro @ sign.T
     for i in range(6):
         assert got[i] == [int(v) for v in want[i]]
+
+
+def test_contrastive_triplets_hand_picked(spark):
+    """4 vectors, 2 labels, geometry chosen so the hand answer is
+    unambiguous: anchor 0's positive is 1 (same label, closest), its
+    hard negative 2 (closer than 3); margin signs follow."""
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),   # same label, very close
+        (2, [0.7, 0.7], 1),   # other label, moderately close
+        (3, [-1.0, 0.0], 1),  # other label, opposite
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["anchor_id"]: r
+        for r in sim.contrastive_triplets(
+            e, e.filter(F.col("vec_id") == 0)
+        ).collect()
+    }
+    r = out[0]
+    assert r["pos_id"] == 1 and r["neg_id"] == 2
+    assert r["pos_cosine"] > r["neg_cosine"] > 0
+    assert abs(r["margin"] - (r["pos_cosine"] - r["neg_cosine"])) == 0.0
+
+
+def test_contrastive_triplets_missing_side_is_null(spark):
+    """An anchor whose label is unique has no positive: NULL pos_id,
+    margin NULL, row kept."""
+    rows = [
+        (0, [1.0, 0.0], 7),
+        (1, [0.5, 0.5], 1),
+        (2, [0.0, 1.0], 1),
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    r = sim.contrastive_triplets(
+        e, e.filter(F.col("vec_id") == 0)
+    ).collect()[0]
+    assert r["pos_id"] is None and r["margin"] is None
+    assert r["neg_id"] == 1  # [0.5,0.5] beats [0,1] on cosine to [1,0]
+
+
+def test_contrastive_triplets_tie_breaks_on_smaller_id(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (5, [2.0, 0.0], 0),   # cosine 1.0 to anchor
+        (3, [3.0, 0.0], 0),   # cosine 1.0 too -> tie, id 3 wins
+        (9, [0.0, 1.0], 1),
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    r = sim.contrastive_triplets(
+        e, e.filter(F.col("vec_id") == 0)
+    ).collect()[0]
+    assert r["pos_id"] == 3
+
+
+def test_contrastive_triplets_plan_single_agg_no_window(spark):
+    """The struct-max form: broadcast join + one hash agg — no ranking
+    window, no sort of the corpus side."""
+    e = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    df = sim.contrastive_triplets(e, e.filter(F.col("vec_id") < 5))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan

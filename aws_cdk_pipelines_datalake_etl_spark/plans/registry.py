@@ -7688,6 +7688,34 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(held, merges).orderBy("doc_id")
 
 
+def tokenizer_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer (operators/unigram.py — Kudo 2018, the
+    SentencePiece algorithm; T5/Llama-family vocabularies): substring
+    seeding + hard-EM/prune rounds over the bounded word table
+    (driver-side, the BPE precedent), integer micro-nat piece scores
+    so Viterbi is bit-deterministic, then the held-out 10% encoded
+    row-locally with the broadcast model (Arrow-batched, zero
+    shuffle).  Serialized as ids_joined for the driver canonicalizer.
+    Rows-only: EM/prune is not SQL-expressible — pytest pins hand
+    segmentations, decode identity, coverage, determinism."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.unigram import (
+        train_unigram_from_corpus,
+        unigram_encode_ids,
+    )
+
+    train, held = _lm_splits(spark, sf_dir)
+    scores, vocab = train_unigram_from_corpus(train, vocab_size=512)
+    out = unigram_encode_ids(held, scores, vocab)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_unk",
+        F.array_join(F.col("token_ids").cast("array<string>"), " ").alias(
+            "ids_joined"
+        ),
+    ).orderBy("doc_id")
+
+
 def corpus_packed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenize->pack junction (operators/bpe.py:bpe_encode_ids ->
     operators/chunking.py:pack_token_sequences) — the TERMINAL
@@ -8902,6 +8930,7 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "lm_perplexity_approx": QuerySpec(lm_perplexity_approx, None),
         "tokenizer_bpe_encode": QuerySpec(tokenizer_bpe_encode, None),
+        "tokenizer_unigram_encode": QuerySpec(tokenizer_unigram_encode, None),
         "corpus_packed_ids": QuerySpec(corpus_packed_ids, None),
         "text_pack_sequences": QuerySpec(
             text_pack_sequences, TEXT_PACK_SEQUENCES_ORACLE

@@ -105,6 +105,12 @@ HEADLINE = [
     # round-9 addition: the oracle-backed classifier scoring path
     # (one-step-GD integer weights + broadcast integer dot product)
     "corpus_quality_scores",
+    # round-9 late additions: DSIR importance weighting (hashed n-gram
+    # log-ratio selection, the data-selection family's headline) and
+    # interpolated Kneser-Ney scoring (the LM family's standard
+    # smoothing next to the stupid-backoff slot)
+    "corpus_dsir_weights",
+    "lm_kneser_ney_logprob",
 ]
 
 

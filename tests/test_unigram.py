@@ -1,0 +1,97 @@
+"""Unigram-LM tokenizer (operators/unigram.py): hand-example pieces,
+Viterbi determinism, decode identity, coverage, layout invariance,
+and the zero-shuffle encode plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_cdk_pipelines_datalake_etl_spark.operators.unigram import (
+    WB,
+    _viterbi,
+    build_unigram_vocab,
+    train_unigram,
+    train_unigram_from_corpus,
+    unigram_decode_pieces,
+    unigram_encode_ids,
+)
+
+WC = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "new": 4, "wide": 2}
+
+
+def test_trainer_learns_morphemes():
+    """The classic Sennrich corpus: the unigram trainer must keep the
+    morpheme pieces (word-initial ▁new/▁low/▁wid and the suffix est)
+    and segment an UNSEEN composition with them."""
+    scores = train_unigram(WC, vocab_size=40, max_piece_len=4, em_rounds=2)
+    for p in ("▁new", "▁low", "est"):
+        assert p in scores, p
+    assert _viterbi(WB + "newest", scores, 4) == ["▁new", "est"]
+    # 'lowest' never occurs in training — morpheme composition
+    assert _viterbi(WB + "lowest", scores, 4) == ["▁low", "est"]
+
+
+def test_viterbi_prefers_fewer_pieces_then_lexicographic():
+    scores = {"a": -10, "b": -10, "ab": -20}
+    # score("ab") == score("a")+score("b") == -20: tie -> fewer pieces
+    assert _viterbi("ab", scores, 2) == ["ab"]
+    scores2 = {"a": -10, "b": -10, "c": -10, "ab": -20, "bc": -20}
+    # "abc": (ab,c) and (a,bc) tie on score AND count -> lexicographic
+    assert _viterbi("abc", scores2, 2) == ["a", "bc"]
+
+
+def test_decode_identity_and_coverage(spark):
+    """Every training-charset word round-trips exactly, with zero UNK
+    — single-char pieces are never pruned."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["low lower newest", "widest new wide low", "newest newest"]
+        )],
+        "doc_id long, text string",
+    )
+    scores, vocab = train_unigram_from_corpus(docs, vocab_size=64)
+    inv = {i: p for p, i in vocab.items()}
+    out = unigram_encode_ids(docs, scores, vocab).collect()
+    texts = {0: "low lower newest", 1: "widest new wide low", 2: "newest newest"}
+    for r in out:
+        assert r["n_unk"] == 0
+        pieces = [inv[i] for i in r["token_ids"]]
+        assert unigram_decode_pieces(pieces) == texts[r["doc_id"]]
+
+
+def test_unknown_char_maps_to_unk(spark):
+    docs = spark.createDataFrame(
+        [(0, "low lower newest")], "doc_id long, text string"
+    )
+    scores, vocab = train_unigram_from_corpus(docs, vocab_size=64)
+    held = spark.createDataFrame(
+        [(1, "low qq low")], "doc_id long, text string"
+    )
+    r = unigram_encode_ids(held, scores, vocab).collect()[0]
+    assert r["n_unk"] == 2  # the two q characters
+    inv = {i: p for p, i in vocab.items()}
+    pieces = [inv[i] for i in r["token_ids"]]
+    assert pieces.count("<unk>") == 2
+
+
+def test_training_is_layout_invariant(spark):
+    rows = [
+        (i, " ".join(["low", "newest", "wide", "lower"][: 1 + i % 4]))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s1, v1 = train_unigram_from_corpus(df.repartition(1), vocab_size=48)
+    s7, v7 = train_unigram_from_corpus(df.repartition(7), vocab_size=48)
+    assert s1 == s7 and v1 == v7
+
+
+def test_encode_plan_zero_shuffle_arrow(spark):
+    docs = spark.createDataFrame(
+        [(0, "low lower newest")], "doc_id long, text string"
+    )
+    scores, vocab = train_unigram_from_corpus(docs, vocab_size=64)
+    df = unigram_encode_ids(docs, scores, vocab)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan

@@ -2,11 +2,14 @@
 
 All pure Catalyst expressions (split / filter / regexp over columns)
 — the per-document work is a narrow map, embarrassingly parallel at
-any scale, with no shuffle at all.
+any scale, with no shuffle at all.  The one exception is
+:func:`compression_ratio`, a deliberate Arrow-batched Python surface
+(zlib has no JVM expression), still a narrow map.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -561,4 +564,63 @@ def gopher_rules(
         r_alpha_words.alias("r_alpha_words"),
         r_stopwords.alias("r_stopwords"),
         keep.alias("keep"),
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document gzip-compressibility quality signal (one of the
+    RedPajama-v2 quality signals; low ratios flag boilerplate /
+    highly repetitive machine text, high ratios flag random noise):
+
+        ratio_micro = compressed_bytes * 1e6 div raw_bytes
+
+    computed with zlib at a FIXED level over the UTF-8 bytes, as an
+    integer so downstream thresholds are exact.  Empty docs emit
+    ratio NULL.
+
+    This is a deliberate Python surface: there is no JVM-side
+    compress-to-length expression, and a C zlib call per document via
+    an Arrow-batched pandas UDF is the honest fast path (same
+    rationale as the image/audio codecs — the work is byte-level, not
+    relational).  Zero shuffle; output inherits input partitioning.
+    Rows-only in the registry: zlib is not SQL-expressible; pytest
+    pins ordering properties and determinism."""
+    import zlib
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("n_bytes", IntegerType()),
+            StructField("n_compressed", IntegerType()),
+            StructField("ratio_micro", LongType()),
+        ]
+    )
+
+    @F.pandas_udf(out_schema)
+    def comp(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            raw = str(t).encode("utf-8")
+            if not raw:
+                rows.append((0, 0, None))
+                continue
+            c = len(zlib.compress(raw, level))
+            rows.append((len(raw), c, c * 1_000_000 // len(raw)))
+        return pd.DataFrame(
+            rows, columns=["n_bytes", "n_compressed", "ratio_micro"]
+        )
+
+    return df.select(F.col(id_col), comp(F.col(text_col)).alias("z")).select(
+        id_col, "z.*"
     )

@@ -7688,6 +7688,21 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(held, merges).orderBy("doc_id")
 
 
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gzip-compressibility quality signal (operators/text.py:
+    compression_ratio — a RedPajama-v2 quality signal): integer
+    micro-ratio of zlib-compressed to raw bytes per document.
+    Rows-only (no SQL zlib); ordering/determinism gates in
+    tests/test_text_ops.py.  Arrow-batched, zero shuffle."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.text import (
+        compression_ratio,
+    )
+
+    return compression_ratio(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
 def tokenizer_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer (operators/unigram.py — Kudo 2018, the
     SentencePiece algorithm; T5/Llama-family vocabularies): substring
@@ -8931,6 +8946,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "lm_perplexity_approx": QuerySpec(lm_perplexity_approx, None),
         "tokenizer_bpe_encode": QuerySpec(tokenizer_bpe_encode, None),
         "tokenizer_unigram_encode": QuerySpec(tokenizer_unigram_encode, None),
+        "text_compression_ratio": QuerySpec(text_compression_ratio, None),
         "corpus_packed_ids": QuerySpec(corpus_packed_ids, None),
         "text_pack_sequences": QuerySpec(
             text_pack_sequences, TEXT_PACK_SEQUENCES_ORACLE

@@ -194,3 +194,41 @@ def test_gopher_rules_integer_boundaries(spark):
         spark.createDataFrame([(1, doc_a)], "doc_id long, text string")
     ).collect()}
     assert out[1].r_symbol_ratio  # 10*5 <= 50 boundary holds
+
+
+def test_compression_ratio_orders_repetition_below_diversity(spark):
+    """The signal the filter relies on: heavily repeated text
+    compresses far better (lower ratio) than diverse text; empty docs
+    emit NULL; the integer ratio is deterministic across runs."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.text import (
+        compression_ratio,
+    )
+
+    rows = [
+        (1, "spam " * 200),
+        (2, " ".join(f"w{i}x{i * 7 % 97}" for i in range(200))),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert got[1]["ratio_micro"] < got[2]["ratio_micro"]
+    assert got[3]["ratio_micro"] is None and got[3]["n_bytes"] == 0
+    assert got[1]["n_bytes"] == len("spam " * 200)
+    again = {
+        r["doc_id"]: r["ratio_micro"]
+        for r in compression_ratio(df.repartition(3)).collect()
+    }
+    assert again == {k: v["ratio_micro"] for k, v in got.items()}
+
+
+def test_compression_ratio_plan_arrow_no_shuffle(spark):
+    from aws_cdk_pipelines_datalake_etl_spark.operators.text import (
+        compression_ratio,
+    )
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    plan = (
+        compression_ratio(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan

@@ -7882,6 +7882,68 @@ FROM packed
 """
 
 
+def corpus_training_set_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SESSION capstone: the terminal trainable artifact built by
+    the three families added this session, composed end-to-end and
+    oracle-replayed at every stage — SELECT (DSIR importance top-200
+    of the raw pool against the src0/src1 target domain), AUGMENT
+    (document-level FIM at the paper's 0.9 rate, sentinels
+    1001/1002/1003 — the published order: FIM before packing), PACK
+    (EOD 1000 appended per doc, fixed 32-id sequences with per-piece
+    doc_spans).  The DuckDB oracle replays the weights, the selection,
+    the FIM draws and reordering, the shard/offset/slice/reassembly
+    and the span math as one SQL statement — the packed ids of the
+    selected-and-augmented corpus hash-verify bit for bit."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        hash48,
+        tokens,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.augment import (
+        fim_transform,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.chunking import (
+        pack_token_sequences,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dsir import (
+        dsir_topk,
+        dsir_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_weights(
+        docs, F.col("source").isin("src0", "src1"), dim=4096
+    )
+    sel = dsir_topk(w, k=200).select("doc_id")
+    ids = docs.join(sel, "doc_id").select(
+        "doc_id",
+        F.transform(
+            tokens("text"), lambda t: (hash48(t) % 1000).cast("int")
+        ).alias("token_ids"),
+    )
+    fim = fim_transform(
+        ids, pre_id=1001, suf_id=1002, mid_id=1003, rate_micro=900_000
+    ).select("doc_id", "token_ids")
+    packed = pack_token_sequences(
+        fim, budget_tokens=32, eod_id=1000, emit_doc_spans=True
+    )
+    return packed.select(
+        "shard",
+        "seq_id",
+        "n_tokens",
+        F.array_join(F.col("token_ids").cast("array<string>"), " ").alias(
+            "ids_joined"
+        ),
+        F.array_join(
+            F.transform(
+                "doc_spans", lambda s: F.concat_ws(":", s["pos"], s["len"])
+            ),
+            " ",
+        ).alias("spans_joined"),
+    )
+
+
+
+
 def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weak-supervision distillation (operators/classifier.py): the
     90% split is labeled by the Gopher rule set (cheap rules as the
@@ -8270,6 +8332,88 @@ SAMPLE_DSIR_TOPK_ORACLE = f"""
 WITH wts AS ({_DSIR_WEIGHTS_SQL})
 SELECT * FROM wts WHERE NOT is_target
 ORDER BY weight_micro DESC, doc_id ASC LIMIT 100
+"""
+
+
+CORPUS_TRAINING_SET_V3_ORACLE = f"""
+WITH wts AS ({_DSIR_WEIGHTS_SQL}),
+sel AS (
+  SELECT doc_id FROM wts WHERE NOT is_target
+  ORDER BY weight_micro DESC, doc_id ASC LIMIT 200
+),
+toks AS (
+  SELECT d.doc_id, string_split(lower(d.text), ' ') AS ws
+  FROM documents d JOIN sel USING (doc_id)
+),
+rawids AS (
+  SELECT doc_id,
+         list_transform(ws, w ->
+           CAST((('0x' || substr(md5(w), 1, 12))::BIGINT % 1000) AS INT)
+         ) AS ids,
+         len(ws) AS n
+  FROM toks
+),
+fdraw AS (
+  SELECT doc_id, ids, n,
+         least(
+           ('0x' || substr(md5(doc_id::VARCHAR || ':u1'), 1, 12))::BIGINT
+             % (n + 1),
+           ('0x' || substr(md5(doc_id::VARCHAR || ':u2'), 1, 12))::BIGINT
+             % (n + 1)) AS lo,
+         greatest(
+           ('0x' || substr(md5(doc_id::VARCHAR || ':u1'), 1, 12))::BIGINT
+             % (n + 1),
+           ('0x' || substr(md5(doc_id::VARCHAR || ':u2'), 1, 12))::BIGINT
+             % (n + 1)) AS hi,
+         (('0x' || substr(md5(doc_id::VARCHAR || ':apply'), 1, 12))::BIGINT
+           % 1000000 < 900000) AND n >= 1 AS applied
+  FROM rawids
+),
+fim AS (
+  SELECT doc_id,
+         CASE WHEN applied
+              THEN [1001] || ids[1:lo] || [1002] || ids[hi+1:n]
+                   || [1003] || ids[lo+1:hi]
+              ELSE ids END AS tid0
+  FROM fdraw
+),
+pids AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         list_append(tid0, 1000) AS tid,
+         len(tid0) + 1 AS n
+  FROM fim WHERE len(tid0) > 0
+),
+off AS (
+  SELECT *, CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS s
+  FROM pids
+),
+pieces AS (
+  SELECT shard, s, n, tid,
+         unnest(generate_series(s // 32, (s + n - 1) // 32)) AS seq_id
+  FROM off
+),
+cut AS (
+  SELECT shard, seq_id,
+         greatest(seq_id * 32, s) - seq_id * 32 AS pos,
+         tid[(greatest(seq_id * 32, s) - s + 1):
+             (least((seq_id + 1) * 32, s + n) - s)] AS piece
+  FROM pieces
+),
+packed AS (
+  SELECT shard, seq_id,
+         flatten(list(piece ORDER BY pos)) AS token_ids,
+         string_agg(CAST(pos AS VARCHAR) || ':' || CAST(len(piece) AS VARCHAR),
+                    ' ' ORDER BY pos) AS spans_joined
+  FROM cut GROUP BY shard, seq_id
+)
+SELECT shard,
+       CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(len(token_ids) AS INT) AS n_tokens,
+       array_to_string(token_ids, ' ') AS ids_joined,
+       spans_joined
+FROM packed
 """
 
 
@@ -8739,6 +8883,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "corpus_training_set": QuerySpec(
             corpus_training_set, CORPUS_TRAINING_SET_ORACLE
+        ),
+        "corpus_training_set_v3": QuerySpec(
+            corpus_training_set_v3, CORPUS_TRAINING_SET_V3_ORACLE
         ),
         "corpus_training_set_v2": QuerySpec(
             corpus_training_set_v2, _training_set_v2_oracle()

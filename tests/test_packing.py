@@ -203,3 +203,33 @@ def test_pack_shard_chars_widens_without_breaking_invariants(spark):
         rows_.sort(key=lambda r: r.seq_id)
         assert all(r.n_tokens == 4 for r in rows_[:-1])
         assert 1 <= rows_[-1].n_tokens <= 4
+
+
+def test_training_set_v3_capstone_invariants(spark):
+    """The select->FIM->pack chain at smoke scale: budget invariant
+    per shard, balanced FIM sentinels, one EOD per packed document."""
+    from aws_cdk_pipelines_datalake_etl_spark.plans import registry as R
+
+    reg = R.build_registry()
+    rows = reg["corpus_training_set_v3"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    by_shard: dict[str, list] = {}
+    ids_all: list[int] = []
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+        ids_all.extend(int(x) for x in r["ids_joined"].split(" "))
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["seq_id"])
+        for r in shard_rows[:-1]:
+            assert r["n_tokens"] == 32
+        assert 1 <= shard_rows[-1]["n_tokens"] <= 32
+    # FIM sentinels balance; EOD count == packed docs == span count
+    pre, suf, mid = (ids_all.count(x) for x in (1001, 1002, 1003))
+    assert pre == suf == mid > 0
+    n_eod = ids_all.count(1000)
+    n_span_pieces = sum(
+        len(r["spans_joined"].split(" ")) for r in rows if r["spans_joined"]
+    )
+    assert n_eod > 0 and n_span_pieces >= n_eod

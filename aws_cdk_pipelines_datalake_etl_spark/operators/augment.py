@@ -144,52 +144,62 @@ def span_corruption(
     targets array<int>)``."""
     if span_len > window:
         raise ValueError("span_len must be <= window")
-    ids = F.col(ids_col)
-    n = F.size(ids)
-    n_win = F.floor(n / F.lit(window)).cast("int")
 
-    # per-window span offset in [0, window - span_len]: a draw per
-    # (doc, window index)
-    def off(k: Column) -> Column:
-        return F.pmod(
-            hash48(
-                F.concat(
-                    F.col(id_col).cast("string"),
-                    F.lit(":w"),
-                    k.cast("string"),
+    # Stage 1 projection: materialize the per-window span starts ONCE
+    # (one md5 per WINDOW).  The position walk below only does array
+    # lookups into this column — the first implementation recomputed
+    # the hash inside the per-position lambda (~window× more md5
+    # calls; 16.4 s -> see SCALE.md round-9 session-2 table).  The
+    # multi-reference guard in CollapseProject keeps this projection
+    # from being inlined back into the lambdas.
+    ids0 = F.col(ids_col)
+    n0 = F.size(ids0)
+    n_win0 = F.floor(n0 / F.lit(window)).cast("int")
+    starts0 = F.when(
+        n_win0 >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_win0 - 1),
+            lambda k: (
+                k * window
+                + F.pmod(
+                    hash48(
+                        F.concat(
+                            F.col(id_col).cast("string"),
+                            F.lit(":w"),
+                            k.cast("string"),
+                        )
+                    ),
+                    F.lit(window - span_len + 1),
                 )
-            ),
-            F.lit(window - span_len + 1),
-        )
-
-    # windows: array of structs (k, start_pos) with start_pos the
-    # 0-based position of the span's first token
-    wins = F.transform(
-        F.sequence(F.lit(0), n_win - 1),
-        lambda k: F.struct(
-            k.alias("k"), (k * window + off(k)).alias("start")
+            ).cast("int"),
         ),
+    ).otherwise(F.array().cast("array<int>"))
+    staged = df.select(
+        F.col(id_col),
+        ids0.alias("_ids"),
+        n0.cast("int").alias("_n"),
+        n_win0.alias("_nw"),
+        starts0.alias("_starts"),
     )
-    wins = F.when(n_win >= 1, wins).otherwise(
-        F.array().cast("array<struct<k:int,start:int>>")
-    )
+
+    ids = F.col("_ids")
+    n = F.col("_n")
+    n_win = F.col("_nw")
+    starts = F.col("_starts")
 
     # inputs: walk positions 0..n-1; a position inside a span is
     # dropped unless it is the span start, which becomes the sentinel.
-    # Span membership is a window-local comparison (pos div window
-    # finds the covering window, if any) — O(1) per position.
-    def covering_start(pos: Column) -> Column:
-        k = F.floor(pos / F.lit(window)).cast("int")
-        return F.when(k < n_win, k * window + off(k))
-
+    # Span membership is one starts-array lookup (pos div window finds
+    # the covering window, if any) — O(1), hash-free per position.
     def to_input(pos: Column) -> Column:
-        start = covering_start(pos)
-        return F.when(start.isNull() | (pos < start) | (pos >= start + span_len),
-                      F.element_at(ids, pos + 1)) \
-                .when(pos == start,
-                      F.lit(sentinel_base)
-                      + F.floor(pos / F.lit(window)).cast("int")) \
-                .otherwise(F.lit(None).cast("int"))
+        k = F.floor(pos / F.lit(window)).cast("int")
+        start = F.when(k < n_win, F.element_at(starts, k + 1))
+        return F.when(
+            start.isNull() | (pos < start) | (pos >= start + span_len),
+            F.element_at(ids, pos + 1),
+        ).when(
+            pos == start, F.lit(sentinel_base) + k
+        ).otherwise(F.lit(None).cast("int"))
 
     positions = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
         F.array().cast("array<int>")
@@ -201,19 +211,21 @@ def span_corruption(
     # targets: per window in order, sentinel + the span's tokens
     targets = F.flatten(
         F.transform(
-            wins,
-            lambda w: F.concat(
-                F.array(F.lit(sentinel_base) + w["k"]),
-                F.slice(ids, w["start"] + 1, F.lit(span_len)),
+            F.sequence(F.lit(0), n_win - 1),
+            lambda k: F.concat(
+                F.array(F.lit(sentinel_base) + k),
+                F.slice(ids, F.element_at(starts, k + 1) + 1, F.lit(span_len)),
             ),
         )
     ).cast("array<int>")
-    targets = F.coalesce(targets, F.array().cast("array<int>"))
+    targets = F.when(n_win >= 1, targets).otherwise(
+        F.array().cast("array<int>")
+    )
 
-    return df.select(
+    return staged.select(
         F.col(id_col),
-        n.cast("int").alias("n_tokens"),
-        F.size(wins).cast("int").alias("n_spans"),
+        n.alias("n_tokens"),
+        n_win.alias("n_spans"),
         inputs.alias("inputs"),
         targets.alias("targets"),
     )

@@ -272,3 +272,54 @@ def dsir_topk(
     return pool.orderBy(
         F.col("weight_micro").desc(), F.col("doc_id").asc()
     ).limit(k)
+
+
+#: hash48 range: the uniform draw u = (h + 1) / (2^48 + 1) lies
+#: strictly inside (0, 1), so -ln(-ln(u)) is always finite.
+_H48_RANGE = float((1 << 48) + 1)
+
+
+def dsir_gumbel_topk(
+    weights: DataFrame,
+    k: int,
+    include_target: bool = False,
+    tag: str = "g",
+) -> DataFrame:
+    """The PUBLISHED DSIR resampling step (Xie et al. 2023 §2 use
+    Gumbel-top-k: ``argtop_k(w_i + g_i)``, which samples k documents
+    without replacement proportionally to softmax(w)): each document
+    draws a deterministic Gumbel from the portable hash —
+
+        u = (hash48(doc_id || ':g') + 1) / (2^48 + 1)   in (0, 1)
+        g = -ln(-ln(u))
+
+    quantized to integer micro-nats and added to ``weight_micro``; the
+    top-k by the perturbed key is the sample.  Because the draw is a
+    pure function of doc_id, the sample is engine/partition/retry
+    exact, and the whole expression (two lns over IEEE-exact inputs)
+    is replayed by the DuckDB oracle — the same correctly-rounded-ops
+    argument as the BM25 idf.  ``dsir_topk`` remains the noise-free
+    argmax twin.
+
+    Output adds ``gumbel_micro`` and ``key_micro`` evidence columns;
+    plan is the weights flow + TakeOrderedAndProject."""
+    pool = weights if include_target else weights.filter(~F.col("is_target"))
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        hash48,
+    )
+
+    u = (
+        hash48(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":" + tag))
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_H48_RANGE)
+    gumbel_micro = F.floor(-F.log(-F.log(u)) * F.lit(float(MICRO)) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    keyed = pool.withColumn("gumbel_micro", gumbel_micro).withColumn(
+        "key_micro", F.col("weight_micro") + F.col("gumbel_micro")
+    )
+    return keyed.orderBy(
+        F.col("key_micro").desc(), F.col("doc_id").asc()
+    ).limit(k)

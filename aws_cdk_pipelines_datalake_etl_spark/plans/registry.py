@@ -1748,25 +1748,26 @@ SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
 
 def sim_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-hard triplet mining (operators/similarity.py:
-    contrastive_triplets — Hermans et al. 2017): for the 50 anchor
-    vectors (vec_id % 10 = 0), the most-similar same-label vector is
-    the positive and the most-similar different-label vector the hard
-    negative; margin <= 0 marks label-boundary crossers.  One
-    broadcast probe + ONE conditional struct-max agg — no ranking
-    window; ties on the 6-dp cosine break on the smaller id both
-    engines alike."""
+    contrastive_triplets — Hermans et al. 2017): for a FIXED 50-anchor
+    probe set (vec_id < 50 — bounded like sim_brute_topk's query side,
+    so cost scales linearly with the corpus, never anchors x corpus
+    quadratically), the most-similar same-label vector is the positive
+    and the most-similar different-label vector the hard negative;
+    margin <= 0 marks label-boundary crossers.  One broadcast probe +
+    ONE conditional struct-max agg — no ranking window; ties on the
+    6-dp cosine break on the smaller id both engines alike."""
     from aws_cdk_pipelines_datalake_etl_spark.operators.similarity import (
         contrastive_triplets,
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    return contrastive_triplets(e, e.filter(F.col("vec_id") % 10 == 0))
+    return contrastive_triplets(e, e.filter(F.col("vec_id") < 50))
 
 
 SIM_CONTRASTIVE_TRIPLETS_ORACLE = """
 WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
 a AS (SELECT vec_id AS anchor_id, label AS a_label, e AS ae
-      FROM v WHERE vec_id % 10 = 0),
+      FROM v WHERE vec_id < 50),
 s AS (
   SELECT anchor_id, a_label, v.vec_id AS nid, v.label AS nlabel,
          round(list_cosine_similarity(ae, e), 6) AS cosine
@@ -8342,6 +8343,44 @@ ORDER BY weight_micro DESC, doc_id ASC LIMIT 100
 """
 
 
+def sample_dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PUBLISHED DSIR resampling (operators/dsir.py:
+    dsir_gumbel_topk — Gumbel-top-k samples k docs without replacement
+    proportionally to softmax(weights)): each doc's Gumbel is a pure
+    function of its id through the portable hash (u in (0,1), then
+    -ln(-ln(u)) micro-quantized), so the sample is engine/partition/
+    retry exact AND the oracle replays both lns over IEEE-exact inputs
+    (the BM25-idf precedent).  dsir_topk stays as the noise-free
+    twin."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dsir import (
+        dsir_gumbel_topk,
+        dsir_weights,
+    )
+
+    w = dsir_weights(
+        _t(spark, sf_dir, "documents"),
+        F.col("source").isin("src0", "src1"),
+        dim=4096,
+    )
+    return dsir_gumbel_topk(w, k=100)
+
+
+SAMPLE_DSIR_GUMBEL_ORACLE = f"""
+WITH wts AS ({_DSIR_WEIGHTS_SQL}),
+keyed AS (
+  SELECT *,
+         CAST(floor(-ln(-ln(
+           ((('0x' || substr(md5(doc_id::VARCHAR || ':g'), 1, 12))::BIGINT)
+            + 1.0) / 281474976710657.0)) * 1000000 + 0.5) AS BIGINT)
+           AS gumbel_micro
+  FROM wts WHERE NOT is_target
+)
+SELECT doc_id, is_target, n_grams, weight_micro, gumbel_micro,
+       weight_micro + gumbel_micro AS key_micro
+FROM keyed ORDER BY key_micro DESC, doc_id ASC LIMIT 100
+"""
+
+
 CORPUS_TRAINING_SET_V3_ORACLE = f"""
 WITH wts AS ({_DSIR_WEIGHTS_SQL}),
 sel AS (
@@ -9114,6 +9153,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "sample_dsir_topk": QuerySpec(
             sample_dsir_topk, SAMPLE_DSIR_TOPK_ORACLE
+        ),
+        "sample_dsir_gumbel": QuerySpec(
+            sample_dsir_gumbel, SAMPLE_DSIR_GUMBEL_ORACLE
         ),
         "text_gopher_rules": QuerySpec(text_gopher_rules, TEXT_GOPHER_ORACLE),
         "web_pagerank": QuerySpec(web_pagerank, WEB_PAGERANK_ORACLE),

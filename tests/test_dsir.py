@@ -184,3 +184,42 @@ def test_plan_shape(spark):
         dsir_topk(w, 5)._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in top_plan
+
+
+def test_gumbel_topk_matches_python_and_differs_from_argmax(spark):
+    """The perturbed key equals the hand formula (hash-uniform ->
+    double-ln Gumbel, micro-quantized, added to the weight), the
+    sample is layout-deterministic, and with near-equal weights the
+    noise actually reorders relative to the noise-free argmax."""
+    import hashlib
+    import math
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dsir import (
+        dsir_gumbel_topk,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i + j) % 5}" for j in range(6)), False)
+        for i in range(1, 60)
+    ] + [(0, "w0 w1 w2", True)]
+    df = _docs(spark, rows)
+    w = dsir_weights(df, F.col("tgt"), dim=32)
+    got = dsir_gumbel_topk(w, k=10).collect()
+    assert len(got) == 10 and all(not r["is_target"] for r in got)
+
+    def py_gumbel(doc_id: int) -> int:
+        h = int(hashlib.md5(f"{doc_id}:g".encode()).hexdigest()[:12], 16)
+        u = (h + 1.0) / 281474976710657.0
+        return math.floor(-math.log(-math.log(u)) * 1_000_000 + 0.5)
+
+    for r in got:
+        assert r["gumbel_micro"] == py_gumbel(r["doc_id"])
+        assert r["key_micro"] == r["weight_micro"] + r["gumbel_micro"]
+
+    again = dsir_gumbel_topk(
+        dsir_weights(df.repartition(7), F.col("tgt"), dim=32), k=10
+    ).collect()
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in got]
+
+    plain = {r["doc_id"] for r in dsir_topk(w, k=10).collect()}
+    assert {r["doc_id"] for r in got} != plain  # the noise resamples

@@ -271,3 +271,75 @@ def epoch_shuffle(
         )
         .drop("_ek", "_bucket", "_offset")
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    tau: float = 2.0,
+    target_fraction: float = 0.5,
+) -> DataFrame:
+    """The data-mixing PLAN table — the per-source summary every
+    multi-source training run publishes before sampling (the
+    row-level sampler is :func:`temperature_mix`; this is its
+    planning/reporting face, weighted by TOKENS as the multilingual
+    recipe does, not documents):
+
+    - ``n_docs``, ``n_tokens`` — natural sizes;
+    - ``weight_micro`` — ``floor(n_tokens^(1/tau) * 1e6 + 0.5)``
+      (IEEE-exact at tau=2 via sqrt, the temperature_mix device);
+    - ``share_micro`` — the source's share of the tempered mixture,
+      ``weight_micro * 1e6 div sum(weight_micro)`` (pure bigint);
+    - ``keep_frac_micro`` — the per-source keep probability that
+      realizes ``target_fraction`` of total tokens, capped at 1
+      (identical expression tree to temperature_mix's threshold);
+    - ``expected_tokens`` — ``n_tokens * keep_frac_micro div 1e6``.
+
+    One source-cardinality aggregate + one one-row total — nothing
+    corpus-sized moves; fully oracle-replayable."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        tokens,
+    )
+
+    pw = (
+        F.sqrt(F.col("n_tokens").cast("double"))
+        if tau == 2.0
+        else F.pow(F.col("n_tokens").cast("double"), 1.0 / tau)
+    )
+    counts = (
+        df.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens(text_col))).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "weight_micro", F.floor(pw * 1000000 + F.lit(0.5)).cast("long")
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_tokens").alias("_t"), F.sum("weight_micro").alias("_zq")
+    )
+    frac = F.least(
+        F.lit(1.0),
+        F.lit(target_fraction)
+        * F.col("_t")
+        * F.col("weight_micro")
+        / (F.col("_zq").cast("double") * F.col("n_tokens")),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "share_micro",
+            F.expr("weight_micro * 1000000 div _zq").cast("bigint"),
+        )
+        .withColumn(
+            "keep_frac_micro",
+            F.floor(frac * 1000000 + F.lit(0.5)).cast("long"),
+        )
+        .withColumn(
+            "expected_tokens",
+            F.expr("n_tokens * keep_frac_micro div 1000000").cast("bigint"),
+        )
+        .drop("_t", "_zq")
+    )

@@ -8344,6 +8344,49 @@ ORDER BY weight_micro DESC, doc_id ASC LIMIT 100
 """
 
 
+def sample_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixing plan table (operators/sampling.py:mixture_plan
+    — temperature_mix's planning face, token-weighted as the
+    multilingual recipe): per source, natural sizes, tau=2 tempered
+    weight (IEEE-exact sqrt + micro quantization), bigint mixture
+    share, the capped keep fraction realizing a 0.5 token budget, and
+    the expected token yield.  One source-cardinality agg + one-row
+    total; every column integer or expression-tree-mirrored, so the
+    oracle hashes exactly."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        mixture_plan,
+    )
+
+    return mixture_plan(_t(spark, sf_dir, "documents")).orderBy("source")
+
+
+SAMPLE_MIXTURE_PLAN_ORACLE = """
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+                 AS BIGINT) AS weight_micro
+  FROM c
+),
+t AS (SELECT sum(n_tokens) AS t_, sum(weight_micro) AS zq FROM w),
+k AS (
+  SELECT w.*,
+         CAST(w.weight_micro * 1000000 // t.zq AS BIGINT) AS share_micro,
+         CAST(floor(least(1.0,
+                0.5 * t.t_ * w.weight_micro
+                / (CAST(t.zq AS DOUBLE) * w.n_tokens)) * 1000000 + 0.5)
+              AS BIGINT) AS keep_frac_micro
+  FROM w, t
+)
+SELECT source, n_docs, n_tokens, weight_micro, share_micro, keep_frac_micro,
+       CAST(n_tokens * keep_frac_micro // 1000000 AS BIGINT) AS expected_tokens
+FROM k
+"""
+
+
 def sample_dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PUBLISHED DSIR resampling (operators/dsir.py:
     dsir_gumbel_topk — Gumbel-top-k samples k docs without replacement
@@ -9157,6 +9200,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "sample_dsir_gumbel": QuerySpec(
             sample_dsir_gumbel, SAMPLE_DSIR_GUMBEL_ORACLE
+        ),
+        "sample_mixture_plan": QuerySpec(
+            sample_mixture_plan, SAMPLE_MIXTURE_PLAN_ORACLE
         ),
         "text_gopher_rules": QuerySpec(text_gopher_rules, TEXT_GOPHER_ORACLE),
         "web_pagerank": QuerySpec(web_pagerank, WEB_PAGERANK_ORACLE),

@@ -236,3 +236,45 @@ def test_temperature_mix_flattens_mixture(spark):
     assert got_ratio < nat_ratio / 2
     # and the small source is UPWEIGHTED in relative share
     assert got["code"] / len(k1) > nat["code"] / n
+
+
+def test_mixture_plan_hand_computed(spark):
+    """Two sources, hand math: tempered shares flatten toward uniform,
+    the keep fractions realize the token budget, small sources cap at
+    1.0, and the whole table is layout-invariant."""
+    import math
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        mixture_plan,
+    )
+
+    rows = (
+        [(i, "big", "w " * 99 + "w") for i in range(90)]       # 100 tok x 90
+        + [(i + 100, "small", "w w w w") for i in range(10)]   # 4 tok x 10
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in mixture_plan(df).collect()}
+    big, small = got["big"], got["small"]
+    assert big["n_docs"] == 90 and big["n_tokens"] == 9000
+    assert small["n_docs"] == 10 and small["n_tokens"] == 40
+    wq_big = math.floor(math.sqrt(9000.0) * 1e6 + 0.5)
+    wq_small = math.floor(math.sqrt(40.0) * 1e6 + 0.5)
+    assert big["weight_micro"] == wq_big
+    assert small["weight_micro"] == wq_small
+    zq = wq_big + wq_small
+    assert big["share_micro"] == wq_big * 1_000_000 // zq
+    # tempering flattens: small's tempered share >> its natural share
+    assert small["share_micro"] > 40 * 1_000_000 // 9040
+    # small source caps at keep 1.0
+    small_frac = min(1.0, 0.5 * 9040 * wq_small / (float(zq) * 40))
+    assert small_frac == 1.0 and small["keep_frac_micro"] == 1_000_000
+    big_frac = min(1.0, 0.5 * 9040 * wq_big / (float(zq) * 9000))
+    assert big["keep_frac_micro"] == math.floor(big_frac * 1e6 + 0.5)
+    assert big["expected_tokens"] == 9000 * big["keep_frac_micro"] // 1_000_000
+    again = {
+        (r["source"], r["keep_frac_micro"], r["share_micro"])
+        for r in mixture_plan(df.repartition(7)).collect()
+    }
+    assert again == {
+        (s, r["keep_frac_micro"], r["share_micro"]) for s, r in got.items()
+    }

@@ -6733,11 +6733,11 @@ _DRIVER_WINDOW = [
     # ts_ewma) plus the two round-9 LATE entries added after this
     # window froze (dedup_span_removal, corpus_training_set_v2 — both
     # with targeted oracle_check runs logged per the late-entry rule)
-    # plus the NINE oracle-backed round-9 session-2 late entries (each
+    # plus the TEN oracle-backed round-9 session-2 late entries (each
     # with its targeted oracle_check run logged in its commit):
     # corpus_dsir_weights, sample_dsir_topk, sample_dsir_gumbel,
-    # retrieval_hard_negatives, lm_kneser_ney_logprob,
-    # text_fim_transform, text_span_corruption,
+    # sample_mixture_plan, retrieval_hard_negatives,
+    # lm_kneser_ney_logprob, text_fim_transform, text_span_corruption,
     # sim_contrastive_triplets, corpus_training_set_v3 — rows-only
     # session-2 entries (tokenizer_unigram_encode,
     # text_compression_ratio) stay out of the window by policy.

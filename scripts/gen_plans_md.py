@@ -166,6 +166,32 @@ SHOWCASE = {
         "integer-dot-product aggregate — bounded control data only, "
         "no collect of anything corpus-sized"
     ),
+    "corpus_dsir_weights": (
+        "DSIR importance weights (round-9 session 2): unigram+bigram "
+        "occurrences are a Generate+Project fan-out of the materialized "
+        "token array (the HOF-inlining lesson), ONE (doc, slot) "
+        "HashAggregate builds the feature table, the <=4096-row bucket "
+        "model is the only collect (bounded control data), and scoring "
+        "is a BroadcastHashJoin of the lambda table into one doc-keyed "
+        "bigint aggregate — nothing corpus-sized is collected, no "
+        "Window, no Python"
+    ),
+    "text_span_corruption": (
+        "blocked T5 span corruption: a SINGLE narrow projection — no "
+        "Exchange, no Generate, no Python; the per-window span starts "
+        "are materialized once per document (one md5 per window) and "
+        "the position walk is hash-free array lookups inside "
+        "whole-stage-codegen'd higher-order functions"
+    ),
+    "corpus_training_set_v3": (
+        "the select->FIM->pack capstone: the DSIR weight flow feeds a "
+        "TakeOrderedAndProject top-200 (per-partition heads, no global "
+        "sort), FIM is a row-local array projection over the joined "
+        "survivors, and packing is the standard two bounded shuffles "
+        "(16-way shard Window + sequence-reassembly HashAggregate) — "
+        "one broadcast-size selection list is the only cross-stage "
+        "control data"
+    ),
 }
 
 

@@ -95,3 +95,55 @@ def test_encode_plan_zero_shuffle_arrow(spark):
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_viterbi_is_optimal_by_brute_force():
+    """Property: the DP segmentation attains the true maximum score
+    over ALL possible segmentations (enumerated), with the documented
+    tie order (fewer pieces, then lexicographic) — on every word up to
+    length 8 over a 2-letter alphabet with adversarial random scores."""
+    import itertools
+    import random
+
+    rng = random.Random(9)
+
+    def all_segmentations(word, pieces, max_len):
+        if not word:
+            yield []
+            return
+        for j in range(1, min(max_len, len(word)) + 1):
+            p = word[:j]
+            if p in pieces:
+                for rest in all_segmentations(word[j:], pieces, max_len):
+                    yield [p] + rest
+
+    for trial in range(40):
+        alpha = "ab"
+        max_len = 3
+        pieces = {}
+        for L in (1, 2, 3):
+            for tup in itertools.product(alpha, repeat=L):
+                p = "".join(tup)
+                if L == 1 or rng.random() < 0.6:
+                    pieces[p] = rng.randint(-3_000_000, -1)
+        word = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 8)))
+        got = _viterbi(word, pieces, max_len)
+        best = max(
+            all_segmentations(word, pieces, max_len),
+            key=lambda seg: (
+                sum(pieces[p] for p in seg),
+                -len(seg),
+                [-ord(c) for p in seg for c in p + "\x00"],
+            ),
+        )
+        got_score = sum(pieces[p] for p in got)
+        best_score = sum(pieces[p] for p in best)
+        assert got_score == best_score, (word, got, best)
+        # tie contract: same piece count, and not lexicographically
+        # greater than the enumerated winner among score-ties
+        ties = [
+            seg
+            for seg in all_segmentations(word, pieces, max_len)
+            if sum(pieces[p] for p in seg) == best_score
+        ]
+        assert got == min(ties, key=lambda s: (len(s), s)), (word, got)

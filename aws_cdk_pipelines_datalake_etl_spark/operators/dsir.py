@@ -139,6 +139,72 @@ def _hashed_gram_counts(
     )
 
 
+def dsir_batch_counts(
+    df: DataFrame,
+    target_expr,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 4096,
+) -> DataFrame:
+    """One corpus batch's additive model contribution
+    ``(slot, ct, cr)`` — feature-hash + one slot-keyed agg, <= dim
+    rows.  Feed batches to :func:`merge_bucket_counts` and the merged
+    table to ``dsir_weights(counts=...)``."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        target_expr.cast("boolean").alias("_tgt"),
+        F.col(text_col).alias("_text"),
+    )
+    return dsir_bucket_counts(
+        _hashed_gram_counts(base, "_id", "_text", "_tgt", dim)
+    )
+
+
+def dsir_bucket_counts(feats: DataFrame) -> DataFrame:
+    """The ADDITIVE model state: per-slot target/raw counts
+    ``(slot, ct, cr)`` — <= dim rows.  Additivity is what makes DSIR
+    incrementally maintainable: counts from disjoint corpus batches
+    merge by plain summation (:func:`merge_bucket_counts`), and the
+    merged model is BIT-IDENTICAL to retraining on the union (the
+    ``corpus_dsir_incremental`` registry entry proves it against the
+    direct-form oracle).  In a persisted deployment this tiny table is
+    the model checkpoint a daily ingest updates."""
+    return feats.groupBy("slot").agg(
+        F.sum(F.when(F.col("_tgt"), F.col("k")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("ct"),
+        F.sum(F.when(~F.col("_tgt"), F.col("k")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("cr"),
+    )
+
+
+def merge_bucket_counts(parts: list[DataFrame]) -> DataFrame:
+    """Sum per-slot counts across batch count tables (all <= dim
+    rows) — the incremental-maintenance merge."""
+    if not parts:
+        raise ValueError("merge_bucket_counts needs at least one part")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("slot").agg(
+        F.sum("ct").cast("bigint").alias("ct"),
+        F.sum("cr").cast("bigint").alias("cr"),
+    )
+
+
+def _model_from_count_rows(rows, dim: int) -> tuple[list[tuple[int, int]], int]:
+    big_ct = sum(r["ct"] for r in rows)
+    big_cr = sum(r["cr"] for r in rows)
+    lam = [
+        (int(r["slot"]), _micro_ln(r["ct"] + 1) - _micro_ln(r["cr"] + 1))
+        for r in sorted(rows, key=lambda r: r["slot"])
+        if r["ct"] != r["cr"]
+    ]
+    const_micro = _micro_ln(big_ct + dim) - _micro_ln(big_cr + dim)
+    return lam, const_micro
+
+
 def train_dsir_model(
     feats: DataFrame, dim: int
 ) -> tuple[list[tuple[int, int]], int]:
@@ -151,27 +217,7 @@ def train_dsir_model(
 
     The agg output is <= ``dim`` rows — bounded control data (the
     classifier-gradient precedent), the ONLY collect in the flow."""
-    m = (
-        feats.groupBy("slot")
-        .agg(
-            F.sum(F.when(F.col("_tgt"), F.col("k")).otherwise(F.lit(0)))
-            .cast("bigint")
-            .alias("ct"),
-            F.sum(F.when(~F.col("_tgt"), F.col("k")).otherwise(F.lit(0)))
-            .cast("bigint")
-            .alias("cr"),
-        )
-        .collect()
-    )
-    big_ct = sum(r["ct"] for r in m)
-    big_cr = sum(r["cr"] for r in m)
-    lam = [
-        (int(r["slot"]), _micro_ln(r["ct"] + 1) - _micro_ln(r["cr"] + 1))
-        for r in sorted(m, key=lambda r: r["slot"])
-        if r["ct"] != r["cr"]
-    ]
-    const_micro = _micro_ln(big_ct + dim) - _micro_ln(big_cr + dim)
-    return lam, const_micro
+    return _model_from_count_rows(dsir_bucket_counts(feats).collect(), dim)
 
 
 def dsir_weights(
@@ -181,6 +227,7 @@ def dsir_weights(
     text_col: str = "text",
     dim: int = 4096,
     repartition: int | None = None,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Importance log-weights for every document.
 
@@ -211,7 +258,15 @@ def dsir_weights(
         base = base.repartition(repartition)
 
     feats = _hashed_gram_counts(base, "_id", "_text", "_tgt", dim)
-    lam_rows, const_micro = train_dsir_model(feats, dim)
+    if counts is None:
+        lam_rows, const_micro = train_dsir_model(feats, dim)
+    else:
+        # pre-maintained model state (dsir_bucket_counts /
+        # merge_bucket_counts) — the incremental path; the scoring
+        # side still scans this df's feats, the model side doesn't
+        lam_rows, const_micro = _model_from_count_rows(
+            counts.collect(), dim
+        )
     lam_df = spark.createDataFrame(
         lam_rows or [(-1, 0)], "slot bigint, lam bigint"
     )

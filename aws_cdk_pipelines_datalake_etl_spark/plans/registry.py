@@ -6733,11 +6733,12 @@ _DRIVER_WINDOW = [
     # ts_ewma) plus the two round-9 LATE entries added after this
     # window froze (dedup_span_removal, corpus_training_set_v2 — both
     # with targeted oracle_check runs logged per the late-entry rule)
-    # plus the TEN oracle-backed round-9 session-2 late entries (each
-    # with its targeted oracle_check run logged in its commit):
-    # corpus_dsir_weights, sample_dsir_topk, sample_dsir_gumbel,
-    # sample_mixture_plan, retrieval_hard_negatives,
-    # lm_kneser_ney_logprob, text_fim_transform, text_span_corruption,
+    # plus the ELEVEN oracle-backed round-9 session-2 late entries
+    # (each with its targeted oracle_check run logged in its commit):
+    # corpus_dsir_weights, corpus_dsir_incremental, sample_dsir_topk,
+    # sample_dsir_gumbel, sample_mixture_plan,
+    # retrieval_hard_negatives, lm_kneser_ney_logprob,
+    # text_fim_transform, text_span_corruption,
     # sim_contrastive_triplets, corpus_training_set_v3 — rows-only
     # session-2 entries (tokenizer_unigram_encode,
     # text_compression_ratio) stay out of the window by policy.
@@ -8344,6 +8345,35 @@ ORDER BY weight_micro DESC, doc_id ASC LIMIT 100
 """
 
 
+def corpus_dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DSIR model maintenance (operators/dsir.py:
+    dsir_batch_counts / merge_bucket_counts): the corpus arrives as
+    two disjoint batches (doc_id parity), each contributes its <=
+    4096-row additive count table, the merged table drives scoring of
+    the full corpus — and because bucket counts are ADDITIVE the
+    result is BIT-IDENTICAL to direct training, which is exactly what
+    the oracle checks: this entry reuses the DIRECT-form
+    CORPUS_DSIR_WEIGHTS_ORACLE verbatim, so a hash-green driver row
+    proves incremental == direct.  The daily-ingest deployment shape:
+    the model checkpoint is a dim-row table, never retrained from
+    scratch."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dsir import (
+        dsir_batch_counts,
+        dsir_weights,
+        merge_bucket_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tgt = F.col("source").isin("src0", "src1")
+    merged = merge_bucket_counts(
+        [
+            dsir_batch_counts(docs.filter(F.col("doc_id") % 2 == 0), tgt),
+            dsir_batch_counts(docs.filter(F.col("doc_id") % 2 == 1), tgt),
+        ]
+    )
+    return dsir_weights(docs, tgt, dim=4096, counts=merged)
+
+
 def sample_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The data-mixing plan table (operators/sampling.py:mixture_plan
     — temperature_mix's planning face, token-weighted as the
@@ -9203,6 +9233,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "sample_mixture_plan": QuerySpec(
             sample_mixture_plan, SAMPLE_MIXTURE_PLAN_ORACLE
+        ),
+        "corpus_dsir_incremental": QuerySpec(
+            corpus_dsir_incremental, CORPUS_DSIR_WEIGHTS_ORACLE
         ),
         "text_gopher_rules": QuerySpec(text_gopher_rules, TEXT_GOPHER_ORACLE),
         "web_pagerank": QuerySpec(web_pagerank, WEB_PAGERANK_ORACLE),

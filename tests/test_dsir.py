@@ -223,3 +223,34 @@ def test_gumbel_topk_matches_python_and_differs_from_argmax(spark):
 
     plain = {r["doc_id"] for r in dsir_topk(w, k=10).collect()}
     assert {r["doc_id"] for r in got} != plain  # the noise resamples
+
+
+def test_incremental_counts_equal_direct_any_split(spark):
+    """Bucket counts are additive: 3-way batch split (one batch
+    empty-ish) merged == direct weights, bit for bit."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dsir import (
+        dsir_batch_counts,
+        merge_bucket_counts,
+    )
+
+    rows = [
+        (i, " ".join(f"m{(i * 5 + j) % 9}" for j in range(3 + i % 6)), i % 4 == 0)
+        for i in range(45)
+    ]
+    df = _docs(spark, rows)
+    direct = {
+        (r["doc_id"], r["weight_micro"])
+        for r in dsir_weights(df, F.col("tgt"), dim=32).collect()
+    }
+    batches = [
+        dsir_batch_counts(df.filter(F.col("doc_id") % 3 == m), F.col("tgt"), dim=32)
+        for m in range(3)
+    ]
+    merged = merge_bucket_counts(batches)
+    incr = {
+        (r["doc_id"], r["weight_micro"])
+        for r in dsir_weights(
+            df, F.col("tgt"), dim=32, counts=merged
+        ).collect()
+    }
+    assert incr == direct

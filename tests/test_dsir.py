@@ -225,6 +225,52 @@ def test_gumbel_topk_matches_python_and_differs_from_argmax(spark):
     assert {r["doc_id"] for r in got} != plain  # the noise resamples
 
 
+def test_staging_seam_identical_weights(spark):
+    """The r9-judge feature-staging seam: stage=True (eager
+    localCheckpoint) and feats= (pre-staged dsir_feature_counts
+    table — the 100 TB parquet path) both produce weights
+    bit-identical to the recompute-twice default."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dsir import (
+        dsir_feature_counts,
+    )
+
+    rows = [
+        (i, " ".join(f"s{(i * 7 + j) % 12}" for j in range(2 + i % 7)), i % 5 == 0)
+        for i in range(50)
+    ] + [(100, "", False), (101, "   ", True)]
+    df = _docs(spark, rows)
+    base = {
+        (r["doc_id"], r["weight_micro"], r["n_grams"], r["is_target"])
+        for r in dsir_weights(df, F.col("tgt"), dim=32).collect()
+    }
+    staged = {
+        (r["doc_id"], r["weight_micro"], r["n_grams"], r["is_target"])
+        for r in dsir_weights(df, F.col("tgt"), dim=32, stage=True).collect()
+    }
+    assert staged == base
+    feats = dsir_feature_counts(df, F.col("tgt"), dim=32)
+    prestaged = {
+        (r["doc_id"], r["weight_micro"], r["n_grams"], r["is_target"])
+        for r in dsir_weights(df, F.col("tgt"), dim=32, feats=feats).collect()
+    }
+    assert prestaged == base
+
+
+def test_counts_dim_mismatch_raises(spark):
+    """ADVICE r9: a counts= table trained with a larger dim must be
+    rejected, not silently skew every weight."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dsir import (
+        dsir_batch_counts,
+    )
+
+    rows = [(i, f"x{i % 20} y{i % 17} z{i % 13}", i % 4 == 0) for i in range(30)]
+    df = _docs(spark, rows)
+    counts_big = dsir_batch_counts(df, F.col("tgt"), dim=256)
+    assert counts_big.filter(F.col("slot") >= 16).count() > 0  # mismatch is real
+    with pytest.raises(ValueError, match="different dim"):
+        dsir_weights(df, F.col("tgt"), dim=16, counts=counts_big).collect()
+
+
 def test_incremental_counts_equal_direct_any_split(spark):
     """Bucket counts are additive: 3-way batch split (one batch
     empty-ish) merged == direct weights, bit for bit."""

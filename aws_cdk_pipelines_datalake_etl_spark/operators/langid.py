@@ -67,10 +67,12 @@ MICRO = 1_000_000
 
 #: Public-domain training sample per language: UDHR Article 1 plus
 #: original everyday sentences (weather/family/food/city/travel) to
-#: widen trigram coverage beyond the declaration's register.  All text
-#: is pre-folded to ascii (ue/oe/ae/aa-style transliteration) because
-#: :func:`_norm` strips non-[a-z ] — the model discriminates on letter
-#: patterns, not diacritics.
+#: widen trigram coverage beyond the declaration's register.  LATIN
+#: samples are pre-folded to ascii (ue/oe/ae/aa-style transliteration)
+#: because :func:`_norm` folds Latin accents away — within Latin the
+#: model discriminates on letter patterns, not diacritics.  Round 10
+#: adds non-Latin scripts (ru/el/ar/zh/ja) which pass through
+#: :data:`WORD_CLASS` unfolded.
 LANGID_SAMPLES: dict[str, str] = {
     "en": (
         "All human beings are born free and equal in dignity and "
@@ -222,18 +224,99 @@ LANGID_SAMPLES: dict[str, str] = {
         "tidur. Saudara saya membaca buku tentang sejarah jembatan "
         "setiap malam."
     ),
+    # ---- round 10: non-Latin scripts (VERDICT r9 #3).  UDHR Art. 1
+    # (public domain) + original everyday sentences, same register as
+    # the Latin samples.  Greek is written fully lowercase on purpose:
+    # Java's String.toLowerCase is context-sensitive for final sigma
+    # (uppercase word-final sigma -> 'ς') while DuckDB/utf8proc and
+    # Python give 'σ' — all-lowercase samples and fixtures sidestep
+    # the one known case-folding divergence (documented on _norm).
+    "ru": (
+        "Все люди рождаются свободными и равными в своем достоинстве "
+        "и правах. Они наделены разумом и совестью и должны поступать "
+        "в отношении друг друга в духе братства. Сегодня утром было "
+        "холодно и улицы города были тихими. Она купила хлеб и сыр на "
+        "рынке и пошла домой с детьми. Старый поезд ушел с маленькой "
+        "станции до рассвета и пассажиры спали. Мой брат каждый вечер "
+        "читает книгу об истории мостов и все в доме было спокойно."
+    ),
+    "el": (
+        "όλοι οι άνθρωποι γεννιούνται ελεύθεροι και ίσοι στην "
+        "αξιοπρέπεια και τα δικαιώματα. είναι προικισμένοι με λογική "
+        "και συνείδηση και οφείλουν να συμπεριφέρονται μεταξύ τους με "
+        "πνεύμα αδελφοσύνης. σήμερα το πρωί έκανε κρύο και οι δρόμοι "
+        "της πόλης ήταν ήσυχοι. αγόρασε ψωμί και τυρί στην αγορά και "
+        "περπάτησε σπίτι με τα παιδιά της. το παλιό τρένο έφυγε από "
+        "τον μικρό σταθμό πριν την ανατολή και οι επιβάτες κοιμόνταν. "
+        "ο αδελφός μου διαβάζει κάθε βράδυ ένα βιβλίο για την ιστορία "
+        "των γεφυριών."
+    ),
+    "ar": (
+        "يولد جميع الناس أحرارا متساوين في الكرامة والحقوق. وقد وهبوا "
+        "عقلا وضميرا وعليهم أن يعامل بعضهم بعضا بروح الإخاء. كان الجو "
+        "باردا هذا الصباح وكانت شوارع المدينة هادئة. اشترت خبزا وجبنا "
+        "من السوق ومشت الى البيت مع اطفالها. غادر القطار القديم "
+        "المحطة الصغيرة قبل شروق الشمس ونام المسافرون. يقرأ اخي كل "
+        "مساء كتابا عن تاريخ الجسور."
+    ),
+    "zh": (
+        "人人生而自由，在尊严和权利上一律平等。他们赋有理性和良心，"
+        "并应以兄弟关系的精神相对待。今天早上天气很冷，城市的街道很"
+        "安静。她在市场买了面包和奶酪，带着孩子们走回家。旧火车在日"
+        "出前离开了小车站，乘客们都睡着了。我的哥哥每天晚上读一本关"
+        "于桥梁历史的书。"
+    ),
+    "ja": (
+        "すべての人間は、生まれながらにして自由であり、かつ、尊厳と"
+        "権利とについて平等である。人間は、理性と良心とを授けられて"
+        "おり、互いに同胞の精神をもって行動しなければならない。けさ"
+        "は寒くて、まちの通りは静かだった。彼女は市場でパンとチーズ"
+        "を買い、子供たちと家に歩いて帰った。古い列車は夜明け前に小"
+        "さな駅を出発し、乗客は眠っていた。私の兄は毎晩、橋の歴史に"
+        "ついての本を読む。"
+    ),
 }
+
+#: Literal code-point ranges per script — shared by the NB normalizer
+#: (:func:`_norm` / :func:`_py_norm` / the DuckDB twin in
+#: :func:`langid_model_sql_ctes`) and :func:`dominant_script`.  The
+#: ranges are LITERAL characters (not \\p{Script} classes) so Java
+#: regex, Python re and DuckDB/RE2 interpret them identically by code
+#: point.  Greek ά-ώ (U+03AC-U+03CE) covers every modern lowercase
+#: letter including final sigma and the accented vowels.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "a-z",
+    "cyrillic": "а-яё",  # а-я plus ё
+    "greek": "ά-ώ",  # ά..ώ (incl. α-ω, ς, accented vowels)
+    "arabic": "ء-ي",  # ء..ي
+    "cjk": "一-鿿",  # CJK unified ideographs
+    "hiragana": "ぁ-ゟ",
+    "katakana": "゠-ヿ",
+}
+
+#: The normalizer's keep-class body (every script range, no space).
+WORD_CLASS: str = "".join(SCRIPT_RANGES[k] for k in sorted(SCRIPT_RANGES))
+
+#: The full drop-pattern: any char not in a known script and not a
+#: space becomes a space.
+NORM_DROP_RE: str = f"[^{WORD_CLASS} ]"
 
 
 def _norm(col) -> F.Column:
-    """Shared normalization: lowercase, every non-[a-z ] char becomes
-    a space, runs collapse, then one boundary space is padded on each
-    side so word-initial/final trigrams carry boundary signal.
-    Accented letters deliberately normalize AWAY (the samples above
-    are pre-folded) — the model discriminates on letter patterns, not
-    diacritics, keeping the DuckDB twin trivially identical."""
+    """Shared normalization: lowercase, every char outside the known
+    script ranges (:data:`WORD_CLASS`) becomes a space, runs collapse,
+    then one boundary space is padded on each side so
+    word-initial/final trigrams carry boundary signal.  Latin accented
+    letters still normalize AWAY (the Latin samples are pre-folded) —
+    within Latin the model discriminates on letter patterns, not
+    diacritics; Cyrillic/Greek/Arabic/CJK/kana pass through so
+    non-Latin text is modeled instead of erased (round 10, VERDICT r9
+    #3).  Known case-folding caveat: UPPERCASE word-final Greek sigma
+    lowers to 'ς' under Java but 'σ' under DuckDB/Python — samples
+    and fixtures are all-lowercase Greek, which both fold
+    identically."""
     c = F.lower(col)
-    c = F.regexp_replace(c, "[^a-z ]", " ")
+    c = F.regexp_replace(c, NORM_DROP_RE, " ")
     c = F.trim(F.regexp_replace(c, " +", " "))
     return F.concat(F.lit(" "), c, F.lit(" "))
 
@@ -244,9 +327,19 @@ def _py_norm(text: str) -> str:
     corpus text is always normalized by the Catalyst expression."""
     import re
 
-    t = re.sub(r"[^a-z ]", " ", text.lower())
+    t = re.sub(NORM_DROP_RE, " ", text.lower())
     t = re.sub(r" +", " ", t).strip()
     return f" {t} "
+
+
+def norm_sql(col: str) -> str:
+    """The DuckDB expression text that mirrors :func:`_norm` — ONE
+    source for the char class so the Spark normalizer, the Python
+    sample normalizer and every oracle can never drift."""
+    return (
+        "' ' || trim(regexp_replace(regexp_replace(lower(" + col + "), "
+        f"'{NORM_DROP_RE}', ' ', 'g'), ' +', ' ', 'g')) || ' '"
+    )
 
 
 def _model_counts(
@@ -320,14 +413,10 @@ def langid_model_sql_ctes(samples: dict[str, str] | None = None) -> str:
         "('{}', '{}')".format(lang, text.replace("'", "''"))
         for lang, text in sorted(samples.items())
     )
-    norm = (
-        "' ' || trim(regexp_replace(regexp_replace(lower({c}), "
-        "'[^a-z ]', ' ', 'g'), ' +', ' ', 'g')) || ' '"
-    )
     return f"""samples(lang, sample) AS (VALUES
     {values}
 ),
-snorm AS (SELECT lang, {norm.format(c="sample")} AS s FROM samples),
+snorm AS (SELECT lang, {norm_sql("sample")} AS s FROM samples),
 stris AS (
   SELECT lang, substring(s, i, 3) AS tri
   FROM (SELECT lang, s, unnest(generate_series(1, length(s) - 2)) AS i
@@ -473,3 +562,53 @@ def language_id_nb(
         F.lit(0).cast("int").alias("n_trigrams"),
     )
     return scored.unionByName(empty).withColumnRenamed("_id", id_col)
+
+
+def dominant_script(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document dominant Unicode script — the script-level
+    dimension VERDICT r9 #3 asked for: text whose language the NB
+    model does not cover is still labeled by WHAT IT IS ('cyrillic',
+    'cjk', 'arabic', ...) instead of disappearing into ``'und'``.
+
+    Output: ``(id_col, script, n_script_chars, n_chars)`` — ``script``
+    is the :data:`SCRIPT_RANGES` key with the most matching characters
+    in ``lower(text)`` (ties broken alphabetically), ``'und'`` when no
+    character matches any known script; ``n_script_chars`` the winning
+    count; ``n_chars`` the total character count.
+
+    Pure Catalyst, one scan, zero shuffles: one ``regexp_replace``
+    keep-count per script (a driver-known, fixed set — 7 passes over
+    the codegen'd row) and a row-local ``array_sort`` argmax over
+    ``(neg_count, name)`` structs — the langid argmax device.  The
+    DuckDB oracle mirrors each count with the identical literal-range
+    regex and a ``list_sort`` over the same structs."""
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    names = sorted(SCRIPT_RANGES)
+    counts = {
+        n: F.length(F.regexp_replace(low, f"[^{SCRIPT_RANGES[n]}]", ""))
+        for n in names
+    }
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-counts[n]).cast("long").alias("neg"),
+                    F.lit(n).alias("script"),
+                )
+                for n in names
+            ]
+        )
+    )
+    best_n = (-ranked[0]["neg"]).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.when(best_n > 0, ranked[0]["script"])
+        .otherwise(F.lit("und"))
+        .alias("script"),
+        best_n.alias("n_script_chars"),
+        F.length(low).cast("int").alias("n_chars"),
+    )

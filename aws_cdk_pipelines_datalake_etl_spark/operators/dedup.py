@@ -666,45 +666,56 @@ def remove_duplicate_spans(
     )
     # positions to remove: occurrences of a duplicated gram OUTSIDE
     # its canonical (min-id) doc — join output is exactly the edit
-    # set.  The covered-position union ([start, start+k) windows,
-    # overlaps merged by array_distinct) is computed HERE, below the
-    # doc join, so the final projection references a join-side
-    # attribute — referencing a derived column from inside the filter
-    # lambda above the join would re-evaluate it per token (the
-    # HOF-inlining trap, SCALE.md round 8).
+    # set.  The rebuild is a SORTED-BOUNDARY WALK (round 10, VERDICT
+    # r9 #4 — replaces a per-token array_contains membership test
+    # that was O(n * covered) for a long, heavily-duplicated doc):
+    # with the removal starts sorted ascending and every covered
+    # interval exactly [p, p+k), the union's complement inside
+    # [0, n) is read off ADJACENT PAIRS alone (max over earlier ends
+    # is always the immediate predecessor's p+k), so the kept
+    # segments are one zip_with over the starts and their shifted
+    # ends — O(starts), no membership scans; the text rebuild is one
+    # slice per kept segment, flattened — O(n) total.
     removed = (
         g.join(dup, "gram")
         .filter(F.col("id") != F.col("_lo"))
         .groupBy("id")
         .agg(F.sort_array(F.collect_set("pos")).alias("_starts"))
-        .select(
-            "id",
-            F.array_distinct(
-                F.flatten(
-                    F.transform(
-                        "_starts",
-                        lambda p: F.sequence(p, p + F.lit(k - 1)),
-                    )
-                )
-            ).alias("_covered"),
-        )
     )
     out = d.join(removed, "id", "left").select(
         "id",
         "w",
-        F.coalesce("_covered", F.array().cast("array<int>")).alias(
-            "_covered"
+        F.coalesce("_starts", F.array().cast("array<int>")).alias(
+            "_starts"
         ),
     )
-    return out.select(
+    segs = out.select(
+        "id",
+        "w",
+        F.expr(
+            "CASE WHEN size(_starts) = 0 THEN "
+            "  array(named_struct('lo', 0, 'hi', size(w))) "
+            "ELSE filter(concat("
+            "  array(named_struct('lo', 0, 'hi', _starts[0])), "
+            "  zip_with("
+            f"    transform(slice(_starts, 1, size(_starts) - 1), p -> p + {k}), "
+            "    slice(_starts, 2, size(_starts) - 1), "
+            "    (e, s) -> named_struct('lo', e, 'hi', s)), "
+            f"  array(named_struct('lo', element_at(_starts, -1) + {k}, "
+            "                      'hi', size(w)))"
+            "), s -> s.hi > s.lo) END"
+        ).alias("_segs"),
+    )
+    return segs.select(
         F.col("id").alias(id_col),
         F.size("w").alias("n_tokens"),
-        F.size("_covered").alias("n_removed"),
+        (
+            F.size("w")
+            - F.expr("aggregate(_segs, 0, (acc, s) -> acc + s.hi - s.lo)")
+        ).alias("n_removed"),
         F.array_join(
-            F.expr(
-                "transform(filter(transform(w, (t, i) -> "
-                "struct(i as i, t as t)), "
-                "s -> NOT array_contains(_covered, s.i)), s -> s.t)"
+            F.flatten(
+                F.expr("transform(_segs, s -> slice(w, s.lo + 1, s.hi - s.lo))")
             ),
             " ",
         ).alias("text_dedup"),

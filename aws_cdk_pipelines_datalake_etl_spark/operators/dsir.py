@@ -431,3 +431,72 @@ def dsir_gumbel_topk(
     return keyed.orderBy(
         F.col("key_micro").desc(), F.col("doc_id").asc()
     ).limit(k)
+
+
+def dsir_gumbel_topk_stratified(
+    weights: DataFrame,
+    k_per_source: int | dict[str, int],
+    source_col: str = "source",
+    include_target: bool = False,
+    tag: str = "g",
+) -> DataFrame:
+    """Per-source Gumbel-top-k (round 10, VERDICT r9 #6): the
+    published pipeline often RESAMPLES WITHIN EACH SOURCE so the
+    selected corpus preserves a chosen mixture instead of letting one
+    dominant source swallow the global budget; this is the
+    :func:`dsir_gumbel_topk` draw (same hash-derived, engine-exact
+    Gumbel key) ranked inside each source partition.
+
+    ``weights`` must carry ``source_col`` — either join the
+    :func:`dsir_weights` output back to the corpus on ``doc_id``
+    (doc-keyed co-partitioned join, the registry-entry shape) or
+    pre-stage a weights table that kept the column.  ``k_per_source``
+    is one budget for every source (int) or a per-source dict — e.g.
+    the ``n_select`` column of
+    ``operators/sampling.py:token_weighted_mixture_plan``, which
+    computes exactly this budget; unlisted sources get 0.
+
+    Output: the sampled rows plus ``gumbel_micro``/``key_micro``
+    evidence and ``sel_rank`` (1-based rank within the source).  Plan:
+    ONE shuffle by source + a bounded window (sources are a small
+    driver-known set; per-source partitions are corpus-sized but the
+    window state is a running count, not a buffer)."""
+    from pyspark.sql import Window
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        hash48,
+    )
+
+    pool = weights if include_target else weights.filter(~F.col("is_target"))
+    u = (
+        hash48(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":" + tag))
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_H48_RANGE)
+    gumbel_micro = F.floor(
+        -F.log(-F.log(u)) * F.lit(float(MICRO)) + F.lit(0.5)
+    ).cast("bigint")
+    keyed = pool.withColumn("gumbel_micro", gumbel_micro).withColumn(
+        "key_micro", F.col("weight_micro") + F.col("gumbel_micro")
+    )
+    win = Window.partitionBy(source_col).orderBy(
+        F.col("key_micro").desc(), F.col("doc_id").asc()
+    )
+    ranked = keyed.withColumn("sel_rank", F.row_number().over(win))
+    if isinstance(k_per_source, dict):
+        if not k_per_source:
+            raise ValueError("k_per_source dict must not be empty")
+        budget = F.coalesce(
+            F.create_map(
+                *[
+                    x
+                    for s, n in sorted(k_per_source.items())
+                    for x in (F.lit(s), F.lit(int(n)))
+                ]
+            )[F.col(source_col)],
+            F.lit(0),
+        )
+    else:
+        budget = F.lit(int(k_per_source))
+    return ranked.filter(F.col("sel_rank") <= budget)

@@ -8507,6 +8507,63 @@ FROM keyed ORDER BY key_micro DESC, doc_id ASC LIMIT 100
 """
 
 
+def sample_dsir_gumbel_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (stratified) DSIR Gumbel resampling (operators/
+    dsir.py: dsir_gumbel_topk_stratified — round 10, VERDICT r9 #6):
+    the same engine-exact hash-Gumbel key as sample_dsir_gumbel,
+    ranked WITHIN each source under a per-source budget dict (the
+    shape token_weighted_mixture_plan emits), so the selection
+    preserves a chosen source mixture instead of letting one dominant
+    source swallow the global budget.  Weights re-acquire the source
+    column by a doc-keyed join back to the corpus; the plan is the
+    staged weights flow + one shuffle by source + a bounded
+    row_number window.  The DuckDB oracle replays the weights, the
+    Gumbel draw, and the per-source rank filter."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dsir import (
+        dsir_gumbel_topk_stratified,
+        dsir_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_weights(
+        docs,
+        F.col("source").isin("src0", "src1"),
+        dim=4096,
+        stage=True,
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    return dsir_gumbel_topk_stratified(
+        w, {"src2": 20, "src3": 10, "src4": 5}
+    )
+
+
+SAMPLE_DSIR_GUMBEL_PER_SOURCE_ORACLE = f"""
+WITH wts AS ({_DSIR_WEIGHTS_SQL}),
+src AS (SELECT doc_id, source FROM documents),
+keyed AS (
+  SELECT w.doc_id, w.is_target, w.n_grams, w.weight_micro, s.source,
+         CAST(floor(-ln(-ln(
+           ((('0x' || substr(md5(w.doc_id::VARCHAR || ':g'), 1, 12))::BIGINT)
+            + 1.0) / 281474976710657.0)) * 1000000 + 0.5) AS BIGINT)
+           AS gumbel_micro
+  FROM wts w JOIN src s USING (doc_id) WHERE NOT w.is_target
+),
+ranked AS (
+  SELECT *, weight_micro + gumbel_micro AS key_micro,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY weight_micro + gumbel_micro DESC, doc_id ASC
+         ) AS INT) AS sel_rank
+  FROM keyed
+)
+SELECT doc_id, is_target, n_grams, weight_micro, source, gumbel_micro,
+       key_micro, sel_rank
+FROM ranked
+WHERE sel_rank <= CASE source WHEN 'src2' THEN 20 WHEN 'src3' THEN 10
+                              WHEN 'src4' THEN 5 ELSE 0 END
+"""
+
+
+
 CORPUS_TRAINING_SET_V3_ORACLE = f"""
 WITH wts AS ({_DSIR_WEIGHTS_SQL}),
 sel AS (
@@ -9283,6 +9340,10 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "sample_dsir_gumbel": QuerySpec(
             sample_dsir_gumbel, SAMPLE_DSIR_GUMBEL_ORACLE
+        ),
+        "sample_dsir_gumbel_per_source": QuerySpec(
+            sample_dsir_gumbel_per_source,
+            SAMPLE_DSIR_GUMBEL_PER_SOURCE_ORACLE,
         ),
         "sample_mixture_plan": QuerySpec(
             sample_mixture_plan, SAMPLE_MIXTURE_PLAN_ORACLE

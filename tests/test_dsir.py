@@ -300,3 +300,65 @@ def test_incremental_counts_equal_direct_any_split(spark):
         ).collect()
     }
     assert incr == direct
+
+
+def test_gumbel_stratified_preserves_mixture(spark):
+    """Per-source Gumbel top-k (round 10): exact per-source budgets,
+    dict form zeroes unlisted sources, int form budgets every source,
+    the draw is the SAME hash-Gumbel key as the global sampler, and
+    ranking is layout-deterministic."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dsir import (
+        dsir_gumbel_topk,
+        dsir_gumbel_topk_stratified,
+    )
+
+    rows = [
+        (
+            i,
+            " ".join(f"w{(i + j) % 7}" for j in range(5)),
+            i % 10 == 0,
+            f"s{i % 3}",
+        )
+        for i in range(1, 91)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, tgt boolean, source string"
+    )
+    w = dsir_weights(df, F.col("tgt"), dim=32).join(
+        df.select("doc_id", "source"), "doc_id"
+    )
+    got = dsir_gumbel_topk_stratified(w, {"s0": 4, "s2": 7}).collect()
+    by_src: dict[str, list] = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    assert {s: len(v) for s, v in by_src.items()} == {"s0": 4, "s2": 7}
+    assert all(not r["is_target"] for r in got)
+    # same Gumbel key as the global sampler for the same docs
+    global_keys = {
+        r["doc_id"]: (r["gumbel_micro"], r["key_micro"])
+        for r in dsir_gumbel_topk(
+            w.drop("source"), k=100
+        ).collect()
+    }
+    for r in got:
+        assert (r["gumbel_micro"], r["key_micro"]) == global_keys[r["doc_id"]]
+    # ranks are 1..budget and descend by key within each source
+    for s, rs in by_src.items():
+        rs = sorted(rs, key=lambda r: r["sel_rank"])
+        assert [r["sel_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        keys = [(r["key_micro"], -r["doc_id"]) for r in rs]
+        assert keys == sorted(keys, reverse=True)
+    # int form: every source gets the same budget
+    got_int = dsir_gumbel_topk_stratified(w, 2).collect()
+    cnt = {}
+    for r in got_int:
+        cnt[r["source"]] = cnt.get(r["source"], 0) + 1
+    assert cnt == {"s0": 2, "s1": 2, "s2": 2}
+    # layout determinism
+    again = {
+        (r["doc_id"], r["sel_rank"])
+        for r in dsir_gumbel_topk_stratified(
+            w.repartition(7), {"s0": 4, "s2": 7}
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["sel_rank"]) for r in got}

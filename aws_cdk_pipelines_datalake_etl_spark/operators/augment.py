@@ -85,8 +85,11 @@ def fim_transform(
 
     Output: ``(id, fim_applied boolean, n_tokens int,
     token_ids array<int>)``; transformed docs are exactly 3 ids longer
-    than their input.  One narrow projection — no shuffle."""
-    n = F.size(F.col(ids_col))
+    than their input.  A NULL ``ids_col`` row passes through with
+    ``fim_applied=false`` and NULL ``n_tokens`` (ADVICE r9: never the
+    size-of-null ``-1`` sentinel).  One narrow projection — no
+    shuffle."""
+    n = F.size(F.coalesce(F.col(ids_col), F.array().cast("array<int>")))
     u1 = _hash_pick(F.col(id_col), "u1", n + 1)
     u2 = _hash_pick(F.col(id_col), "u2", n + 1)
     lo = F.least(u1, u2)
@@ -110,7 +113,10 @@ def fim_transform(
     return df.select(
         F.col(id_col),
         apply.alias("fim_applied"),
-        F.size(out).cast("int").alias("n_tokens"),
+        F.when(F.col(ids_col).isNull(), F.lit(None))
+        .otherwise(F.size(out))
+        .cast("int")
+        .alias("n_tokens"),
         out.alias(ids_col),
     )
 

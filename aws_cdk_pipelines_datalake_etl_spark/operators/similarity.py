@@ -906,7 +906,19 @@ def contrastive_triplets(
     Output: (anchor_id, pos_id, pos_cosine, neg_id, neg_cosine,
     margin = pos_cosine - neg_cosine) — margin <= 0 flags anchors
     whose nearest neighbor crosses the label boundary (the docs a
-    curation pass should inspect)."""
+    curation pass should inspect).
+
+    Ids must be NUMERIC (the deterministic tie-break rides a
+    ``(cosine, -id)`` struct-max; a string id would break the
+    negation) — enforced, not assumed (ADVICE r9)."""
+    from pyspark.sql import types as T
+
+    id_type = vectors.schema[id_col].dataType
+    if not isinstance(id_type, T.NumericType):
+        raise TypeError(
+            f"contrastive_triplets requires a numeric {id_col!r} for the "
+            f"(cosine, -id) tie-break; got {id_type.simpleString()}"
+        )
     v = _with_double_vec(vectors, vec_col, "v").select(
         F.col(id_col).alias("nid"), F.col(label_col).alias("nlabel"), "v"
     )
@@ -934,7 +946,11 @@ def contrastive_triplets(
         best(F.col("nlabel") == F.col("a_label")).alias("p"),
         best(F.col("nlabel") != F.col("a_label")).alias("n"),
     )
-    return agg.select(
+    # ADVICE r9: an anchor with NO peer rows at all (every corpus row
+    # is itself) vanishes from the groupBy — left-join the aggregate
+    # back onto the anchors frame so every anchor emits a row with
+    # NULLs, matching the docstring and the LEFT-JOIN oracle.
+    return a.select("anchor_id").join(agg, "anchor_id", "left").select(
         "anchor_id",
         (-F.col("p.neg_id")).cast("long").alias("pos_id"),
         F.col("p.c").alias("pos_cosine"),

@@ -611,7 +611,13 @@ def compression_ratio(
     def comp(texts: pd.Series) -> pd.DataFrame:
         rows = []
         for t in texts:
-            raw = str(t).encode("utf-8")
+            # ADVICE r9: pandas nulls must not round-trip through
+            # str() (str(None) == 'None' would get n_bytes=4 and a
+            # real ratio) — a null doc is an empty doc here.
+            if t is None or (isinstance(t, float) and pd.isna(t)):
+                raw = b""
+            else:
+                raw = str(t).encode("utf-8")
             if not raw:
                 rows.append((0, 0, None))
                 continue

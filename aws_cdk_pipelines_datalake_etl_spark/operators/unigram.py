@@ -132,8 +132,14 @@ def train_unigram(
 ) -> dict[str, int]:
     """Driver-side unigram-LM training over the bounded word table
     (the BPE merge-loop precedent): returns the scored piece table
-    ``{piece: score_micro}`` of <= ``vocab_size`` pieces including
-    every single character.  Fully deterministic: counts are integers,
+    ``{piece: score_micro}`` of at most ``max(vocab_size, n_chars)``
+    pieces.  Every single character seen in training is ALWAYS kept
+    (SentencePiece's required-character floor — dropping one would
+    make some word unencodable), so when the training charset is
+    larger than ``vocab_size`` the returned table exceeds
+    ``vocab_size``; multi-char pieces are pruned to fit only the
+    remaining budget (ADVICE r9: the floor is the contract, not a
+    violation of it).  Fully deterministic: counts are integers,
     scores integer micro-nats, every selection sorts (-count, piece).
 
     Words are marked: each word type becomes ``WB + word`` before
@@ -275,6 +281,10 @@ def unigram_encode_ids(
         cache: dict[str, list[int]] = {}
         rows = []
         for t in texts:
+            # ADVICE r9: a pandas null must not become the literal
+            # word 'None' via str() — treat it as an empty doc.
+            if t is None or (isinstance(t, float) and pd.isna(t)):
+                t = ""
             ids: list[int] = []
             for w in _py_words(str(t)):
                 got = cache.get(w)

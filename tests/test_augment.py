@@ -130,3 +130,24 @@ def test_augment_plans_are_narrow(spark):
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan
         assert "Generate" not in plan
+
+
+def test_fim_null_token_ids_passthrough(spark):
+    """ADVICE r9: a NULL token_ids row passes through with
+    fim_applied=false and NULL n_tokens — never the size-of-null -1
+    sentinel."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.augment import (
+        fim_transform,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [5, 6, 7]), (2, None), (3, [])],
+        "doc_id long, token_ids array<int>",
+    )
+    got = {r.doc_id: r for r in fim_transform(df, rate_micro=1_000_000).collect()}
+    assert got[2].fim_applied is False
+    assert got[2].n_tokens is None
+    assert got[2].token_ids is None
+    assert got[3].fim_applied is False  # empty passes through too
+    assert got[3].n_tokens == 0
+    assert got[1].fim_applied is True and got[1].n_tokens == 6

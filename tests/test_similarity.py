@@ -444,3 +444,32 @@ def test_contrastive_triplets_plan_single_agg_no_window(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_contrastive_triplets_peerless_anchor_and_string_ids(spark):
+    """ADVICE r9: an anchor with NO peer rows at all still emits its
+    row (all NULLs) via the left join back onto the anchors frame;
+    string ids are rejected loudly instead of silently breaking the
+    (cosine, -id) tie-break."""
+    import pytest as _pytest
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    # corpus contains ONLY the anchor itself -> zero peer rows
+    solo = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a")], "vec_id long, embedding array<float>, label string"
+    )
+    got = contrastive_triplets(solo, solo).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.anchor_id == 1
+    assert r.pos_id is None and r.neg_id is None and r.margin is None
+
+    sdf = spark.createDataFrame(
+        [("x", [1.0, 0.0], "a"), ("y", [0.0, 1.0], "b")],
+        "vec_id string, embedding array<float>, label string",
+    )
+    with _pytest.raises(TypeError, match="numeric"):
+        contrastive_triplets(sdf, sdf)

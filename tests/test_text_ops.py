@@ -232,3 +232,21 @@ def test_compression_ratio_plan_arrow_no_shuffle(spark):
     )
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_compression_ratio_null_text_is_empty(spark):
+    """ADVICE r9: NULL text must behave exactly like an empty doc
+    (ratio NULL), not become the 4-byte literal 'None'."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.text import (
+        compression_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "abcabcabcabc")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in compression_ratio(df).collect()}
+    for i in (1, 2):
+        assert got[i].n_bytes == 0
+        assert got[i].n_compressed == 0
+        assert got[i].ratio_micro is None
+    assert got[3].n_bytes == 12 and got[3].ratio_micro is not None

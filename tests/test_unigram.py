@@ -147,3 +147,20 @@ def test_viterbi_is_optimal_by_brute_force():
             if sum(pieces[p] for p in seg) == best_score
         ]
         assert got == min(ties, key=lambda s: (len(s), s)), (word, got)
+
+
+def test_encode_null_text_is_empty(spark):
+    """ADVICE r9: NULL text encodes like an empty doc (no ids), not
+    like the 4-char literal 'None'."""
+    docs = spark.createDataFrame(
+        [(0, "low lower"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    scores, vocab = train_unigram_from_corpus(
+        docs.filter("text IS NOT NULL"), vocab_size=64
+    )
+    got = {r.doc_id: r for r in unigram_encode_ids(docs, scores, vocab).collect()}
+    for i in (1, 2):
+        assert got[i].token_ids == [] and got[i].n_tokens == 0
+        assert got[i].n_unk == 0
+    assert got[0].n_tokens > 0

@@ -6728,89 +6728,76 @@ _DRIVER_WINDOW = [
     "q01_pricing_summary",
     "q02_taxi_shape_agg",
     "q23_sql_transform",
-    # (2) round-9 new/changed entries (each with a targeted
-    # oracle_check run logged in its commit):
-    # - corpus_quality_scores: NEW oracle-backed classifier SCORING
-    #   path (one-step-GD integer weights + integer dot product +
-    #   sign; portable md5 feature hash) — never driver-verified
-    # - text_pack_sequences: CHANGED — eod_id sentinel + doc_spans
-    #   boundary output, both replayed by the oracle (VERDICT r8 #1)
-    # - text_langid_nb: CHANGED — 14-language sample, margin_micro
-    #   output, single-exchange pivoted plan, repartition dial
-    #   (VERDICT r8 #2/#6)
-    # - dedup_substring_spans / _prod: PHYSICAL rewrite (complement
-    #   scheme replaces the dup-gram marking join, VERDICT r8 #5) —
-    #   output + oracle unchanged, re-verify like the r8 ADPCM
-    #   precedent
-    # - text_langid_confident: NEW — the margin band engaged
-    #   (min_margin_micro=3000), oracle applies the identical integer
-    #   cross-multiply banding rule
-    "corpus_quality_scores",
-    "text_pack_sequences",
+    # (2) ROUND-10 DEBT PAYMENT (VERDICT r9 #1): ALL 35 owed entries.
+    # (2a) the 22 remaining round-5 entries — after this round, every
+    # oracle-backed entry is driver-green within the last 5 rounds and
+    # the round-5 rotation is COMPLETE:
+    "range_join_binned",
+    "sample_quality_weighted",
+    "sample_source_rebalance",
+    "sim_ivf_full_probe",
+    "sim_ivfpq_full",
+    "sim_ivfpq_residual_full",
+    "sim_pq_full_rerank",
+    "sim_quantize_embeddings",
+    "sink_python_stream_writer",
+    "source_python_stream",
+    "source_python_stream_partitioned",
+    "stream_dedup_within_watermark",
+    "stream_late_drop",
+    "stream_sliding",
+    "stream_static_join",
+    "text_boilerplate_ratio",
+    "text_normalize",
+    "text_oov_rate",
+    "text_pack_offsets",
+    "text_pseudonymize",
+    "text_unigram_logprob",
+    "ts_ewma",
+    # (2b) the 13 round-9 late entries (never driver-verified; each
+    # carried a logged targeted oracle_check run per the late-entry
+    # rule).  Several were ALSO changed this round and re-checked:
+    # corpus_dsir_weights / sample_dsir_topk / sample_dsir_gumbel /
+    # corpus_training_set_v3 (stage=True feature staging),
+    # dedup_span_removal (sorted-boundary-walk rebuild, output
+    # identical), sim_contrastive_triplets (peerless-anchor left
+    # join), text_fim_transform (NULL-array guard),
+    # corpus_training_set_v2 (19-language langid model):
+    "dedup_span_removal",
+    "corpus_training_set_v2",
+    "corpus_dsir_weights",
+    "corpus_dsir_incremental",
+    "sample_dsir_topk",
+    "sample_dsir_gumbel",
+    "sample_mixture_plan",
+    "retrieval_hard_negatives",
+    "lm_kneser_ney_logprob",
+    "text_fim_transform",
+    "text_span_corruption",
+    "sim_contrastive_triplets",
+    "corpus_training_set_v3",
+    # (3) round-10 new/changed entries not already above (each with a
+    # targeted oracle_check run logged in its commit):
+    # - text_script_id: NEW — dominant Unicode script per doc
+    # - sample_dsir_gumbel_per_source: NEW — stratified Gumbel top-k
+    # - text_langid_nb / text_langid_confident: CHANGED — 19-language
+    #   model (ru/el/ar/zh/ja), widened script-aware normalizer
+    "text_script_id",
+    "sample_dsir_gumbel_per_source",
     "text_langid_nb",
     "text_langid_confident",
-    "dedup_substring_spans",
-    "dedup_substring_spans_prod",
-    # (4a) re-confirmation, oldest-verified-first: the final 18
-    # entries last green in round 4 (q57..udtf_word_ngrams) — this
-    # COMPLETES the round-4 rotation promised in the r8 window; after
-    # this round every oracle-backed entry is green within 5 rounds.
-    "q57_dense_grid_report",
-    "q58_event_transitions",
-    "q60_edit_distance",
-    "q64_filtered_aggregates",
-    "q66_mode_aggregate",
-    "q68_numeric_profile",
-    "sample_cap_per_class",
-    "sample_train_val_test",
-    "sim_ivf_index_full_probe",
-    "sim_near_dup_pairs",
-    "sketch_cm_heavy_hitters",
-    "source_python_datasource",
-    "stream_cdc_upsert",
-    "text_quality_gate",
-    "text_redact_pii",
-    "text_repetition_removal",
-    "text_top_bigrams",
-    "udtf_word_ngrams",
-    # (4b) next-oldest: 23 alphabetically-first of the 45 entries last
-    # green in round 5.  ROUND-10 WINDOW OWES: the remaining 22
-    # round-5 entries (range_join_binned + sample_quality_weighted..
-    # ts_ewma) plus the two round-9 LATE entries added after this
-    # window froze (dedup_span_removal, corpus_training_set_v2 — both
-    # with targeted oracle_check runs logged per the late-entry rule)
-    # plus the ELEVEN oracle-backed round-9 session-2 late entries
-    # (each with its targeted oracle_check run logged in its commit):
-    # corpus_dsir_weights, corpus_dsir_incremental, sample_dsir_topk,
-    # sample_dsir_gumbel, sample_mixture_plan,
-    # retrieval_hard_negatives, lm_kneser_ney_logprob,
-    # text_fim_transform, text_span_corruption,
-    # sim_contrastive_triplets, corpus_training_set_v3 — rows-only
-    # session-2 entries (tokenizer_unigram_encode,
-    # text_compression_ratio) stay out of the window by policy.
-    "cdc_scd2",
-    "corpus_data_card",
-    "corpus_epoch_shuffle",
-    "dedup_fingerprint",
-    "dedup_simhash_pairs",
-    "multimodal_decode_png",
-    "multimodal_embed_topk",
-    "multimodal_image_resize",
-    "q12_window_running_sum",
-    "q22_cube",
-    "q25_exists_correlated",
-    "q31_shipping_priority",
-    "q33_market_share",
-    "q34_window_navigation",
-    "q47_reaggregation_rollup",
-    "q52_product_profit",
-    "q59_union_heterogeneous",
-    "q62_distribution_ranks",
-    "q63_array_algebra",
-    "q65_regexp_extract",
-    "q67_null_safe_join",
-    "q69_suppliers_who_kept_waiting",
-    "q70_map_functions",
+    # (4) re-confirmation, oldest-verified-first: 8 slots left; the
+    # alphabetically-first 8 of the 36 entries last green in round 6.
+    # ROUND-11 WINDOW OWES: the remaining 28 round-6 entries
+    # (multimodal_decode_jpeg .. text_repetition_metrics).
+    "agg_salted_skew",
+    "asof_view_to_purchase",
+    "bucketed_join",
+    "cdc_latest_state",
+    "cdc_state_asof_time",
+    "dedup_semantic_skewguard",
+    "dedup_semantic_survivors",
+    "multimodal_binaryfile_ingest",
 ]
 
 

@@ -314,9 +314,15 @@ def _norm(col) -> F.Column:
     #3).  Known case-folding caveat: UPPERCASE word-final Greek sigma
     lowers to 'ς' under Java but 'σ' under DuckDB/Python — samples
     and fixtures are all-lowercase Greek, which both fold
-    identically."""
+    identically.
+
+    The drop class is RUN-QUANTIFIED (``[^...]+`` -> one space): the
+    space-collapse step makes the result identical to the per-char
+    form, and a run-level replacement avoids a regex callback per
+    dropped character (the dominant_script 12x measurement) —
+    :func:`_py_norm` and :func:`norm_sql` quantify identically."""
     c = F.lower(col)
-    c = F.regexp_replace(c, NORM_DROP_RE, " ")
+    c = F.regexp_replace(c, NORM_DROP_RE + "+", " ")
     c = F.trim(F.regexp_replace(c, " +", " "))
     return F.concat(F.lit(" "), c, F.lit(" "))
 
@@ -327,7 +333,7 @@ def _py_norm(text: str) -> str:
     corpus text is always normalized by the Catalyst expression."""
     import re
 
-    t = re.sub(NORM_DROP_RE, " ", text.lower())
+    t = re.sub(NORM_DROP_RE + "+", " ", text.lower())
     t = re.sub(r" +", " ", t).strip()
     return f" {t} "
 
@@ -338,7 +344,7 @@ def norm_sql(col: str) -> str:
     sample normalizer and every oracle can never drift."""
     return (
         "' ' || trim(regexp_replace(regexp_replace(lower(" + col + "), "
-        f"'{NORM_DROP_RE}', ' ', 'g'), ' +', ' ', 'g')) || ' '"
+        f"'{NORM_DROP_RE}+', ' ', 'g'), ' +', ' ', 'g')) || ' '"
     )
 
 
@@ -467,20 +473,31 @@ def language_id_nb(
     a 2-split input caps the whole job at 2 tasks; same dial as
     ``bpe.bpe_encode_ids``).
 
-    Plan (round 9, one doc-proportional exchange — was three): trigram
-    occurrences carry the doc's trigram count; a broadcast LEFT join
-    against the model fans out matches; ONE hash agg per doc computes
-    every language's matched sum as pivoted conditional sums (the
-    language set is driver-known); argmax + smoothing denominator +
-    top-2 margin are row-local array expressions over the per-language
-    integer constants.  Zero-trigram docs union in from a cheap
-    filtered branch of the same scan."""
+    Plan (round 9, one doc-proportional exchange — was three; round
+    10, 1:1 model join — was one row per MATCHING LANGUAGE): trigram
+    occurrences carry the doc's trigram count; the model broadcasts
+    PRE-PIVOTED — one row per trigram with the full per-language
+    score array (absent (lang, tri) cells are ``micro_ln(0+1) = 0``,
+    exactly the unmatched contribution), so the broadcast LEFT join
+    emits exactly ONE row per occurrence instead of ~n_matching_langs
+    (measured 2.6 s -> 1.1 s at sf0.1 with 19 languages); ONE hash
+    agg per doc sums each language's array slot; argmax + smoothing
+    denominator + top-2 margin are row-local array expressions over
+    the per-language integer constants.  Zero-trigram docs union in
+    from a cheap filtered branch of the same scan."""
     spark = df.sparkSession
     samples = LANGID_SAMPLES if samples is None else samples
-    model, _ = train_langid_model(spark, samples)
     counts, totals, v = _model_counts(samples)
     langs = sorted(totals)
     denom = {lang: _micro_ln(n + v) for lang, n in totals.items()}
+    tris = sorted({t for (_, t) in counts})
+    pmodel = spark.createDataFrame(
+        [
+            (t, [_micro_ln(counts.get((lang, t), 0) + 1) for lang in langs])
+            for t in tris
+        ],
+        "tri string, sc array<bigint>",
+    )
 
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     if repartition is not None:
@@ -506,17 +523,14 @@ def language_id_nb(
             "_id", "n_trigrams", F.expr("substring(_n, i, 3)").alias("tri")
         )
     )
-    # broadcast LEFT join keeps zero-match docs alive through the agg
-    m = occ.join(F.broadcast(model), "tri", "left")
+    # broadcast LEFT join keeps zero-match docs alive through the agg;
+    # 1:1 — one pre-pivoted model row per trigram (round 10)
+    m = occ.join(F.broadcast(pmodel), "tri", "left")
     wide = m.groupBy("_id").agg(
         F.max("n_trigrams").alias("n_trigrams"),
         *[
-            F.sum(
-                F.when(F.col("lang") == lang, F.col("micro_logp")).otherwise(
-                    F.lit(0)
-                )
-            ).alias(f"_m{i}")
-            for i, lang in enumerate(langs)
+            F.sum(F.coalesce(F.col("sc")[i], F.lit(0))).alias(f"_m{i}")
+            for i in range(len(langs))
         ],
     )
     # row-local scoring: neg score per language (so array_sort's
@@ -568,6 +582,7 @@ def dominant_script(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    repartition: int | None = None,
 ) -> DataFrame:
     """Per-document dominant Unicode script — the script-level
     dimension VERDICT r9 #3 asked for: text whose language the NB
@@ -585,11 +600,23 @@ def dominant_script(
     the codegen'd row) and a row-local ``array_sort`` argmax over
     ``(neg_count, name)`` structs — the langid argmax device.  The
     DuckDB oracle mirrors each count with the identical literal-range
-    regex and a ``list_sort`` over the same structs."""
+    regex and a ``list_sort`` over the same structs.
+
+    ``repartition`` widens a few-splits input BEFORE the 7 regex
+    passes (the single-file-parquet ceiling — this operator is pure
+    per-row CPU, so a 2-split sf1 input caps it at 2 of 32 cores;
+    same dial as ``language_id_nb``)."""
+    if repartition is not None:
+        df = df.repartition(repartition)
     low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     names = sorted(SCRIPT_RANGES)
+    # count = length - length(text with the script's runs REMOVED):
+    # a positive run-quantified class ([r]+) is ~12x cheaper than the
+    # negated keep-class ([^r] fires a replacement per character;
+    # measured 7.0 s -> 0.56 s for the 7 passes at sf1) — same count.
     counts = {
-        n: F.length(F.regexp_replace(low, f"[^{SCRIPT_RANGES[n]}]", ""))
+        n: F.length(low)
+        - F.length(F.regexp_replace(low, f"[{SCRIPT_RANGES[n]}]+", ""))
         for n in names
     }
     ranked = F.array_sort(

@@ -1664,7 +1664,10 @@ def text_script_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         dominant_script,
     )
 
-    return dominant_script(_t(spark, sf_dir, "documents"))
+    return dominant_script(
+        _t(spark, sf_dir, "documents"),
+        repartition=spark.sparkContext.defaultParallelism,
+    )
 
 
 def _script_id_oracle() -> str:

@@ -111,6 +111,9 @@ HEADLINE = [
     # smoothing next to the stupid-backoff slot)
     "corpus_dsir_weights",
     "lm_kneser_ney_logprob",
+    # round-10 addition: the script-level pre-classifier (7 positive
+    # run-quantified regex counts + row-local argmax, pure Catalyst)
+    "text_script_id",
 ]
 
 

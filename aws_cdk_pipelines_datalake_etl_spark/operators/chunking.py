@@ -270,3 +270,72 @@ def pack_with_offsets(
         F.floor((cumsum - 1) / budget_tokens).cast("long").alias("bin_id"),
         (cumsum - F.col("n_tokens")).cast("long").alias("start_global"),
     )
+
+
+def packing_efficiency(
+    packed: DataFrame,
+    budget_tokens: int,
+    by: tuple[str, ...] = ("shard",),
+) -> DataFrame:
+    """Packing OBSERVABILITY (round 10): the per-shard efficiency
+    report a training pipeline publishes next to the packed artifact —
+    is the budget actually filled, how much padding does the loader
+    burn, how fragmented are the documents?
+
+    Input is :func:`pack_token_sequences` output.  Output, one row per
+    ``by`` group::
+
+        n_seqs           sequences produced
+        n_full_seqs      sequences at exactly ``budget_tokens``
+        n_tokens         real tokens packed
+        n_pad            budget - n_tokens over partial sequences
+                         (the pad the loader will add)
+        fill_ratio_micro n_tokens * 1e6 div (n_seqs * budget) —
+                         integer micro-ratio (the ``div`` contract:
+                         exact at any magnitude)
+        n_doc_pieces     total document pieces (doc_spans entries;
+                         requires ``emit_doc_spans=True`` input)
+        pieces_per_seq_micro  n_doc_pieces * 1e6 div n_seqs
+
+    One hash agg over the packed frame — group count is bounded by the
+    shard fan-out, so the report is a tiny relation at any corpus
+    size."""
+    has_spans = "doc_spans" in packed.columns
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.sum(
+            F.when(F.col("n_tokens") == budget_tokens, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_full_seqs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.lit(budget_tokens) - F.col("n_tokens"))
+        .cast("long")
+        .alias("n_pad"),
+    ]
+    if has_spans:
+        aggs.append(
+            F.sum(F.size("doc_spans")).cast("long").alias("n_doc_pieces")
+        )
+    g = packed.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+    out = g.select(
+        *by,
+        "n_seqs",
+        "n_full_seqs",
+        "n_tokens",
+        "n_pad",
+        F.expr(f"n_tokens * 1000000 div (n_seqs * {budget_tokens})").alias(
+            "fill_ratio_micro"
+        ),
+        *(
+            [
+                "n_doc_pieces",
+                F.expr("n_doc_pieces * 1000000 div n_seqs").alias(
+                    "pieces_per_seq_micro"
+                ),
+            ]
+            if has_spans
+            else []
+        ),
+    )
+    return out

@@ -720,3 +720,157 @@ def remove_duplicate_spans(
             " ",
         ).alias("text_dedup"),
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Pairwise SOURCE-overlap matrix (round 10): how much shingle
+    mass do corpus sources share?  The data-card view that tells you
+    which feeds are near-copies of each other (mirror crawls, shared
+    boilerplate) BEFORE you weight the mixture.
+
+    For every unordered source pair with at least one shared word
+    ``k``-gram: ``(source_a, source_b, n_shared, n_a, n_b,
+    jaccard_micro, containment_micro)`` — set semantics over DISTINCT
+    (source, shingle) rows; ``containment_micro`` is the overlap over
+    the SMALLER side (the mirror-detection number: a subset feed shows
+    containment ~1e6 at any size ratio); integer micro-ratios via
+    ``div``, ties/order normalized ``source_a < source_b``.
+
+    Scale shape: the shingle fan-out reduces to distinct
+    (source, shingle) — corpus-volume-proportional, one shuffle; the
+    per-shingle source-set agg has state bounded by n_sources, and the
+    pair fan-out per shingle is at most C(n_sources, 2) — sources are
+    a SMALL, driver-bounded set (the probe-set rule), so the matrix is
+    a tiny relation at any corpus size.  No self-join of the shingle
+    table (the DuckDB oracle does the quadratic self-join; this plan
+    never does)."""
+    sh = (
+        df.select(
+            F.col(group_col).alias("src"),
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+        .transform(lambda d: shingle_set(d, "doc_id", "text", k))
+        .join(
+            df.select(
+                F.col(id_col).alias("id"), F.col(group_col).alias("src")
+            ),
+            "id",
+        )
+        .select("src", "sh")
+        .distinct()
+    )
+    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per_sh = sh.groupBy("sh").agg(
+        F.array_sort(F.collect_set("src")).alias("srcs")
+    )
+    pairs = (
+        per_sh.filter(F.size("srcs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (a, i) -> "
+                    "transform(slice(srcs, i + 2, size(srcs)), b -> "
+                    "named_struct('sa', a, 'sb', b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.sa").alias("source_a"), F.col("p.sb").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    na = sizes.select(F.col("src").alias("source_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("src").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr(
+                "n_shared * 1000000 div (n_a + n_b - n_shared)"
+            ).alias("jaccard_micro"),
+            F.expr("n_shared * 1000000 div least(n_a, n_b)").alias(
+                "containment_micro"
+            ),
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    key: str = "hash",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY (round 10): what fraction of a
+    document's distinct word ``k``-grams appear for the FIRST time in
+    the corpus (first = minimum doc id, the repo's canonical-owner
+    convention)?  The memorization/novelty curve of a training corpus:
+    a doc of novelty ~0 is entirely made of text seen earlier — the
+    curriculum/dedup borderline cases an analyst inspects.
+
+    Output: ``(id_col, n_grams, n_novel, novelty_micro)`` — set
+    semantics (distinct grams per doc); ``novelty_micro = n_novel *
+    1e6 div n_grams``; docs with fewer than ``k`` tokens emit
+    ``n_grams = 0`` and NULL novelty.
+
+    Scale shape (the complement-scheme lesson): the per-gram owner is
+    a constant-state ``min(id)`` aggregation, and the novel count
+    comes straight out of it — ``groupBy(owner)`` — so there is NO
+    join back on the gram key; the only join is doc-keyed (novel
+    counts x distinct-gram counts), both sides one row per doc.
+
+    ``key='hash'`` (default) aggregates 8-byte xxhash64 gram keys;
+    ``key='text'`` keeps the raw gram so DuckDB replays the operator
+    exactly (identical barring 2^-64 collisions)."""
+    w = F.split(F.lower(F.col(text_col)), " ")
+    d = df.select(F.col(id_col).alias("id"), w.alias("w"))
+    grams_arr = F.when(
+        F.size("w") >= k,
+        F.expr(
+            f"transform(sequence(0, size(w) - {k}), i -> "
+            f"array_join(slice(w, i + 1, {k}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select(
+        "id", F.explode(grams_arr).alias("gram")
+    ).distinct()
+    if key == "hash":
+        g = g.select("id", F.xxhash64("gram").alias("gram"))
+    elif key != "text":
+        raise ValueError(f"key must be 'hash' or 'text', got {key!r}")
+    per_doc = g.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    novel = (
+        g.groupBy("gram")
+        .agg(F.min("id").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .join(novel, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.expr(
+                    "coalesce(n_novel, 0) * 1000000 div n_grams"
+                ),
+            ).alias("novelty_micro"),
+        )
+    )

@@ -343,3 +343,137 @@ def mixture_plan(
         )
         .drop("_t", "_zq")
     )
+
+
+def epoch_plan(
+    df: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    tau: float = 2.0,
+) -> DataFrame:
+    """Per-source EPOCH plan (round 10) — the LLaMA-style mixture
+    table where small high-quality sources run MORE THAN ONE epoch:
+    given a total training token ``budget_tokens`` and the tempered
+    share each source should contribute (``n_tokens^(1/tau)``
+    weights, the :func:`mixture_plan` device), how many full passes
+    over each source does the budget buy, and how many tokens of a
+    final partial pass remain?
+
+    Output per source: ``(source, n_docs, n_tokens, share_micro,
+    budget_i, n_full_epochs, remainder_tokens, n_epochs_micro)`` —
+    all integer arithmetic after the one floor-quantized sqrt weight
+    (IEEE-exact at tau=2, the temperature_mix precedent):
+    ``budget_i = budget * share_micro div 1e6``, ``n_full_epochs =
+    budget_i div n_tokens``, ``remainder = budget_i mod n_tokens``,
+    ``n_epochs_micro = budget_i * 1e6 div n_tokens`` (>1e6 means the
+    source repeats).
+
+    One source-cardinality aggregate + a one-row total — nothing
+    corpus-sized moves."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        tokens,
+    )
+
+    pw = (
+        F.sqrt(F.col("n_tokens").cast("double"))
+        if tau == 2.0
+        else F.pow(F.col("n_tokens").cast("double"), 1.0 / tau)
+    )
+    counts = (
+        df.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens(text_col))).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "weight_micro", F.floor(pw * 1000000 + F.lit(0.5)).cast("long")
+        )
+    )
+    tot = counts.agg(F.sum("weight_micro").alias("_zq"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "share_micro",
+            F.expr("weight_micro * 1000000 div _zq").cast("bigint"),
+        )
+        .withColumn(
+            "budget_i",
+            F.expr(f"{budget_tokens} * share_micro div 1000000").cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "n_full_epochs", F.expr("budget_i div n_tokens").cast("bigint")
+        )
+        .withColumn(
+            "remainder_tokens",
+            F.expr("budget_i % n_tokens").cast("bigint"),
+        )
+        .withColumn(
+            "n_epochs_micro",
+            F.expr("budget_i * 1000000 div n_tokens").cast("bigint"),
+        )
+        .drop("_zq", "weight_micro")
+    )
+
+
+def materialize_epochs(
+    df: DataFrame,
+    plan: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Realize an :func:`epoch_plan` as the actual repeated training
+    stream (round 10): every document of a source appears once per
+    FULL epoch, plus the deterministic greedy prefix of the source's
+    md5-ordered docs whose cumulative tokens fit ``remainder_tokens``
+    (token-accurate to one document) as the final PARTIAL epoch.
+
+    Output: ``(id_col, source_col, epoch)`` — epoch is 1-based;
+    partial-epoch rows carry ``n_full_epochs + 1``.  Deterministic on
+    any engine/partitioning: the partial-epoch membership is a
+    running sum over the md5(doc_id) total order (the cap_per_class
+    window device).
+
+    Scale shape: one broadcast join against the tiny plan; the full
+    epochs are a row-local ``explode(sequence(...))`` (output-
+    proportional — repeating data costs exactly the repeated rows);
+    the partial epoch is ONE per-source window (sources bounded)."""
+    from pyspark.sql import Window
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        tokens,
+    )
+
+    p = plan.select(
+        source_col, "n_full_epochs", "remainder_tokens"
+    )
+    d = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.size(tokens(text_col)).cast("long").alias("_nt"),
+    ).join(F.broadcast(p), source_col)
+    full = d.filter(F.col("n_full_epochs") >= 1).select(
+        id_col,
+        source_col,
+        F.explode(
+            F.sequence(F.lit(1).cast("bigint"), F.col("n_full_epochs"))
+        ).alias("epoch"),
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    partial = (
+        d.withColumn("_run", F.sum("_nt").over(w))
+        .filter(F.col("_run") <= F.col("remainder_tokens"))
+        .select(
+            id_col,
+            source_col,
+            (F.col("n_full_epochs") + 1).cast("bigint").alias("epoch"),
+        )
+    )
+    return full.unionByName(partial)

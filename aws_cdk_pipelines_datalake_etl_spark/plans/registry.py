@@ -6789,18 +6789,21 @@ _DRIVER_WINDOW = [
     "sample_dsir_gumbel_per_source",
     "text_langid_nb",
     "text_langid_confident",
-    # (4) re-confirmation, oldest-verified-first: 8 slots left; the
-    # alphabetically-first 8 of the 36 entries last green in round 6.
-    # ROUND-11 WINDOW OWES: the remaining 28 round-6 entries
-    # (multimodal_decode_jpeg .. text_repetition_metrics).
+    # - round-10 session additions (each with a targeted oracle_check
+    #   run logged in its commit): packing-efficiency report,
+    #   source-overlap matrix, n-gram novelty, epoch plan + stream
+    "corpus_pack_report",
+    "corpus_source_overlap",
+    "corpus_ngram_novelty",
+    "sample_epoch_plan",
+    "corpus_epoch_stream",
+    # (4) re-confirmation, oldest-verified-first: 3 slots left; the
+    # alphabetically-first 3 of the 36 entries last green in round 6.
+    # ROUND-11 WINDOW OWES: the remaining 33 round-6 entries
+    # (cdc_latest_state .. text_repetition_metrics).
     "agg_salted_skew",
     "asof_view_to_purchase",
     "bucketed_join",
-    "cdc_latest_state",
-    "cdc_state_asof_time",
-    "dedup_semantic_skewguard",
-    "dedup_semantic_survivors",
-    "multimodal_binaryfile_ingest",
 ]
 
 
@@ -7882,8 +7885,7 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("shard", "seq_id")
 
 
-TEXT_PACK_SEQUENCES_ORACLE = """
-WITH toks AS (
+_PACK_PIPELINE_CTES = """toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
 ),
 ids AS (
@@ -7918,13 +7920,264 @@ packed AS (
          string_agg(CAST(pos AS VARCHAR) || ':' || CAST(len(piece) AS VARCHAR),
                     ' ' ORDER BY pos) AS spans_joined
   FROM cut GROUP BY shard, seq_id
-)
+)"""
+
+TEXT_PACK_SEQUENCES_ORACLE = f"""
+WITH {_PACK_PIPELINE_CTES}
 SELECT shard,
        CAST(seq_id AS BIGINT) AS seq_id,
        CAST(len(token_ids) AS INT) AS n_tokens,
        array_to_string(token_ids, ' ') AS ids_joined,
        spans_joined
 FROM packed
+"""
+
+
+def sample_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch plan (operators/sampling.py: epoch_plan —
+    round 10, the LLaMA-style mixture table where small high-quality
+    sources run >1 epoch): tempered sqrt-token weights (the
+    temperature_mix floor-quantized IEEE device), then pure bigint
+    budget split -> full epochs + remainder tokens per source.
+    Budget fixed at 60000 tokens (~2.2x the sf0.01 corpus) so full
+    epochs genuinely exceed 1."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        epoch_plan,
+    )
+
+    return epoch_plan(
+        _t(spark, sf_dir, "documents"), budget_tokens=60_000
+    ).orderBy("source")
+
+
+_EPOCH_PLAN_CTES = """c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+                 AS BIGINT) AS weight_micro
+  FROM c
+),
+t AS (SELECT sum(weight_micro) AS zq FROM w),
+plan AS (
+  SELECT w.source, w.n_docs, w.n_tokens,
+         CAST(w.weight_micro * 1000000 // t.zq AS BIGINT) AS share_micro,
+         CAST(60000 * (w.weight_micro * 1000000 // t.zq) // 1000000
+              AS BIGINT) AS budget_i
+  FROM w, t
+),
+plan2 AS (
+  SELECT *, CAST(budget_i // n_tokens AS BIGINT) AS n_full_epochs,
+         CAST(budget_i % n_tokens AS BIGINT) AS remainder_tokens,
+         CAST(budget_i * 1000000 // n_tokens AS BIGINT) AS n_epochs_micro
+  FROM plan
+)"""
+
+
+SAMPLE_EPOCH_PLAN_ORACLE = f"""
+WITH {_EPOCH_PLAN_CTES}
+SELECT source, n_docs, n_tokens, share_micro, budget_i, n_full_epochs,
+       remainder_tokens, n_epochs_micro
+FROM plan2
+"""
+
+
+def corpus_epoch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The epoch plan REALIZED as the repeated training stream
+    (operators/sampling.py: materialize_epochs — round 10): each doc
+    once per full epoch (row-local explode — output-proportional)
+    plus the deterministic greedy md5-ordered prefix of each source
+    fitting the remainder tokens as the final partial epoch.  The
+    DuckDB oracle replays the plan, the generate_series repeat AND
+    the per-source running-sum cut."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        epoch_plan,
+        materialize_epochs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    plan = epoch_plan(docs, budget_tokens=60_000)
+    return materialize_epochs(docs, plan).orderBy(
+        "source", "epoch", "doc_id"
+    )
+
+
+CORPUS_EPOCH_STREAM_ORACLE = f"""
+WITH {_EPOCH_PLAN_CTES},
+d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt
+  FROM documents
+),
+joined AS (
+  SELECT d.*, p.n_full_epochs, p.remainder_tokens
+  FROM d JOIN plan2 p USING (source)
+),
+full_eps AS (
+  SELECT doc_id, source, CAST(unnest(generate_series(1, n_full_epochs))
+                              AS BIGINT) AS epoch
+  FROM joined WHERE n_full_epochs >= 1
+),
+runs AS (
+  SELECT *, sum(nt) OVER (PARTITION BY source
+                          ORDER BY md5(CAST(doc_id AS VARCHAR))
+                          ROWS UNBOUNDED PRECEDING) AS run_
+  FROM joined
+),
+partial AS (
+  SELECT doc_id, source, CAST(n_full_epochs + 1 AS BIGINT) AS epoch
+  FROM runs WHERE run_ <= remainder_tokens
+)
+SELECT * FROM full_eps UNION ALL SELECT * FROM partial
+"""
+
+
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty (operators/dedup.py: ngram_novelty —
+    round 10): fraction of a doc's distinct word-8-grams whose FIRST
+    corpus occurrence (min doc id) is the doc itself — the
+    memorization/novelty curve.  Constant-state min-id gram agg (the
+    complement-scheme shape: the novel count falls out of the owner
+    table with NO gram-keyed join-back), one doc-keyed join, integer
+    micro-ratio.  text-key form here so DuckDB replays the whole
+    relation; key='hash' is the production twin (8-byte shuffle
+    keys), proven identical in pytest."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dedup import (
+        ngram_novelty,
+    )
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), k=8, key="text")
+
+
+CORPUS_NGRAM_NOVELTY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
+), g AS (
+  SELECT DISTINCT id,
+         array_to_string(w[i:i+7], ' ') AS gram
+  FROM (SELECT id, w, unnest(generate_series(1, len(w) - 7)) AS i
+        FROM toks WHERE len(w) >= 8)
+), per_doc AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY id
+), novel AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_novel
+  FROM (SELECT gram, min(id) AS id FROM g GROUP BY gram) GROUP BY id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN coalesce(p.n_grams, 0) > 0
+            THEN CAST(coalesce(n.n_novel, 0) * 1000000 // p.n_grams
+                      AS BIGINT)
+            END AS novelty_micro
+FROM documents d
+LEFT JOIN per_doc p ON p.id = d.doc_id
+LEFT JOIN novel n ON n.id = d.doc_id
+"""
+
+
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix (operators/dedup.py:
+    source_overlap_matrix — round 10): distinct word-3-gram sets per
+    SOURCE, then per-shingle source-set aggregation with a row-local
+    unordered-pair fan-out (bounded by the small driver-known source
+    set — never a shingle-table self-join), joined to per-source set
+    sizes for exact integer micro Jaccard and smaller-side
+    containment (the mirror-feed detector).  The DuckDB oracle does
+    the quadratic self-join the distributed plan avoids — same
+    relation."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    return source_overlap_matrix(
+        _t(spark, sf_dir, "documents"), k=3
+    ).orderBy("source_a", "source_b")
+
+
+CORPUS_SOURCE_OVERLAP_ORACLE = """
+WITH toks AS (
+  SELECT source, string_split(lower(text), ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM (SELECT source, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM toks WHERE len(w) >= 3)
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source
+), pair AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+       CAST(n_shared * 1000000 // (sa.n + sb.n - n_shared) AS BIGINT)
+         AS jaccard_micro,
+       CAST(n_shared * 1000000 // least(sa.n, sb.n) AS BIGINT)
+         AS containment_micro
+FROM pair
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""
+
+
+def corpus_pack_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing observability (operators/chunking.py:
+    packing_efficiency — round 10): the per-shard efficiency report a
+    training pipeline publishes next to the packed artifact — full-
+    sequence share, pad volume the loader will burn, and document
+    fragmentation (pieces per sequence), all integer micro-ratios
+    (the div contract).  One hash agg over the same hash-token-id +
+    EOD + 32-budget pack as text_pack_sequences; the DuckDB oracle
+    replays the whole pack pipeline and the report aggregation."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        hash48,
+        tokens,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.chunking import (
+        pack_token_sequences,
+        packing_efficiency,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select(
+        "doc_id",
+        F.transform(
+            tokens("text"), lambda w: (hash48(w) % 1000).cast("int")
+        ).alias("token_ids"),
+    )
+    packed = pack_token_sequences(
+        ids, budget_tokens=32, eod_id=1000, emit_doc_spans=True
+    )
+    return packing_efficiency(packed, budget_tokens=32).orderBy("shard")
+
+
+CORPUS_PACK_REPORT_ORACLE = f"""
+WITH {_PACK_PIPELINE_CTES},
+withspans AS (
+  SELECT shard, seq_id, len(token_ids) AS n_tokens,
+         len(string_split(spans_joined, ' ')) AS n_pieces
+  FROM packed
+),
+rep AS (
+  SELECT shard,
+         CAST(count(*) AS BIGINT) AS n_seqs,
+         CAST(sum(CASE WHEN n_tokens = 32 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_full_seqs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(sum(32 - n_tokens) AS BIGINT) AS n_pad,
+         CAST(sum(n_pieces) AS BIGINT) AS n_doc_pieces
+  FROM withspans GROUP BY shard
+)
+SELECT shard, n_seqs, n_full_seqs, n_tokens, n_pad,
+       CAST(n_tokens * 1000000 // (n_seqs * 32) AS BIGINT)
+         AS fill_ratio_micro,
+       n_doc_pieces,
+       CAST(n_doc_pieces * 1000000 // n_seqs AS BIGINT)
+         AS pieces_per_seq_micro
+FROM rep
 """
 
 
@@ -9315,6 +9568,21 @@ def build_registry() -> dict[str, QuerySpec]:
         "tokenizer_unigram_encode": QuerySpec(tokenizer_unigram_encode, None),
         "text_compression_ratio": QuerySpec(text_compression_ratio, None),
         "corpus_packed_ids": QuerySpec(corpus_packed_ids, None),
+        "sample_epoch_plan": QuerySpec(
+            sample_epoch_plan, SAMPLE_EPOCH_PLAN_ORACLE
+        ),
+        "corpus_epoch_stream": QuerySpec(
+            corpus_epoch_stream, CORPUS_EPOCH_STREAM_ORACLE
+        ),
+        "corpus_ngram_novelty": QuerySpec(
+            corpus_ngram_novelty, CORPUS_NGRAM_NOVELTY_ORACLE
+        ),
+        "corpus_source_overlap": QuerySpec(
+            corpus_source_overlap, CORPUS_SOURCE_OVERLAP_ORACLE
+        ),
+        "corpus_pack_report": QuerySpec(
+            corpus_pack_report, CORPUS_PACK_REPORT_ORACLE
+        ),
         "text_pack_sequences": QuerySpec(
             text_pack_sequences, TEXT_PACK_SEQUENCES_ORACLE
         ),

@@ -444,3 +444,51 @@ def test_remove_duplicate_spans_boundary_walk_property(spark):
         for r in remove_duplicate_spans(df, k=k, key="hash").collect()
     }
     assert got == want
+
+
+def test_source_overlap_matrix_semantics(spark):
+    """source_overlap_matrix (round 10): hand-checkable corpus —
+    mirror feed shows containment 1e6, disjoint pair emits no row,
+    jaccard/containment integer micro-ratios exact."""
+    rows = [
+        (1, "a", "one two three four"),
+        (2, "a", "five six seven eight"),
+        (3, "b", "one two three four"),       # b mirrors half of a
+        (4, "c", "nine ten eleven twelve"),   # disjoint from a and b
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r.source_a, r.source_b): r
+        for r in dd.source_overlap_matrix(df, k=3).collect()
+    }
+    assert set(got) == {("a", "b")}  # c shares nothing -> no row
+    r = got[("a", "b")]
+    # a: 4 shingles (2 per doc), b: 2 shingles, shared: 2
+    assert (r.n_shared, r.n_a, r.n_b) == (2, 4, 2)
+    assert r.jaccard_micro == 2 * 1_000_000 // 4
+    assert r.containment_micro == 1_000_000  # b fully contained
+
+
+def test_ngram_novelty_hash_equals_text_and_hand(spark):
+    """ngram_novelty (round 10): hash-key and text-key forms are the
+    identical relation, and a hand-checkable corpus gives the right
+    ratios (first owner = min doc id; short docs NULL novelty)."""
+    rows = [
+        (1, "w1 w2 w3 w4 w5"),        # 3 trigram... k=3: grams at 1..3
+        (2, "w1 w2 w3 w4 w5"),        # exact copy: zero novel
+        (3, "w1 w2 w3 x1 x2 x3 x4"),  # shares the first gram only
+        (4, "short doc"),             # < k tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = {r.doc_id: r for r in dd.ngram_novelty(df, k=3, key="text").collect()}
+    h = {r.doc_id: r for r in dd.ngram_novelty(df, k=3, key="hash").collect()}
+    assert {(k, v.n_grams, v.n_novel, v.novelty_micro) for k, v in t.items()} == {
+        (k, v.n_grams, v.n_novel, v.novelty_micro) for k, v in h.items()
+    }
+    assert (t[1].n_grams, t[1].n_novel, t[1].novelty_micro) == (3, 3, 1_000_000)
+    assert (t[2].n_grams, t[2].n_novel) == (3, 0)
+    # doc 3: grams 'w1 w2 w3' (owned by 1), 'w2 w3 x1', 'w3 x1 x2',
+    # 'x1 x2 x3', 'x2 x3 x4' -> 4 novel of 5
+    assert (t[3].n_grams, t[3].n_novel) == (5, 4)
+    assert t[3].novelty_micro == 4 * 1_000_000 // 5
+    assert (t[4].n_grams, t[4].n_novel, t[4].novelty_micro) == (0, 0, None)

@@ -233,3 +233,35 @@ def test_training_set_v3_capstone_invariants(spark):
         len(r["spans_joined"].split(" ")) for r in rows if r["spans_joined"]
     )
     assert n_eod > 0 and n_span_pieces >= n_eod
+
+
+def test_packing_efficiency_report(spark):
+    """packing_efficiency (round 10): per-shard report consistent with
+    the packed frame — token conservation, pad complement, integer
+    micro-ratios, doc-piece counts from the spans."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.chunking import (
+        pack_token_sequences,
+        packing_efficiency,
+    )
+
+    rows = [(i, list(range(i % 7 + 1))) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, token_ids array<int>")
+    B = 8
+    packed = pack_token_sequences(
+        df, budget_tokens=B, eod_id=99, emit_doc_spans=True
+    )
+    pk = packed.collect()
+    rep = {r.shard: r for r in packing_efficiency(packed, budget_tokens=B).collect()}
+    by_shard: dict[str, list] = {}
+    for r in pk:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(rep) == set(by_shard)
+    for sh, rs in by_shard.items():
+        g = rep[sh]
+        assert g.n_seqs == len(rs)
+        assert g.n_tokens == sum(r.n_tokens for r in rs)
+        assert g.n_full_seqs == sum(1 for r in rs if r.n_tokens == B)
+        assert g.n_pad == g.n_seqs * B - g.n_tokens
+        assert g.fill_ratio_micro == g.n_tokens * 1_000_000 // (g.n_seqs * B)
+        assert g.n_doc_pieces == sum(len(r.doc_spans) for r in rs)
+        assert g.pieces_per_seq_micro == g.n_doc_pieces * 1_000_000 // g.n_seqs

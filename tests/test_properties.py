@@ -506,3 +506,59 @@ def test_bpe_encode_decode_identity_property(words, n_merges):
     for t in tokens:
         out.extend(encode_word(t, ranks))
     assert bpe_decode_tokens(out) == " ".join(tokens)
+
+
+def test_epoch_plan_and_stream_invariants(spark):
+    """epoch_plan + materialize_epochs (round 10): budget split is
+    exact bigint arithmetic, every source appears n_full_epochs times
+    in full, the partial epoch is the greedy md5-prefix fitting the
+    remainder (token-accurate to one doc), and the whole stream is
+    layout-deterministic."""
+    from pyspark.sql import functions as F
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        epoch_plan,
+        materialize_epochs,
+    )
+
+    rows = [
+        (i, f"s{i % 3}", " ".join(f"w{j}" for j in range(2 + i % 5)))
+        for i in range(1, 31)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    plan = epoch_plan(df, budget_tokens=300)
+    p = {r.source: r for r in plan.collect()}
+    assert set(p) == {"s0", "s1", "s2"}
+    for r in p.values():
+        assert r.budget_i == r.n_full_epochs * r.n_tokens + r.remainder_tokens
+        assert 0 <= r.remainder_tokens < r.n_tokens
+        assert r.n_epochs_micro == r.budget_i * 1_000_000 // r.n_tokens
+    assert any(r.n_full_epochs >= 1 for r in p.values())  # budget > corpus
+
+    stream = materialize_epochs(df, plan).collect()
+    import hashlib
+
+    ntok = {i: 2 + i % 5 for i, _, _ in rows}
+    src = {i: s for i, s, _ in rows}
+    by_source: dict[str, list] = {}
+    for r in stream:
+        by_source.setdefault(r.source, []).append(r)
+    for s, rs in by_source.items():
+        docs_s = sorted(i for i in src if src[i] == s)
+        full = [r for r in rs if r.epoch <= p[s].n_full_epochs]
+        assert len(full) == p[s].n_full_epochs * len(docs_s)
+        partial = [r for r in rs if r.epoch == p[s].n_full_epochs + 1]
+        # replay the greedy md5-prefix cut
+        ordered = sorted(docs_s, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        run, want = 0, set()
+        for i in ordered:
+            run += ntok[i]
+            if run <= p[s].remainder_tokens:
+                want.add(i)
+            else:
+                break
+        assert {r.doc_id for r in partial} == want
+    again = materialize_epochs(df.repartition(7), plan).collect()
+    assert sorted((r.doc_id, r.source, r.epoch) for r in again) == sorted(
+        (r.doc_id, r.source, r.epoch) for r in stream
+    )

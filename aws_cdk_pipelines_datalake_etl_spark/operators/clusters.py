@@ -108,3 +108,60 @@ def dedup_cluster_representatives(
     return connected_components(
         pairs, id1, id2, checkpoint_dir=checkpoint_dir
     ).select(F.col("node").alias("doc_id"), "cluster_rep")
+
+
+def quality_canonicals(
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    id1: str = "id1",
+    id2: str = "id2",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """QUALITY-AWARE canonical selection (round 10): instead of the
+    min-id convention, each near-dup cluster keeps its HIGHEST-quality
+    member (ties broken by smaller id — total order, deterministic on
+    any engine).  The standard curation refinement: when a crawl
+    carries a truncated copy and a full copy of the same page, min-id
+    keeps whichever was crawled first; quality-argmax keeps the
+    better one.
+
+    ``pairs`` is any near-dup pair list (minhash_lsh_pairs at scale);
+    ``quality`` maps ``id_col`` to an INTEGER ``quality_col`` (token
+    count, a gopher score, the distilled classifier logit — the
+    caller's policy).
+
+    Output, one row per clustered doc: ``(doc_id, cluster_rep,
+    canonical_id, keep boolean)`` — ``cluster_rep`` stays the min-id
+    cluster KEY (stable identity), ``canonical_id`` the argmax member,
+    ``keep = (doc_id == canonical_id)``.  Unclustered docs are
+    implicitly their own canonical and are not emitted (output stays
+    proportional to the duplicate set).
+
+    Plan: the CC fixpoint (lineage-truncated), one broadcast-friendly
+    join to attach quality, ONE struct-max agg per cluster (the
+    contrastive-triplets argmax device — no window), one join back."""
+    members = connected_components(
+        pairs, id1, id2, checkpoint_dir=checkpoint_dir
+    ).select(F.col("node").alias(id_col), "cluster_rep")
+    q = quality.select(
+        F.col(id_col), F.col(quality_col).cast("long").alias("_q")
+    )
+    with_q = members.join(q, id_col)
+    best = with_q.groupBy("cluster_rep").agg(
+        F.max(
+            F.struct(
+                F.col("_q").alias("q"), (-F.col(id_col)).alias("neg_id")
+            )
+        ).alias("_b")
+    )
+    return (
+        with_q.join(best, "cluster_rep")
+        .select(
+            id_col,
+            "cluster_rep",
+            (-F.col("_b.neg_id")).cast("long").alias("canonical_id"),
+            (F.col(id_col) == -F.col("_b.neg_id")).alias("keep"),
+        )
+    )

@@ -630,3 +630,70 @@ def compression_ratio(
     return df.select(F.col(id_col), comp(F.col(text_col)).alias("z")).select(
         id_col, "z.*"
     )
+
+
+def group_zscore(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group z-normalization of an INTEGER signal (round 10) —
+    the cross-source quality-calibration step: a raw quality signal
+    (token count, a gopher metric, a classifier logit) is not
+    comparable across sources whose registers differ; training-data
+    filters therefore threshold the WITHIN-SOURCE z-score instead.
+
+    Output: ``(id_col, group_col, value_col, z_micro)`` with
+    ``z_micro = floor((x - mean) / stddev_pop * 1e6 + 0.5)``; groups
+    with zero variance (or a single row) emit NULL — detected EXACTLY
+    (``min(x) == max(x)``: constant group iff zero variance), never
+    by a float epsilon.
+
+    Engine-exact: the moments come from exact decimal integer sums;
+    mean/variance/sqrt/divide are the identical correctly-rounded
+    IEEE expression tree in Spark and the DuckDB oracle (the BM25-idf
+    precedent).  One group-cardinality aggregate broadcast back —
+    nothing corpus-sized moves twice."""
+    x = F.col(value_col).cast("long")
+    stats = (
+        df.select(F.col(group_col).alias("_g"), x.alias("_x"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"),
+            F.sum(
+                (F.col("_x") * F.col("_x")).cast("decimal(38,0)")
+            ).alias("_ss"),
+            F.min("_x").alias("_lo"),
+            F.max("_x").alias("_hi"),
+        )
+        .withColumn("_mean", F.col("_s").cast("double") / F.col("_n"))
+        .withColumn(
+            "_var",
+            F.col("_ss").cast("double") / F.col("_n")
+            - F.col("_mean") * F.col("_mean"),
+        )
+        .withColumn("_zero", F.col("_lo") == F.col("_hi"))
+    )
+    return (
+        df.select(F.col(id_col), F.col(group_col), x.alias(value_col))
+        .join(
+            F.broadcast(stats),
+            F.col(group_col) == F.col("_g"),
+        )
+        .select(
+            id_col,
+            group_col,
+            value_col,
+            F.when(
+                ~F.col("_zero"),
+                F.floor(
+                    (F.col(value_col) - F.col("_mean"))
+                    / F.sqrt(F.col("_var"))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).alias("z_micro"),
+        )
+    )

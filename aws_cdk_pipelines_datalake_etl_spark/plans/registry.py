@@ -1178,6 +1178,75 @@ FROM reach GROUP BY node
 """
 
 
+def dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (operators/clusters.py:
+    quality_canonicals — round 10): each near-dup cluster keeps its
+    LONGEST member (token count as the quality policy, ties to the
+    smaller id) instead of the min-id convention — the curation
+    refinement that keeps the full copy over the truncated crawl.
+    Pairs from the banded MinHash path; one struct-max agg per
+    cluster, no window.  The oracle recomputes the closure with the
+    recursive-CTE device and replays the argmax."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        tokens,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.clusters import (
+        quality_canonicals,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.8)
+    quality = docs.select(
+        "doc_id", F.size(tokens("text")).alias("quality")
+    )
+    return quality_canonicals(pairs, quality).orderBy("doc_id")
+
+
+DEDUP_QUALITY_CANONICAL_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM (SELECT id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks)
+), sizes AS (
+  SELECT id, count(*) AS n FROM sh GROUP BY id
+), pair AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+), dup AS (
+  SELECT id1, id2
+  FROM pair
+  JOIN sizes sa ON sa.id = id1
+  JOIN sizes sb ON sb.id = id2
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+), edges AS (
+  SELECT id1 AS a, id2 AS b FROM dup
+  UNION
+  SELECT id2, id1 FROM dup
+), reach(node, peer) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a
+), members AS (
+  SELECT node AS doc_id, least(node, min(peer)) AS cluster_rep
+  FROM reach GROUP BY node
+), q AS (
+  SELECT doc_id AS id, CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+           AS q_
+  FROM documents
+), best AS (
+  SELECT m.cluster_rep,
+         first(m.doc_id ORDER BY q.q_ DESC, m.doc_id ASC) AS canonical_id
+  FROM members m JOIN q ON q.id = m.doc_id
+  GROUP BY m.cluster_rep
+)
+SELECT m.doc_id, m.cluster_rep, CAST(b.canonical_id AS BIGINT) AS canonical_id,
+       m.doc_id = b.canonical_id AS keep
+FROM members m JOIN best b USING (cluster_rep)
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash signature per document over distinct tokens
     (operators/dedup.py simhash_signatures) — one explode + one
@@ -6797,13 +6866,13 @@ _DRIVER_WINDOW = [
     "corpus_ngram_novelty",
     "sample_epoch_plan",
     "corpus_epoch_stream",
-    # (4) re-confirmation, oldest-verified-first: 3 slots left; the
-    # alphabetically-first 3 of the 36 entries last green in round 6.
-    # ROUND-11 WINDOW OWES: the remaining 33 round-6 entries
-    # (cdc_latest_state .. text_repetition_metrics).
+    "dedup_quality_canonical",
+    "corpus_quality_znorm",
+    # (4) re-confirmation, oldest-verified-first: 1 slot left; the
+    # alphabetically-first entry last green in round 6.  ROUND-11
+    # WINDOW OWES: the remaining 35 round-6 entries
+    # (asof_view_to_purchase .. text_repetition_metrics).
     "agg_salted_skew",
-    "asof_view_to_purchase",
-    "bucketed_join",
 ]
 
 
@@ -8031,6 +8100,55 @@ partial AS (
   FROM runs WHERE run_ <= remainder_tokens
 )
 SELECT * FROM full_eps UNION ALL SELECT * FROM partial
+"""
+
+
+def corpus_quality_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source z-normalization of a quality signal (operators/
+    text.py: group_zscore — round 10): token count z-scored WITHIN
+    each source, the cross-source calibration step before a global
+    quality threshold.  Exact decimal moments (q68 device), exact
+    zero-variance detection (min==max), and the identical
+    correctly-rounded IEEE mean/var/sqrt/divide expression tree in
+    both engines (the BM25-idf precedent) make the floor-quantized
+    micro z-score hash-exact."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tokens")
+    )
+    return tx.group_zscore(vals, "n_tokens").orderBy("doc_id")
+
+
+CORPUS_QUALITY_ZNORM_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+st AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         sum(n_tokens) AS s, sum(n_tokens * n_tokens) AS ss,
+         min(n_tokens) AS lo, max(n_tokens) AS hi
+  FROM d GROUP BY source
+),
+m AS (
+  SELECT source,
+         CAST(s AS DOUBLE) / n AS mean_,
+         CAST(ss AS DOUBLE) / n
+           - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) AS var_,
+         lo = hi AS zero_
+  FROM st
+)
+SELECT d.doc_id, d.source, d.n_tokens,
+       CASE WHEN NOT zero_
+            THEN CAST(floor((d.n_tokens - mean_) / sqrt(var_) * 1000000.0
+                            + 0.5) AS BIGINT)
+            END AS z_micro
+FROM d JOIN m USING (source)
 """
 
 
@@ -9573,6 +9691,12 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "corpus_epoch_stream": QuerySpec(
             corpus_epoch_stream, CORPUS_EPOCH_STREAM_ORACLE
+        ),
+        "dedup_quality_canonical": QuerySpec(
+            dedup_quality_canonical, DEDUP_QUALITY_CANONICAL_ORACLE
+        ),
+        "corpus_quality_znorm": QuerySpec(
+            corpus_quality_znorm, CORPUS_QUALITY_ZNORM_ORACLE
         ),
         "corpus_ngram_novelty": QuerySpec(
             corpus_ngram_novelty, CORPUS_NGRAM_NOVELTY_ORACLE

@@ -492,3 +492,35 @@ def test_ngram_novelty_hash_equals_text_and_hand(spark):
     assert (t[3].n_grams, t[3].n_novel) == (5, 4)
     assert t[3].novelty_micro == 4 * 1_000_000 // 5
     assert (t[4].n_grams, t[4].n_novel, t[4].novelty_micro) == (0, 0, None)
+
+
+def test_quality_canonicals_keeps_longest(spark):
+    """quality_canonicals (round 10): the longest cluster member wins
+    (ties to smaller id); cluster_rep stays the min-id key; singleton
+    docs are not emitted; exact == LSH pair source."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.clusters import (
+        quality_canonicals,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),                       # cluster {1,2,3}: 3 is longest
+        (2, base),
+        (3, base + " tail"),
+        (9, "completely unrelated content that stands alone here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dd.ngram_jaccard_pairs(df, threshold=0.8)
+    quality = df.select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).alias("quality")
+    )
+    got = {r.doc_id: r for r in quality_canonicals(pairs, quality).collect()}
+    assert set(got) == {1, 2, 3}  # 9 is a singleton: not emitted
+    for i in (1, 2, 3):
+        assert got[i].cluster_rep == 1
+        assert got[i].canonical_id == 3
+        assert got[i].keep is (i == 3)
+    # tie case: equal quality -> smaller id
+    q_tie = quality.withColumn("quality", F.lit(7))
+    got2 = {r.doc_id: r for r in quality_canonicals(pairs, q_tie).collect()}
+    assert all(r.canonical_id == 1 for r in got2.values())

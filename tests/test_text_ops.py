@@ -250,3 +250,31 @@ def test_compression_ratio_null_text_is_empty(spark):
         assert got[i].n_compressed == 0
         assert got[i].ratio_micro is None
     assert got[3].n_bytes == 12 and got[3].ratio_micro is not None
+
+
+def test_group_zscore_exact_and_degenerate(spark):
+    """group_zscore (round 10): hand-computed z on a 2-group frame,
+    exact NULL for the constant group, layout determinism."""
+    import math
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.text import (
+        group_zscore,
+    )
+
+    rows = [
+        (1, "a", 10), (2, "a", 20), (3, "a", 30),
+        (4, "b", 5), (5, "b", 5), (6, "b", 5),    # constant group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, x long")
+    got = {r.doc_id: r for r in group_zscore(df, "x").collect()}
+    mean, var = 20.0, (100 + 400 + 900) / 3 - 400.0
+    for i, x in ((1, 10), (2, 20), (3, 30)):
+        want = math.floor((x - mean) / math.sqrt(var) * 1_000_000 + 0.5)
+        assert got[i].z_micro == want, (i, got[i].z_micro, want)
+    for i in (4, 5, 6):
+        assert got[i].z_micro is None
+    again = {
+        r.doc_id: r.z_micro
+        for r in group_zscore(df.repartition(5), "x").collect()
+    }
+    assert again == {k: v.z_micro for k, v in got.items()}

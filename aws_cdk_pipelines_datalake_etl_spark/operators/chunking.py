@@ -324,15 +324,19 @@ def packing_efficiency(
         "n_full_seqs",
         "n_tokens",
         "n_pad",
-        F.expr(f"n_tokens * 1000000 div (n_seqs * {budget_tokens})").alias(
-            "fill_ratio_micro"
-        ),
+        # decimal(38,0) multiply: a shard of >9.2e12 tokens (coarse
+        # shard_chars at ~100 TB) would overflow int64 * 1e6
+        F.expr(
+            "cast(n_tokens as decimal(38,0)) * 1000000"
+            f" div (n_seqs * {budget_tokens})"
+        ).cast("long").alias("fill_ratio_micro"),
         *(
             [
                 "n_doc_pieces",
-                F.expr("n_doc_pieces * 1000000 div n_seqs").alias(
-                    "pieces_per_seq_micro"
-                ),
+                F.expr(
+                    "cast(n_doc_pieces as decimal(38,0)) * 1000000"
+                    " div n_seqs"
+                ).cast("long").alias("pieces_per_seq_micro"),
             ]
             if has_spans
             else []

@@ -795,12 +795,16 @@ def source_overlap_matrix(
             "n_shared",
             "n_a",
             "n_b",
+            # decimal(38,0) multiply: >9.2e12 distinct shingles per
+            # source (a ~100 TB feed) would overflow int64 * 1e6
             F.expr(
-                "n_shared * 1000000 div (n_a + n_b - n_shared)"
-            ).alias("jaccard_micro"),
-            F.expr("n_shared * 1000000 div least(n_a, n_b)").alias(
-                "containment_micro"
-            ),
+                "cast(n_shared as decimal(38,0)) * 1000000"
+                " div (n_a + n_b - n_shared)"
+            ).cast("long").alias("jaccard_micro"),
+            F.expr(
+                "cast(n_shared as decimal(38,0)) * 1000000"
+                " div least(n_a, n_b)"
+            ).cast("long").alias("containment_micro"),
         )
     )
 

@@ -399,9 +399,12 @@ def epoch_plan(
         )
         .withColumn(
             "budget_i",
-            F.expr(f"{budget_tokens} * share_micro div 1000000").cast(
-                "bigint"
-            ),
+            # decimal(38,0) multiply: a 15T-token budget x a 1e6 share
+            # overflows int64; div on decimal is exact and yields bigint
+            F.expr(
+                f"cast(share_micro as decimal(38,0)) * {budget_tokens}"
+                " div 1000000"
+            ).cast("bigint"),
         )
         .withColumn(
             "n_full_epochs", F.expr("budget_i div n_tokens").cast("bigint")
@@ -412,7 +415,9 @@ def epoch_plan(
         )
         .withColumn(
             "n_epochs_micro",
-            F.expr("budget_i * 1000000 div n_tokens").cast("bigint"),
+            F.expr(
+                "cast(budget_i as decimal(38,0)) * 1000000 div n_tokens"
+            ).cast("bigint"),
         )
         .drop("_zq", "weight_micro")
     )

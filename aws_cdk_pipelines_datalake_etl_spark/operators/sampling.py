@@ -444,8 +444,16 @@ def materialize_epochs(
 
     Scale shape: one broadcast join against the tiny plan; the full
     epochs are a row-local ``explode(sequence(...))`` (output-
-    proportional — repeating data costs exactly the repeated rows);
-    the partial epoch is ONE per-source window (sources bounded)."""
+    proportional — repeating data costs exactly the repeated rows).
+    The partial-epoch running sum is BUCKETED (the epoch_shuffle
+    distributed-rank device): a window partitioned only by source
+    would put an entire multi-TB source in ONE task, so docs bucket
+    by their md5 PREFIX (md5 total order == (bucket, md5) order),
+    per-(source, bucket) token totals prefix-sum into offsets over
+    the tiny 256-rows-per-source frame, and the corpus-sized window
+    runs per (source, bucket) — any single task holds ~1/256 of a
+    source.  Result identical to the global window (property-tested
+    equal)."""
     from pyspark.sql import Window
 
     from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
@@ -467,13 +475,27 @@ def materialize_epochs(
             F.sequence(F.lit(1).cast("bigint"), F.col("n_full_epochs"))
         ).alias("epoch"),
     )
-    w = (
+    md5c = F.md5(F.col(id_col).cast("string"))
+    db = d.withColumn("_b", F.substring(md5c, 1, 2))
+    btot = db.groupBy(source_col, "_b").agg(
+        F.sum("_nt").cast("long").alias("_bt")
+    )
+    woff = (
         Window.partitionBy(source_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = btot.withColumn(
+        "_off", F.coalesce(F.sum("_bt").over(woff), F.lit(0)).cast("long")
+    ).select(source_col, "_b", "_off")
+    wb = (
+        Window.partitionBy(source_col, "_b")
+        .orderBy(md5c)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     partial = (
-        d.withColumn("_run", F.sum("_nt").over(w))
+        db.join(offs, [source_col, "_b"])
+        .withColumn("_run", F.col("_off") + F.sum("_nt").over(wb))
         .filter(F.col("_run") <= F.col("remainder_tokens"))
         .select(
             id_col,

@@ -878,3 +878,66 @@ def ngram_novelty(
             ).alias("novelty_micro"),
         )
     )
+
+
+def source_overlap_matrix_sketch(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    lg_nom_entries: int = 15,
+) -> DataFrame:
+    """The SKETCH twin of :func:`source_overlap_matrix` — the 100 TB
+    path: per-source shingle sets at corpus scale can run to 1e13
+    distinct members, where even the decimal-safe exact matrix means
+    a corpus-sized distinct + per-shingle source-set aggregation.
+    Here each source compresses to ONE Theta sketch (bounded state,
+    one scan, mergeable across ingests), and the whole matrix is set
+    algebra over n_sources tiny sketch blobs.
+
+    Same output schema/formulas as the exact twin.  Sized
+    ``lg_nom_entries=15`` the sketch is in EXACT mode below ~32k
+    distinct shingles per source — the registry entry hash-matches
+    the exact matrix's DuckDB oracle (the theta_audience precedent);
+    past that it degrades to ~1-2% relative error instead of
+    failing.  Pairs with estimated intersection 0 are dropped,
+    matching the exact twin's at-least-one-shared contract."""
+    sh = _shingle_rows(df, id_col, text_col, k).join(
+        df.select(
+            F.col(id_col).alias("id"), F.col(group_col).alias("src")
+        ),
+        "id",
+    )
+    # no distinct pass needed: the sketch IS set semantics
+    roll = sh.groupBy("src").agg(
+        F.expr(f"theta_sketch_agg(sh, {lg_nom_entries})").alias("t")
+    )
+    a = roll.select(F.col("src").alias("source_a"), F.col("t").alias("_ta"))
+    b = roll.select(F.col("src").alias("source_b"), F.col("t").alias("_tb"))
+    est = (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.expr("cast(theta_sketch_estimate(theta_intersection(_ta, _tb)) as bigint)").alias("n_shared"),
+            F.expr("cast(theta_sketch_estimate(_ta) as bigint)").alias("n_a"),
+            F.expr("cast(theta_sketch_estimate(_tb) as bigint)").alias("n_b"),
+        )
+        .filter(F.col("n_shared") >= 1)
+    )
+    return est.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        F.expr(
+            "cast(n_shared as decimal(38,0)) * 1000000"
+            " div (n_a + n_b - n_shared)"
+        ).cast("long").alias("jaccard_micro"),
+        F.expr(
+            "cast(n_shared as decimal(38,0)) * 1000000"
+            " div least(n_a, n_b)"
+        ).cast("long").alias("containment_micro"),
+    )

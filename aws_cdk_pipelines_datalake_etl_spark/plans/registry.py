@@ -8103,6 +8103,24 @@ SELECT * FROM full_eps UNION ALL SELECT * FROM partial
 """
 
 
+def corpus_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THETA-SKETCH twin of corpus_source_overlap (operators/
+    dedup.py: source_overlap_matrix_sketch — round 10): each source
+    compresses to one bounded mergeable sketch, the matrix is set
+    algebra over n_sources blobs — the 100 TB form when per-source
+    shingle sets run to 1e13 distinct members.  Sized in EXACT mode
+    (<32k distinct/source at oracle scale) so it hash-matches the
+    exact twin's DuckDB oracle; past that it degrades to ~1-2% error
+    instead of failing (the sketch_theta_audience precedent)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dedup import (
+        source_overlap_matrix_sketch,
+    )
+
+    return source_overlap_matrix_sketch(
+        _t(spark, sf_dir, "documents"), k=3
+    ).orderBy("source_a", "source_b")
+
+
 def corpus_quality_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source z-normalization of a quality signal (operators/
     text.py: group_zscore — round 10): token count z-scored WITHIN
@@ -9700,6 +9718,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "corpus_ngram_novelty": QuerySpec(
             corpus_ngram_novelty, CORPUS_NGRAM_NOVELTY_ORACLE
+        ),
+        "corpus_source_overlap_sketch": QuerySpec(
+            corpus_source_overlap_sketch, CORPUS_SOURCE_OVERLAP_ORACLE
         ),
         "corpus_source_overlap": QuerySpec(
             corpus_source_overlap, CORPUS_SOURCE_OVERLAP_ORACLE

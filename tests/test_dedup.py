@@ -524,3 +524,22 @@ def test_quality_canonicals_keeps_longest(spark):
     q_tie = quality.withColumn("quality", F.lit(7))
     got2 = {r.doc_id: r for r in quality_canonicals(pairs, q_tie).collect()}
     assert all(r.canonical_id == 1 for r in got2.values())
+
+
+def test_source_overlap_sketch_equals_exact(spark):
+    """source_overlap_matrix_sketch (round 10): in exact mode (well
+    under 32k distinct shingles per source) the sketch matrix IS the
+    exact matrix, row for row."""
+    rows = [
+        (i, f"s{i % 4}", " ".join(f"w{(i * 3 + j) % 15}" for j in range(8)))
+        for i in range(1, 41)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    exact = {
+        tuple(r) for r in dd.source_overlap_matrix(df, k=3).collect()
+    }
+    sk = {
+        tuple(r)
+        for r in dd.source_overlap_matrix_sketch(df, k=3).collect()
+    }
+    assert exact and sk == exact

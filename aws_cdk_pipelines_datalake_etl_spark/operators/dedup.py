@@ -916,7 +916,10 @@ def source_overlap_matrix_sketch(
     a = roll.select(F.col("src").alias("source_a"), F.col("t").alias("_ta"))
     b = roll.select(F.col("src").alias("source_b"), F.col("t").alias("_tb"))
     est = (
-        a.join(b, F.col("source_a") < F.col("source_b"))
+        # broadcast: the inequality pair join must compile to
+        # BroadcastNestedLoopJoin over the n_sources-row rollup, never
+        # CartesianProduct (registry-wide plan lint)
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
         .select(
             "source_a",
             "source_b",

@@ -504,3 +504,74 @@ def materialize_epochs(
         )
     )
     return full.unionByName(partial)
+
+
+def curriculum_order(
+    df: DataFrame,
+    bucket_col: str,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    ascending: bool = True,
+    bucket_bits: int = 8,
+    out_col: str = "curriculum_rank",
+) -> DataFrame:
+    """Curriculum training order (round 10 — the Bengio et al. 2009
+    easy-to-hard schedule applied to corpus serving): a TOTAL global
+    rank that visits difficulty buckets in order (``ascending=True``
+    = easiest first) and hash-shuffles WITHIN each bucket with the
+    :func:`epoch_shuffle` epoch-keyed permutation, so every epoch
+    reshuffles within buckets but never across the curriculum.
+
+    ``bucket_col`` is the caller's integer difficulty bucket (a
+    perplexity bucket, a z-score band, a length tier — the policy
+    stays composable).  Output adds ``out_col``: 1-based, dense,
+    layout/engine/retry-deterministic.
+
+    Scale: the epoch_shuffle device extended to a composite key — a
+    global ``row_number`` would funnel the corpus into one task, so
+    ranks assemble distributed: per (difficulty bucket x hash-prefix
+    bucket) counts (tiny), prefix-summed offsets over that tiny frame
+    in curriculum order, then ``offset + row_number`` inside each
+    composite bucket.  One data shuffle, one broadcast join."""
+    from pyspark.sql import Window
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        hash48,
+    )
+
+    key = hash48(
+        F.concat(F.lit(str(epoch)), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    keyed = df.withColumn("_ek", key).withColumn(
+        "_hb", F.shiftright(F.col("_ek"), 48 - bucket_bits)
+    )
+    border = (
+        F.col(bucket_col).asc() if ascending else F.col(bucket_col).desc()
+    )
+    offsets = (
+        keyed.groupBy(bucket_col, "_hb")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy(border, F.col("_hb").asc()).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_n")
+    )
+    local = Window.partitionBy(bucket_col, "_hb").orderBy(
+        "_ek", F.col(id_col)
+    )
+    return (
+        keyed.join(F.broadcast(offsets), [bucket_col, "_hb"])
+        .withColumn(
+            out_col,
+            (F.col("_offset") + F.row_number().over(local)).cast("long"),
+        )
+        .drop("_ek", "_hb", "_offset")
+    )

@@ -8121,6 +8121,55 @@ def corpus_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source_a", "source_b")
 
 
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order (operators/sampling.py:
+    curriculum_order — round 10, Bengio et al. 2009 easy-to-hard
+    scheduling): a TOTAL global rank visiting difficulty buckets in
+    order (length tiers here: least(3, n_tokens div 25), shortest
+    first) with the epoch-keyed hash shuffle WITHIN each bucket.
+    Ranks assemble distributed (the epoch_shuffle device on the
+    composite (difficulty, hash-prefix) bucket — no global-window
+    funnel); the oracle replays the identical total order with one
+    window."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        tokens,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        F.least(F.lit(3), F.expr("size(split(lower(text), ' ')) div 25"))
+        .cast("int")
+        .alias("difficulty"),
+    )
+    return curriculum_order(b, "difficulty", epoch=1).orderBy(
+        "curriculum_rank"
+    )
+
+
+CORPUS_CURRICULUM_ORDER_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(least(3, len(string_split(lower(text), ' ')) // 25) AS INT)
+           AS difficulty
+  FROM documents
+),
+k AS (
+  SELECT *,
+         ('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+           AS ek
+  FROM d
+)
+SELECT doc_id, difficulty,
+       CAST(row_number() OVER (ORDER BY difficulty ASC, ek ASC, doc_id ASC)
+            AS BIGINT) AS curriculum_rank
+FROM k
+"""
+
+
 def corpus_quality_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source z-normalization of a quality signal (operators/
     text.py: group_zscore — round 10): token count z-scored WITHIN
@@ -9712,6 +9761,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "dedup_quality_canonical": QuerySpec(
             dedup_quality_canonical, DEDUP_QUALITY_CANONICAL_ORACLE
+        ),
+        "corpus_curriculum_order": QuerySpec(
+            corpus_curriculum_order, CORPUS_CURRICULUM_ORDER_ORACLE
         ),
         "corpus_quality_znorm": QuerySpec(
             corpus_quality_znorm, CORPUS_QUALITY_ZNORM_ORACLE

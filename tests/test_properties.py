@@ -562,3 +562,52 @@ def test_epoch_plan_and_stream_invariants(spark):
     assert sorted((r.doc_id, r.source, r.epoch) for r in again) == sorted(
         (r.doc_id, r.source, r.epoch) for r in stream
     )
+
+
+def test_curriculum_order_total_and_within_bucket_shuffle(spark):
+    """curriculum_order (round 10): ranks are a dense 1..N total
+    order, never cross the curriculum (all of bucket 0 before any of
+    bucket 1, ...), reshuffle WITHIN buckets across epochs, and are
+    layout-deterministic."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    rows = [(i, i % 4) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id long, difficulty int")
+    got = curriculum_order(df, "difficulty", epoch=1).collect()
+    ranks = sorted(r.curriculum_rank for r in got)
+    assert ranks == list(range(1, 101))
+    by_rank = sorted(got, key=lambda r: r.curriculum_rank)
+    assert [r.difficulty for r in by_rank] == sorted(
+        r.difficulty for r in by_rank
+    )
+    # within-bucket order is the epoch-keyed hash order
+    def h(e, i):
+        return int(hashlib.md5(f"{e}:{i}".encode()).hexdigest()[:12], 16)
+
+    b0 = [r.doc_id for r in by_rank if r.difficulty == 0]
+    assert b0 == sorted(b0, key=lambda i: (h(1, i), i))
+    # a different epoch reshuffles within the bucket
+    got2 = curriculum_order(df, "difficulty", epoch=2).collect()
+    by_rank2 = sorted(got2, key=lambda r: r.curriculum_rank)
+    b0_e2 = [r.doc_id for r in by_rank2 if r.difficulty == 0]
+    assert set(b0_e2) == set(b0) and b0_e2 != b0
+    # descending curriculum reverses the bucket order only
+    desc = sorted(
+        curriculum_order(df, "difficulty", epoch=1, ascending=False).collect(),
+        key=lambda r: r.curriculum_rank,
+    )
+    assert [r.difficulty for r in desc] == sorted(
+        (r.difficulty for r in desc), reverse=True
+    )
+    # layout determinism
+    again = {
+        (r.doc_id, r.curriculum_rank)
+        for r in curriculum_order(df.repartition(7), "difficulty", epoch=1).collect()
+    }
+    assert again == {(r.doc_id, r.curriculum_rank) for r in got}

@@ -130,7 +130,11 @@ def quality_canonicals(
     ``pairs`` is any near-dup pair list (minhash_lsh_pairs at scale);
     ``quality`` maps ``id_col`` to an INTEGER ``quality_col`` (token
     count, a gopher score, the distilled classifier logit — the
-    caller's policy).
+    caller's policy).  Coverage is NOT required: clustered docs with
+    no quality row are kept (LEFT join) with a long-MIN sentinel, so
+    they still emit a row and deterministically lose every argmax tie
+    against a scored member (ADVICE r10 — an inner join silently
+    dropped them AND could flip the canonical without signal).
 
     Output, one row per clustered doc: ``(doc_id, cluster_rep,
     canonical_id, keep boolean)`` — ``cluster_rep`` stays the min-id
@@ -142,13 +146,31 @@ def quality_canonicals(
     Plan: the CC fixpoint (lineage-truncated), one broadcast-friendly
     join to attach quality, ONE struct-max agg per cluster (the
     contrastive-triplets argmax device — no window), one join back."""
+    from pyspark.sql import types as T
+
+    for frame, col, what in (
+        (quality, id_col, f"quality[{id_col!r}]"),
+        (pairs, id1, f"pairs[{id1!r}]"),
+        (pairs, id2, f"pairs[{id2!r}]"),
+    ):
+        dt = frame.schema[col].dataType
+        if not isinstance(dt, T.NumericType):
+            raise TypeError(
+                f"quality_canonicals requires a numeric {what} for the "
+                f"(quality, -id) tie-break; got {dt.simpleString()}"
+            )
     members = connected_components(
         pairs, id1, id2, checkpoint_dir=checkpoint_dir
     ).select(F.col("node").alias(id_col), "cluster_rep")
     q = quality.select(
         F.col(id_col), F.col(quality_col).cast("long").alias("_q")
     )
-    with_q = members.join(q, id_col)
+    # LEFT join + long-MIN sentinel: a clustered doc with no quality
+    # row still emits (and loses ties deterministically) instead of
+    # vanishing from both the output and the argmax candidate set.
+    with_q = members.join(q, id_col, "left").withColumn(
+        "_q", F.coalesce(F.col("_q"), F.lit(-(1 << 63)).cast("long"))
+    )
     best = with_q.groupBy("cluster_rep").agg(
         F.max(
             F.struct(

@@ -331,7 +331,13 @@ def mixture_plan(
         counts.crossJoin(F.broadcast(tot))
         .withColumn(
             "share_micro",
-            F.expr("weight_micro * 1000000 div _zq").cast("bigint"),
+            # decimal, not int64: weight_micro = round(sqrt(n)*1e6)
+            # overflows the long multiply once one source exceeds
+            # ~8.5e13 tokens (ADVICE r10) — inside the 15T-token
+            # envelope.  Same decimal device as budget_i below.
+            F.expr(
+                "cast(weight_micro as decimal(38,0)) * 1000000 div _zq"
+            ).cast("bigint"),
         )
         .withColumn(
             "keep_frac_micro",
@@ -395,7 +401,13 @@ def epoch_plan(
         counts.crossJoin(F.broadcast(tot))
         .withColumn(
             "share_micro",
-            F.expr("weight_micro * 1000000 div _zq").cast("bigint"),
+            # decimal, not int64: weight_micro = round(sqrt(n)*1e6)
+            # overflows the long multiply once one source exceeds
+            # ~8.5e13 tokens (ADVICE r10) — inside the 15T-token
+            # envelope.  Same decimal device as budget_i below.
+            F.expr(
+                "cast(weight_micro as decimal(38,0)) * 1000000 div _zq"
+            ).cast("bigint"),
         )
         .withColumn(
             "budget_i",

@@ -662,8 +662,12 @@ def group_zscore(
         .agg(
             F.count(F.lit(1)).cast("long").alias("_n"),
             F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"),
+            # cast BEFORE multiplying: a long*long square overflows
+            # int64 past |x| ~ 3.03e9 (ADVICE r10) — micro-scaled
+            # signals exceed that; decimal(38,0)^2 holds any long^2.
             F.sum(
-                (F.col("_x") * F.col("_x")).cast("decimal(38,0)")
+                F.col("_x").cast("decimal(38,0)")
+                * F.col("_x").cast("decimal(38,0)")
             ).alias("_ss"),
             F.min("_x").alias("_lo"),
             F.max("_x").alias("_hi"),

@@ -526,6 +526,39 @@ def test_quality_canonicals_keeps_longest(spark):
     assert all(r.canonical_id == 1 for r in got2.values())
 
 
+def test_quality_canonicals_guards_and_coverage(spark):
+    """quality_canonicals (ADVICE r10): non-numeric ids raise a clear
+    TypeError (not an opaque cast failure); clustered docs with NO
+    quality row still emit (LEFT join + long-MIN sentinel) and lose
+    every tie against a scored member instead of silently flipping
+    the canonical."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.clusters import (
+        quality_canonicals,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id1 long, id2 long"
+    )
+    # doc 2 has no quality row; cluster {10,11} is entirely unscored.
+    quality = spark.createDataFrame(
+        [(1, 5), (3, 9)], "doc_id long, quality long"
+    )
+    got = {r.doc_id: r for r in quality_canonicals(pairs, quality).collect()}
+    assert set(got) == {1, 2, 3, 10, 11}  # 2 emitted despite no score
+    for i in (1, 2, 3):
+        assert got[i].canonical_id == 3 and got[i].keep is (i == 3)
+    # all-unscored cluster: sentinel ties resolve to the smaller id
+    for i in (10, 11):
+        assert got[i].canonical_id == 10 and got[i].keep is (i == 10)
+
+    bad_q = spark.createDataFrame([("a", 1)], "doc_id string, quality long")
+    with pytest.raises(TypeError, match="numeric"):
+        quality_canonicals(pairs, bad_q)
+    bad_pairs = spark.createDataFrame([("a", "b")], "id1 string, id2 string")
+    with pytest.raises(TypeError, match="numeric"):
+        quality_canonicals(bad_pairs, quality)
+
+
 def test_source_overlap_sketch_equals_exact(spark):
     """source_overlap_matrix_sketch (round 10): in exact mode (well
     under 32k distinct shingles per source) the sketch matrix IS the

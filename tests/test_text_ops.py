@@ -278,3 +278,25 @@ def test_group_zscore_exact_and_degenerate(spark):
         for r in group_zscore(df.repartition(5), "x").collect()
     }
     assert again == {k: v.z_micro for k, v in got.items()}
+
+
+def test_group_zscore_huge_values_no_overflow(spark):
+    """ADVICE r10: |x| > ~3.03e9 squares past int64 — the sum of
+    squares must go through decimal BEFORE the multiply.  5e9-scale
+    micro-quantized signals are exactly this repo's convention."""
+    import math
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.text import (
+        group_zscore,
+    )
+
+    xs = [5_000_000_000, 6_000_000_000, 7_000_000_000]
+    rows = [(i + 1, "a", x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, x long")
+    got = {r.doc_id: r.z_micro for r in group_zscore(df, "x").collect()}
+    n = len(xs)
+    mean = float(sum(xs)) / n
+    var = float(sum(x * x for x in xs)) / n - mean * mean
+    for i, x in enumerate(xs):
+        want = math.floor((float(x) - mean) / math.sqrt(var) * 1e6 + 0.5)
+        assert got[i + 1] == want, (i, got[i + 1], want)

@@ -6800,79 +6800,67 @@ _DRIVER_WINDOW = [
     "q01_pricing_summary",
     "q02_taxi_shape_agg",
     "q23_sql_transform",
-    # (2) ROUND-10 DEBT PAYMENT (VERDICT r9 #1): ALL 35 owed entries.
-    # (2a) the 22 remaining round-5 entries — after this round, every
-    # oracle-backed entry is driver-green within the last 5 rounds and
-    # the round-5 rotation is COMPLETE:
-    "range_join_binned",
-    "sample_quality_weighted",
-    "sample_source_rebalance",
-    "sim_ivf_full_probe",
-    "sim_ivfpq_full",
-    "sim_ivfpq_residual_full",
-    "sim_pq_full_rerank",
-    "sim_quantize_embeddings",
-    "sink_python_stream_writer",
-    "source_python_stream",
-    "source_python_stream_partitioned",
-    "stream_dedup_within_watermark",
-    "stream_late_drop",
-    "stream_sliding",
-    "stream_static_join",
-    "text_boilerplate_ratio",
-    "text_normalize",
-    "text_oov_rate",
-    "text_pack_offsets",
-    "text_pseudonymize",
-    "text_unigram_logprob",
-    "ts_ewma",
-    # (2b) the 13 round-9 late entries (never driver-verified; each
-    # carried a logged targeted oracle_check run per the late-entry
-    # rule).  Several were ALSO changed this round and re-checked:
-    # corpus_dsir_weights / sample_dsir_topk / sample_dsir_gumbel /
-    # corpus_training_set_v3 (stage=True feature staging),
-    # dedup_span_removal (sorted-boundary-walk rebuild, output
-    # identical), sim_contrastive_triplets (peerless-anchor left
-    # join), text_fim_transform (NULL-array guard),
-    # corpus_training_set_v2 (19-language langid model):
-    "dedup_span_removal",
-    "corpus_training_set_v2",
-    "corpus_dsir_weights",
-    "corpus_dsir_incremental",
-    "sample_dsir_topk",
-    "sample_dsir_gumbel",
-    "sample_mixture_plan",
-    "retrieval_hard_negatives",
-    "lm_kneser_ney_logprob",
-    "text_fim_transform",
-    "text_span_corruption",
-    "sim_contrastive_triplets",
-    "corpus_training_set_v3",
-    # (3) round-10 new/changed entries not already above (each with a
-    # targeted oracle_check run logged in its commit):
-    # - text_script_id: NEW — dominant Unicode script per doc
-    # - sample_dsir_gumbel_per_source: NEW — stratified Gumbel top-k
-    # - text_langid_nb / text_langid_confident: CHANGED — 19-language
-    #   model (ru/el/ar/zh/ja), widened script-aware normalizer
-    "text_script_id",
-    "sample_dsir_gumbel_per_source",
-    "text_langid_nb",
-    "text_langid_confident",
-    # - round-10 session additions (each with a targeted oracle_check
-    #   run logged in its commit): packing-efficiency report,
-    #   source-overlap matrix, n-gram novelty, epoch plan + stream
-    "corpus_pack_report",
-    "corpus_source_overlap",
-    "corpus_ngram_novelty",
-    "sample_epoch_plan",
-    "corpus_epoch_stream",
-    "dedup_quality_canonical",
+    # (2) ROUND-11 DEBT PAYMENT: all 35 remaining round-6 entries —
+    # after this round every entry last green in round 6 has been
+    # re-confirmed and the round-6 rotation is COMPLETE:
+    "asof_view_to_purchase",
+    "bucketed_join",
+    "cdc_latest_state",
+    "cdc_state_asof_time",
+    "dedup_semantic_skewguard",
+    "dedup_semantic_survivors",
+    "multimodal_binaryfile_ingest",
+    "multimodal_decode_jpeg",
+    "q03_filter_project",
+    "q04_topk_orders",
+    "q05_limit_star",
+    "q08_semi_join",
+    "q10_outer_join_histogram",
+    "q15_having_distinct",
+    "q17_scalar_functions",
+    "q18_date_functions",
+    "q20_json_extract",
+    "q26_lateral_explode",
+    "q28_array_agg",
+    "q32_regional_supplier_volume",
+    "q36_nation_volume",
+    "q37_returned_items",
+    "q38_priority_case",
+    "q39_promo_revenue",
+    "q40_avg_qty_subquery",
+    "q41_large_orders",
+    "retrieval_bm25_topk",
+    "sample_hash_deterministic",
+    "sample_temperature_mix",
+    "sample_temperature_mix_t3",
+    "sim_ivfpq_bcast_full",
+    "sim_ivfpq_index_full_probe",
+    "sketch_cm_topk",
+    "source_orc_roundtrip",
+    "text_repetition_metrics",
+    # (3) round-10 late entries (added after the round-10 close
+    # sweep; targeted oracle_check runs logged in their commits —
+    # never driver-verified until now):
+    "corpus_curriculum_order",
+    "corpus_source_overlap_sketch",
+    # (4) entries semantically touched by the round-11 ADVICE fixes
+    # (overflow-safe decimal squares/shares, left-join sentinel) —
+    # all four re-checked by a targeted oracle_check run this round:
     "corpus_quality_znorm",
-    # (4) re-confirmation, oldest-verified-first: 1 slot left; the
-    # alphabetically-first entry last green in round 6.  ROUND-11
-    # WINDOW OWES: the remaining 35 round-6 entries
-    # (asof_view_to_purchase .. text_repetition_metrics).
-    "agg_salted_skew",
+    "dedup_quality_canonical",
+    "sample_epoch_plan",
+    "sample_mixture_plan",
+    # (5) re-confirmation, oldest-verified-first: the 6 remaining
+    # slots take the alphabetically-first entries last green in
+    # round 7.  ROUND-12 WINDOW OWES: the other 37 round-7 entries
+    # (incremental_rollup .. web_url_normalize).  New round-11
+    # entries REPLACE these fills (pre-sweep) as they land.
+    "corpus_training_set",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
 ]
 
 

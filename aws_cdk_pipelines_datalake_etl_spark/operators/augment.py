@@ -235,3 +235,79 @@ def span_corruption(
         inputs.alias("inputs"),
         targets.alias("targets"),
     )
+
+
+def ul2_mixture(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    r_window: int = 20,
+    r_span: int = 3,
+    x_window: int = 16,
+    x_span: int = 8,
+    sentinel_base: int = 1000,
+    tag_r: int = 900,
+    tag_x: int = 901,
+    tag_s: int = 902,
+) -> DataFrame:
+    """UL2 mixture-of-denoisers (Tay et al. 2022, "UL2: Unifying
+    Language Learning Paradigms"): every document is routed by a
+    deterministic hash draw to ONE of three training objectives, with
+    the paradigm tag token prepended to the encoder input so the
+    model learns which mode it is in:
+
+    - **R-denoiser** (regular): the T5 objective — short spans, low
+      corruption (:func:`span_corruption` at ``r_window``/``r_span``,
+      default 15%);
+    - **X-denoiser** (extreme): long spans / aggressive corruption
+      (``x_window``/``x_span``, default 50%) — the "hard" denoising
+      mode the paper credits for infilling ability;
+    - **S-denoiser** (sequential): PrefixLM — a hash-drawn cut point
+      splits the document; inputs = the prefix, targets = the suffix
+      (causal continuation, no sentinels).
+
+    The route is ``hash48(id + ':ul2') mod 3`` (R/X/S equally —
+    the paper's mixture weights are a tuning seam) and the S cut is
+    ``hash48(id + ':s-cut') mod (n + 1)`` — fully deterministic, so a
+    DuckDB oracle replays routes, cuts, spans and sentinels exactly.
+
+    Output: ``(id_col, denoiser string, n_tokens, inputs, targets)``.
+    Plan shape: three FILTERED branches of the same scan, each a pure
+    row-local array transform (the :func:`span_corruption` machinery
+    — no explode, no shuffle), unioned back: total work is one pass
+    over the corpus, embarrassingly parallel at 100 TB."""
+    pick = _hash_pick(F.col(id_col), "ul2", F.lit(3))
+
+    def tag(inputs: Column, t: int) -> Column:
+        return F.concat(F.array(F.lit(t)), inputs).cast("array<int>")
+
+    r_out = span_corruption(
+        df.filter(pick == 0), id_col, ids_col, r_window, r_span, sentinel_base
+    ).select(
+        F.col(id_col),
+        F.lit("R").alias("denoiser"),
+        "n_tokens",
+        tag(F.col("inputs"), tag_r).alias("inputs"),
+        F.col("targets"),
+    )
+    x_out = span_corruption(
+        df.filter(pick == 1), id_col, ids_col, x_window, x_span, sentinel_base
+    ).select(
+        F.col(id_col),
+        F.lit("X").alias("denoiser"),
+        "n_tokens",
+        tag(F.col("inputs"), tag_x).alias("inputs"),
+        F.col("targets"),
+    )
+    n = F.size(F.col(ids_col))
+    cut = _hash_pick(F.col(id_col), "s-cut", n + 1)
+    s_out = df.filter(pick == 2).select(
+        F.col(id_col),
+        F.lit("S").alias("denoiser"),
+        n.cast("int").alias("n_tokens"),
+        tag(F.slice(F.col(ids_col), F.lit(1), cut), tag_s).alias("inputs"),
+        F.slice(F.col(ids_col), cut + 1, n - cut)
+        .cast("array<int>")
+        .alias("targets"),
+    )
+    return r_out.unionByName(x_out).unionByName(s_out)

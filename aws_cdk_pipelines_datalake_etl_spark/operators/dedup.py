@@ -944,3 +944,99 @@ def source_overlap_matrix_sketch(
             " div least(n_a, n_b)"
         ).cast("long").alias("containment_micro"),
     )
+
+
+def block_unit_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_words: int = 10,
+) -> DataFrame:
+    """Corpus-level EXACT unit deduplication with first-occurrence-
+    wins reassembly — the CCNet / RefinedWeb "line dedup" step
+    (Wenzek et al. 2020 dedupe paragraphs by hash of the normalized
+    line; Penedo et al. 2023 report it as the single biggest quality
+    lever before fuzzy dedup).  Boilerplate (nav bars, cookie
+    banners, license headers) repeats VERBATIM across millions of
+    pages; removing every later occurrence of an exact unit shrinks
+    the corpus and kills the memorization vector that substring-span
+    dedup only catches past its length threshold.
+
+    The dedup UNIT here is a fixed ``block_words``-word block of the
+    whitespace token stream (the unit seam: real corpora pass
+    newline-split lines; the synthetic tables carry no newlines, so
+    blocks stand in — the dataflow is identical, only the splitter
+    expression changes).  First occurrence = the globally smallest
+    ``(doc id, block index)`` — a total order, so any engine, any
+    partitioning, any retry keeps the same copy.
+
+    Output, one row per input doc: ``(id_col, n_units, n_kept,
+    text_clean)`` — ``text_clean`` is the doc's SURVIVING blocks in
+    original order (space-joined; ``''`` when every block lost),
+    ``n_units`` its block count.
+
+    Scale shape: one row-local block fan-out (Generate+Project, no
+    higher-order rebuild of the token array per block — blocks slice
+    a STAGED words column), then groupBy(unit) keeps ONE winner row
+    per distinct unit (min-struct, map-side partial agg — the
+    duplicate mass never crosses the shuffle twice and there is NO
+    join-back against the exploded stream), then groupBy(doc)
+    reassembles, then one doc-keyed left join for full coverage.
+    Dedup keys are the unit STRINGS, not a 48-bit hash — at 100 TB
+    the corpus holds ~1e10 units and birthday collisions on 48 bits
+    start at ~2e7, which would merge DISTINCT units; exactness over
+    key compactness (a production variant could key on a 128-bit
+    hash).  Everything is unit-proportional; no quadratic path."""
+    if block_words < 1:
+        raise ValueError("block_words must be >= 1")
+    b = block_words
+    words = tokens(text_col)
+    n_units = F.floor((F.size(words) + (b - 1)) / F.lit(b)).cast("int")
+    staged = df.select(
+        F.col(id_col).alias("_id"),
+        words.alias("_ws"),
+        n_units.alias("n_units"),
+    )
+    units = staged.select(
+        "_id",
+        F.posexplode(
+            F.when(
+                F.col("n_units") >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_units") - 1),
+                    lambda k: F.array_join(
+                        F.slice(F.col("_ws"), k * b + 1, b), " "
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("idx", "unit"),
+    )
+    kept = units.groupBy("unit").agg(
+        F.min(F.struct(F.col("_id").alias("d"), F.col("idx").alias("k")))
+        .alias("_first")
+    )
+    reassembled = (
+        kept.select(
+            F.col("_first.d").alias("_id"),
+            F.struct(F.col("_first.k").alias("k"), F.col("unit").alias("u"))
+            .alias("_ku"),
+        )
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("_ku")), lambda s: s["u"]
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )
+    return staged.select("_id", "n_units").join(
+        reassembled, "_id", "left"
+    ).select(
+        F.col("_id").alias(id_col),
+        "n_units",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )

@@ -380,3 +380,147 @@ def kneser_ney_logprob(
             "n_novel",
         )
     )
+
+
+def _trigrams(text_col: str) -> Column:
+    """Row-local trigram structs of the whitespace token stream —
+    the :func:`_bigrams` device widened one slot (slice+arrays_zip:
+    no shuffle, no window; a doc's trigrams never leave its row
+    until the explode)."""
+    t = tokens(text_col)
+    n = F.size(t)
+    return F.when(
+        n >= 3,
+        F.arrays_zip(
+            F.slice(t, F.lit(1), n - 2).alias("w1"),
+            F.slice(t, F.lit(2), n - 2).alias("w2"),
+            F.slice(t, F.lit(3), n - 2).alias("w3"),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+    )
+
+
+def train_trigram_lm(
+    df: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Count tables of the trigram stupid-backoff LM:
+    ``(trigrams, bigrams, unigrams, totals)`` — the bigram tables are
+    :func:`train_bigram_lm`'s (the corpus is exploded once more for
+    the trigram level only)."""
+    bigrams, unigrams, totals = train_bigram_lm(df, text_col)
+    trigrams = (
+        df.select(F.explode(_trigrams(text_col)).alias("tg"))
+        .select("tg.w1", "tg.w2", "tg.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    return trigrams, bigrams, unigrams, totals
+
+
+def trigram_logprob(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mean trigram log-probability under stupid backoff (Brants et
+    al. 2007 — the exact scheme web-scale MT used at Google, designed
+    for distributed count tables):
+
+        S(w3 | w1 w2) = C(w1 w2 w3) / C(w1 w2)          if C3 > 0
+                      = 0.4 * C(w2 w3) / C(w2)          elif C2 > 0
+                      = 0.4^2 * (C(w3) + 1) / (T + V)   otherwise
+
+    (scores, not normalized probabilities — the paper's point is that
+    at web scale the backoff weight needs no context-dependent
+    normalizer).  Every score is a ratio of exact integers times a
+    power of 0.4; the ln is micro-quantized per occurrence (the repo
+    convention), so a DuckDB oracle retrains and rescores exactly.
+
+    Output per scored doc: ``(id_col, avg_logprob, n_trigrams,
+    n_bo_bigram, n_bo_unigram)`` — the two backoff counters split the
+    unseen-continuation mass by how far it fell.  Docs with fewer
+    than 3 tokens emit NULL ``avg_logprob`` and zero counts (the
+    explode_outer device of :func:`bigram_logprob` — no extra
+    shuffle to keep them).
+
+    Scale shape: the score stream explodes once; the model tables are
+    vocabulary-bounded aggregates joined on their n-gram keys (AQE
+    broadcasts while they fit, shuffles by key once they don't);
+    nothing collects to the driver."""
+    trigrams, bigrams, unigrams, totals = train_trigram_lm(train, text_col)
+
+    stream = score.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(_trigrams(text_col)).alias("tg"),
+    ).select(
+        "id",
+        F.col("tg.w1").alias("w1"),
+        F.col("tg.w2").alias("w2"),
+        F.col("tg.w3").alias("w3"),
+    )
+    joined = (
+        stream.join(trigrams, ["w1", "w2", "w3"], "left")
+        .join(
+            bigrams.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c2").alias("c2_23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            bigrams.select("w1", "w2", F.col("c2").alias("c2_12")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            unigrams.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2")),
+            "w2",
+            "left",
+        )
+        .join(
+            unigrams.select(F.col("w").alias("w3"), F.col("c1").alias("c1_w3")),
+            "w3",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    lvl3 = F.col("c3").isNotNull() & F.col("c2_12").isNotNull()
+    lvl2 = F.col("c2_23").isNotNull() & F.col("c1_w2").isNotNull()
+    p = (
+        F.when(lvl3, F.col("c3") / F.col("c2_12"))
+        .when(lvl2, F.lit(BACKOFF) * F.col("c2_23") / F.col("c1_w2"))
+        .otherwise(
+            F.lit(BACKOFF * BACKOFF)
+            * (F.coalesce(F.col("c1_w3"), F.lit(0)) + F.lit(1))
+            / (F.col("t_tokens") + F.col("v_vocab"))
+        )
+    )
+    real = F.col("w1").isNotNull()
+    micro_logp = F.when(
+        real, F.floor(F.log(p) * MICRO + F.lit(0.5)).cast("long")
+    )
+    return (
+        joined.withColumn("micro_logp", micro_logp)
+        .withColumn("bo_bi", (real & ~lvl3 & lvl2).cast("long"))
+        .withColumn("bo_uni", (real & ~lvl3 & ~lvl2).cast("long"))
+        .groupBy("id")
+        .agg(
+            F.sum("micro_logp").alias("s"),
+            F.count("micro_logp").alias("n_trigrams"),
+            F.sum("bo_bi").alias("n_bo_bigram"),
+            F.sum("bo_uni").alias("n_bo_unigram"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            (F.col("s") / (F.col("n_trigrams") * F.lit(float(MICRO)))).alias(
+                "avg_logprob"
+            ),
+            "n_trigrams",
+            "n_bo_bigram",
+            "n_bo_unigram",
+        )
+    )

@@ -587,3 +587,54 @@ def curriculum_order(
         )
         .drop("_ek", "_hb", "_offset")
     )
+
+
+def repeat_value(
+    plan: DataFrame,
+    r_star_micro: int = 15_390_000,
+) -> DataFrame:
+    """Value-adjusted token accounting for repeated epochs — the
+    data-constrained scaling law of Muennighoff et al. 2023 ("Scaling
+    Data-Constrained Language Models"): tokens seen again are worth
+    less than fresh tokens, with the value of the r-th repetition
+    decaying exponentially at rate ``R*`` (the paper fits
+    R* ~ 15.39 epochs).  The effective-data formula:
+
+        D_eff = U + U * R* * (1 - exp(-R / R*))
+
+    where U is the source's unique tokens and R its repeat epochs
+    beyond the first (fractional allowed).  At R=0 (single pass)
+    D_eff = U; as R grows, the repeated mass saturates at U * R*.
+
+    ``plan`` is :func:`epoch_plan`'s output (``n_tokens``,
+    ``budget_i``, ``n_epochs_micro`` per source).  Output adds:
+
+    - ``effective_tokens``: U + floor(decayed repeat value + 0.5);
+    - ``value_ratio_micro``: effective / budget_i in integer micro —
+      how much of what the budget PAYS for the source actually
+      delivers (1e6 = every bought token worth a fresh one; NULL when
+      the source got no budget).
+
+    Pure per-source row-local arithmetic over the bounded plan table:
+    the one exp is a per-row expression replicated op-for-op by the
+    oracle, floor-quantized once (the repo's ln/exp precedent); the
+    ratio uses the decimal-div device (no int64 overflow at 15T
+    tokens)."""
+    rs = int(r_star_micro)
+    eff = F.expr(
+        f"n_tokens + cast(floor("
+        f"cast(n_tokens as double) * ({rs} / 1000000.0)"
+        f" * (1.0 - exp(-((greatest(0, n_epochs_micro - 1000000)"
+        f" / 1000000.0) / ({rs} / 1000000.0))))"
+        f" + 0.5) as bigint)"
+    )
+    return plan.withColumn("effective_tokens", eff).withColumn(
+        "value_ratio_micro",
+        F.when(
+            F.col("budget_i") > 0,
+            F.expr(
+                "cast(effective_tokens as decimal(38,0)) * 1000000"
+                " div budget_i"
+            ).cast("bigint"),
+        ),
+    )

@@ -701,3 +701,52 @@ def group_zscore(
             ).alias("z_micro"),
         )
     )
+
+
+def fertility_report(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source tokenizer-fertility / density report — the standard
+    sanity table before committing a tokenizer + mixture to a long
+    run: sources whose text is byte-heavy per token (non-Latin
+    scripts, code, boilerplate markup) consume disproportionate
+    sequence budget, and fertility drift between corpus versions is
+    an early data-bug signal.
+
+    Output per source: ``(source, n_docs, n_tokens, n_chars,
+    n_bytes, chars_per_token_micro, bytes_per_token_micro,
+    tokens_per_doc_micro)`` — whitespace tokens (the repo's
+    tokenization contract), UTF-8 bytes, ratios as integer micro via
+    the decimal-div device (no int64 overflow at 100 TB).  One
+    codegen'd scan, one source-cardinality aggregate — nothing else
+    moves."""
+    t = tokens(text_col)
+    agg = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(t)).cast("bigint").alias("n_tokens"),
+        F.sum(F.length(F.col(text_col))).cast("bigint").alias("n_chars"),
+        F.sum(F.octet_length(F.col(text_col))).cast("bigint").alias(
+            "n_bytes"
+        ),
+    )
+    def ratio(num: str, den: str) -> Column:
+        return (
+            F.when(
+                F.col(den) > 0,
+                F.expr(
+                    f"cast({num} as decimal(38,0)) * 1000000 div {den}"
+                ).cast("bigint"),
+            )
+        )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_bytes",
+        ratio("n_chars", "n_tokens").alias("chars_per_token_micro"),
+        ratio("n_bytes", "n_tokens").alias("bytes_per_token_micro"),
+        ratio("n_tokens", "n_docs").alias("tokens_per_doc_micro"),
+    )

@@ -52,6 +52,11 @@ class QuerySpec:
     description: str = ""
 
 
+from aws_cdk_pipelines_datalake_etl_spark.operators.doremi import (
+    doremi_sql_ctes,
+)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -6850,17 +6855,18 @@ _DRIVER_WINDOW = [
     "dedup_quality_canonical",
     "sample_epoch_plan",
     "sample_mixture_plan",
-    # (5) re-confirmation, oldest-verified-first: the 6 remaining
-    # slots take the alphabetically-first entries last green in
-    # round 7.  ROUND-12 WINDOW OWES: the other 37 round-7 entries
-    # (incremental_rollup .. web_url_normalize).  New round-11
-    # entries REPLACE these fills (pre-sweep) as they land.
-    "corpus_training_set",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
+    # (5) the six NEW round-11 entries (each pre-sweep, each with a
+    # targeted oracle_check run logged in its commit): exact block
+    # dedup, trigram stupid backoff, DoReMi weights, repeat-value
+    # accounting, UL2 denoiser mixture, fertility report.
+    # ROUND-12 WINDOW OWES: all 43 round-7 entries
+    # (corpus_training_set .. web_url_normalize).
+    "dedup_block_units",
+    "lm_trigram_backoff",
+    "sample_doremi_weights",
+    "corpus_repeat_value",
+    "text_ul2_mixture",
+    "corpus_fertility_report",
 ]
 
 
@@ -9355,6 +9361,362 @@ r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes)
 WEB_PAGERANK_ORACLE = _pagerank_oracle(_PAGERANK_ITERATIONS)
 
 
+def dedup_block_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact unit dedup with first-occurrence-wins
+    reassembly (operators/dedup.py: block_unit_dedup — the CCNet /
+    RefinedWeb "line dedup" step, Wenzek et al. 2020 / Penedo et al.
+    2023) over 5-word blocks of the documents table (the unit seam:
+    real corpora pass newline-split lines).  Keep decision = globally
+    smallest (doc_id, block index) per distinct block string — a
+    total order the DuckDB oracle replays with one argmin per unit
+    and an ordered string_agg per doc."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dedup import (
+        block_unit_dedup,
+    )
+
+    return block_unit_dedup(
+        _t(spark, sf_dir, "documents"), block_words=5
+    ).orderBy("doc_id")
+
+
+DEDUP_BLOCK_UNITS_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+),
+tot AS (
+  SELECT doc_id, CAST((len(ws) + 4) // 5 AS INT) AS n_units FROM w
+),
+u AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(ws[i * 5 + 1 : i * 5 + 5], ' ') AS unit
+  FROM (SELECT doc_id, ws,
+               unnest(range(0, CAST((len(ws) + 4) // 5 AS INT))) AS i
+        FROM w)
+),
+f AS (
+  SELECT unit,
+         first(doc_id ORDER BY doc_id, idx) AS d,
+         first(idx ORDER BY doc_id, idx) AS k
+  FROM u GROUP BY unit
+),
+r AS (
+  SELECT d AS doc_id, CAST(count(*) AS INT) AS n_kept,
+         string_agg(unit, ' ' ORDER BY k) AS text_clean
+  FROM f GROUP BY d
+)
+SELECT t.doc_id, t.n_units,
+       CAST(COALESCE(r.n_kept, 0) AS INT) AS n_kept,
+       COALESCE(r.text_clean, '') AS text_clean
+FROM tot t LEFT JOIN r USING (doc_id)
+"""
+
+
+def lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid backoff (operators/lm.py: trigram_logprob —
+    Brants et al. 2007, the web-scale distributed n-gram recipe):
+    same 90/10 split as the bigram twin, three backoff levels
+    (trigram -> 0.4 * bigram -> 0.4^2 * add-one unigram), per-level
+    fall counters.  The DuckDB oracle retrains all four count tables
+    in SQL and replicates the score expression op-for-op, so the
+    per-trigram micro-nat quantization hash-verifies."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.lm import (
+        trigram_logprob,
+    )
+
+    train, held = _lm_splits(spark, sf_dir)
+    return trigram_logprob(train, held)
+
+
+LM_TRIGRAM_BACKOFF_ORACLE = """
+WITH train AS (SELECT * FROM documents WHERE doc_id % 10 != 0),
+held AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+tr_toks AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM train),
+unigrams AS (SELECT w, count(*) AS c1 FROM tr_toks GROUP BY w),
+totals AS (SELECT sum(c1) AS t_tokens, count(*) AS v_vocab FROM unigrams),
+tr_ls AS (SELECT string_split(lower(text), ' ') AS ls FROM train),
+tr_bg AS (
+  SELECT ls[i] AS w1, ls[i + 1] AS w2
+  FROM tr_ls, LATERAL (SELECT unnest(range(1, len(ls))) AS i)
+),
+bigrams AS (SELECT w1, w2, count(*) AS c2 FROM tr_bg GROUP BY w1, w2),
+tr_tg AS (
+  SELECT ls[i] AS w1, ls[i + 1] AS w2, ls[i + 2] AS w3
+  FROM tr_ls, LATERAL (SELECT unnest(range(1, len(ls) - 1)) AS i)
+),
+trigrams AS (
+  SELECT w1, w2, w3, count(*) AS c3 FROM tr_tg GROUP BY w1, w2, w3
+),
+sc_ls AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS ls FROM held),
+stream AS (
+  SELECT id, ls[i] AS w1, ls[i + 1] AS w2, ls[i + 2] AS w3
+  FROM sc_ls, LATERAL (SELECT unnest(range(1, len(ls) - 1)) AS i)
+),
+joined AS (
+  SELECT s.id,
+         CASE WHEN tg.c3 IS NOT NULL AND b12.c2 IS NOT NULL
+              THEN tg.c3 / b12.c2
+              WHEN b23.c2 IS NOT NULL AND u2.c1 IS NOT NULL
+              THEN 0.4 * b23.c2 / u2.c1
+              ELSE 0.4 * 0.4 * (COALESCE(u3.c1, 0) + 1)
+                   / (t_tokens + v_vocab)
+         END AS p,
+         CASE WHEN NOT (tg.c3 IS NOT NULL AND b12.c2 IS NOT NULL)
+                   AND (b23.c2 IS NOT NULL AND u2.c1 IS NOT NULL)
+              THEN 1 ELSE 0 END AS bo_bi,
+         CASE WHEN NOT (tg.c3 IS NOT NULL AND b12.c2 IS NOT NULL)
+                   AND NOT (b23.c2 IS NOT NULL AND u2.c1 IS NOT NULL)
+              THEN 1 ELSE 0 END AS bo_uni
+  FROM stream s
+  LEFT JOIN trigrams tg ON s.w1 = tg.w1 AND s.w2 = tg.w2 AND s.w3 = tg.w3
+  LEFT JOIN bigrams b12 ON s.w1 = b12.w1 AND s.w2 = b12.w2
+  LEFT JOIN bigrams b23 ON s.w2 = b23.w1 AND s.w3 = b23.w2
+  LEFT JOIN unigrams u2 ON s.w2 = u2.w
+  LEFT JOIN unigrams u3 ON s.w3 = u3.w
+  , totals
+),
+agged AS (
+  SELECT id AS doc_id,
+         sum(CAST(floor(ln(p) * 1000000 + 0.5) AS BIGINT))
+           / (count(*) * 1000000.0) AS avg_logprob,
+         count(*) AS n_trigrams,
+         CAST(sum(bo_bi) AS BIGINT) AS n_bo_bigram,
+         CAST(sum(bo_uni) AS BIGINT) AS n_bo_unigram
+  FROM joined GROUP BY id
+)
+SELECT h.doc_id, a.avg_logprob,
+       CAST(COALESCE(a.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       CAST(COALESCE(a.n_bo_bigram, 0) AS BIGINT) AS n_bo_bigram,
+       CAST(COALESCE(a.n_bo_unigram, 0) AS BIGINT) AS n_bo_unigram
+FROM held h LEFT JOIN agged a ON h.doc_id = a.doc_id
+"""
+
+
+def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi domain reweighting (operators/doremi.py — Xie et al.
+    2023): per-source unigram-LM excess loss computed distributed
+    (one token explode, integer micro-nat sums), then 5 Group-DRO
+    multiplicative-weights steps over the bounded per-source table
+    (eta 0.1, uniform smoothing 0.1).  Every cross-row reduction is
+    an integer sum/min and every float op is re-quantized to micro
+    after each step; the DuckDB oracle retrains the losses in SQL and
+    replays all 5 steps through doremi_sql_ctes — one generator for
+    both engines, so the update expressions can never drift."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.doremi import (
+        doremi_weights,
+        source_excess_loss,
+    )
+
+    excess = source_excess_loss(_t(spark, sf_dir, "documents"))
+    return doremi_weights(excess, spark=spark).orderBy("source")
+
+
+SAMPLE_DOREMI_WEIGHTS_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+freq AS (SELECT term, count(*) AS n_term FROM toks GROUP BY term),
+tot AS (SELECT count(*) AS n_total FROM toks),
+persrc AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST((-sum(CAST(floor(ln(n_term * 1.0 / n_total) * 1000000 + 0.5)
+                          AS BIGINT))) // count(*) AS BIGINT) AS loss_micro
+  FROM toks JOIN freq USING (term), tot
+  GROUP BY source
+),
+lo AS (SELECT min(loss_micro) AS l FROM persrc),
+excess0 AS (
+  SELECT source, n_tokens, loss_micro,
+         CAST(loss_micro - lo.l AS BIGINT) AS excess_micro
+  FROM persrc, lo
+),
+{doremi_sql_ctes(eta_micro=100_000, smooth_micro=100_000, steps=5)}
+SELECT source, n_tokens, loss_micro, excess_micro,
+       CAST(alpha AS BIGINT) AS alpha_micro
+FROM t5
+"""
+
+
+def corpus_repeat_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-adjusted epoch accounting (operators/sampling.py:
+    repeat_value — Muennighoff et al. 2023 data-constrained scaling,
+    R* = 15.39): the epoch plan's per-source repeats converted to
+    effective fresh-token equivalents via the paper's exponential
+    decay, plus the per-budget value ratio.  One exp per source row,
+    floor-quantized once, replicated op-for-op by the oracle; the
+    ratio uses the decimal-div device."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        epoch_plan,
+        repeat_value,
+    )
+
+    plan = epoch_plan(_t(spark, sf_dir, "documents"), budget_tokens=60_000)
+    return repeat_value(plan).orderBy("source")
+
+
+CORPUS_REPEAT_VALUE_ORACLE = f"""
+WITH {_EPOCH_PLAN_CTES},
+eff AS (
+  SELECT *,
+         n_tokens + cast(floor(cast(n_tokens as double)
+           * (15390000 / 1000000.0)
+           * (1.0 - exp(-((greatest(0, n_epochs_micro - 1000000)
+                           / 1000000.0) / (15390000 / 1000000.0))))
+           + 0.5) as bigint) AS effective_tokens
+  FROM plan2
+)
+SELECT source, n_docs, n_tokens, share_micro, budget_i, n_full_epochs,
+       remainder_tokens, n_epochs_micro, effective_tokens,
+       CASE WHEN budget_i > 0
+            THEN CAST(effective_tokens * 1000000 // budget_i AS BIGINT)
+       END AS value_ratio_micro
+FROM eff
+"""
+
+
+def text_ul2_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UL2 mixture of denoisers (operators/augment.py: ul2_mixture —
+    Tay et al. 2022): every doc hash-routed to R (T5 spans, 20/3), X
+    (extreme spans, 16/8) or S (PrefixLM split), paradigm tag token
+    900/901/902 prepended to the encoder input.  All three branches
+    are row-local array algebra over portable-hash token ids; the
+    DuckDB oracle replays routes, span walks, sentinels and the
+    prefix cut exactly."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        hash48,
+        tokens,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.augment import (
+        ul2_mixture,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select(
+        "doc_id",
+        F.transform(
+            tokens("text"), lambda w: (hash48(w) % 1000).cast("int")
+        ).alias("token_ids"),
+    )
+    out = ul2_mixture(ids)
+    return out.select(
+        "doc_id",
+        "denoiser",
+        "n_tokens",
+        F.array_join(F.col("inputs").cast("array<string>"), " ").alias(
+            "inputs_joined"
+        ),
+        F.array_join(F.col("targets").cast("array<string>"), " ").alias(
+            "targets_joined"
+        ),
+    ).orderBy("doc_id")
+
+
+def _ul2_span_branch_sql(pick: int, label: str, w: int, sl: int, tag: int) -> str:
+    """One UL2 span-corruption branch as SQL text — the
+    TEXT_SPAN_CORRUPTION_ORACLE walk parameterized by (window,
+    span_len) with the paradigm tag prepended."""
+    return f"""
+  SELECT doc_id, '{label}' AS denoiser, CAST(n AS INT) AS n_tokens,
+         array_to_string([{tag}] || list_filter(
+           list_transform(
+             CASE WHEN n >= 1 THEN range(0, CAST(n AS INT))
+                  ELSE CAST([] AS INT[]) END,
+             pos -> CASE
+               WHEN CAST(floor(pos / {w}) AS INT) >= n_win
+                    OR pos < starts[CAST(floor(pos / {w}) AS INT) + 1]
+                    OR pos >= starts[CAST(floor(pos / {w}) AS INT) + 1] + {sl}
+                 THEN ids[pos + 1]
+               WHEN pos = starts[CAST(floor(pos / {w}) AS INT) + 1]
+                 THEN 1000 + CAST(floor(pos / {w}) AS INT)
+               ELSE NULL END
+           ),
+           x -> x IS NOT NULL), ' ') AS inputs_joined,
+         coalesce(array_to_string(
+           flatten(list_transform(
+             CASE WHEN n_win >= 1 THEN range(0, n_win)
+                  ELSE CAST([] AS INT[]) END,
+             k -> [1000 + k] || ids[starts[k + 1] + 1 : starts[k + 1] + {sl}]
+           )), ' '), '') AS targets_joined
+  FROM (
+    SELECT doc_id, ids, n, n_win,
+           list_transform(
+             CASE WHEN n_win >= 1
+                  THEN range(0, n_win) ELSE CAST([] AS INT[]) END,
+             k -> k * {w} + CAST(
+                    ('0x' || substr(md5(doc_id::VARCHAR || ':w'
+                                        || k::VARCHAR), 1, 12))::BIGINT
+                    % {w - sl + 1} AS INT)
+           ) AS starts
+    FROM (
+      SELECT doc_id, ids, len(ids) AS n,
+             CAST(floor(len(ids) / {w}) AS INT) AS n_win
+      FROM routed WHERE pick = {pick}
+    )
+  )"""
+
+
+TEXT_UL2_MIXTURE_ORACLE = f"""
+WITH d AS ({_FIM_IDS_SQL}),
+routed AS (
+  SELECT doc_id, ids,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':ul2'), 1, 12))::BIGINT
+           % 3 AS pick
+  FROM d
+)
+SELECT * FROM ({_ul2_span_branch_sql(0, "R", 20, 3, 900)})
+UNION ALL
+SELECT * FROM ({_ul2_span_branch_sql(1, "X", 16, 8, 901)})
+UNION ALL
+SELECT doc_id, 'S' AS denoiser, CAST(n AS INT) AS n_tokens,
+       array_to_string([902] || ids[1 : cut], ' ') AS inputs_joined,
+       coalesce(array_to_string(ids[cut + 1 : n], ' '), '')
+         AS targets_joined
+FROM (
+  SELECT doc_id, ids, len(ids) AS n,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR || ':s-cut'), 1,
+                              12))::BIGINT % (len(ids) + 1) AS INT) AS cut
+  FROM routed WHERE pick = 2
+)
+"""
+
+
+def corpus_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fertility/density table (operators/text.py:
+    fertility_report): docs, tokens, chars, UTF-8 bytes and the
+    micro-ratios between them — the tokenizer-budget sanity table.
+    One codegen'd scan + one source-cardinality agg."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.text import (
+        fertility_report,
+    )
+
+    return fertility_report(_t(spark, sf_dir, "documents")).orderBy("source")
+
+
+CORPUS_FERTILITY_REPORT_ORACLE = """
+WITH a AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+           AS n_tokens,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens, n_chars, n_bytes,
+       CASE WHEN n_tokens > 0
+            THEN CAST(n_chars * 1000000 // n_tokens AS BIGINT) END
+         AS chars_per_token_micro,
+       CASE WHEN n_tokens > 0
+            THEN CAST(n_bytes * 1000000 // n_tokens AS BIGINT) END
+         AS bytes_per_token_micro,
+       CASE WHEN n_docs > 0
+            THEN CAST(n_tokens * 1000000 // n_docs AS BIGINT) END
+         AS tokens_per_doc_micro
+FROM a
+"""
+
+
 def build_registry() -> dict[str, QuerySpec]:
     reg = {
         "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_ORACLE),
@@ -9795,6 +10157,24 @@ def build_registry() -> dict[str, QuerySpec]:
             corpus_dsir_incremental, CORPUS_DSIR_WEIGHTS_ORACLE
         ),
         "text_gopher_rules": QuerySpec(text_gopher_rules, TEXT_GOPHER_ORACLE),
+        "dedup_block_units": QuerySpec(
+            dedup_block_units, DEDUP_BLOCK_UNITS_ORACLE
+        ),
+        "lm_trigram_backoff": QuerySpec(
+            lm_trigram_backoff, LM_TRIGRAM_BACKOFF_ORACLE
+        ),
+        "sample_doremi_weights": QuerySpec(
+            sample_doremi_weights, SAMPLE_DOREMI_WEIGHTS_ORACLE
+        ),
+        "corpus_repeat_value": QuerySpec(
+            corpus_repeat_value, CORPUS_REPEAT_VALUE_ORACLE
+        ),
+        "text_ul2_mixture": QuerySpec(
+            text_ul2_mixture, TEXT_UL2_MIXTURE_ORACLE
+        ),
+        "corpus_fertility_report": QuerySpec(
+            corpus_fertility_report, CORPUS_FERTILITY_REPORT_ORACLE
+        ),
         "web_pagerank": QuerySpec(web_pagerank, WEB_PAGERANK_ORACLE),
     }
     missing = [n for n in _DRIVER_WINDOW if n not in reg]

@@ -151,3 +151,63 @@ def test_fim_null_token_ids_passthrough(spark):
     assert got[3].fim_applied is False  # empty passes through too
     assert got[3].n_tokens == 0
     assert got[1].fim_applied is True and got[1].n_tokens == 6
+
+
+def test_ul2_mixture_routes_and_transforms(spark):
+    """ul2_mixture (round 11): every doc lands in exactly one
+    denoiser branch; R/X rows equal span_corruption at the branch's
+    params plus the paradigm tag; S rows are the hash-cut prefix-LM
+    split; layout-deterministic."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import hash48
+    from aws_cdk_pipelines_datalake_etl_spark.operators.augment import (
+        span_corruption,
+        ul2_mixture,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, list(range(100 + i))) for i in range(30)],
+        "doc_id long, token_ids array<int>",
+    )
+    out = ul2_mixture(docs).collect()
+    assert len(out) == 30
+    by_id = {r.doc_id: r for r in out}
+    picks = {
+        r.doc_id: r.pick
+        for r in docs.select(
+            "doc_id",
+            F.pmod(
+                hash48(F.concat(F.col("doc_id").cast("string"), F.lit(":ul2"))),
+                F.lit(3),
+            ).alias("pick"),
+        ).collect()
+    }
+    assert {0, 1, 2} == set(picks.values()), "fixture must hit all 3 routes"
+    for i, r in by_id.items():
+        assert r.denoiser == {0: "R", 1: "X", 2: "S"}[picks[i]]
+        assert r.inputs[0] == {"R": 900, "X": 901, "S": 902}[r.denoiser]
+    # R branch == span_corruption(20, 3) + tag
+    r_ids = [i for i, p in picks.items() if p == 0]
+    sc = {
+        r.doc_id: r
+        for r in span_corruption(
+            docs.filter(F.col("doc_id").isin(r_ids)), window=20, span_len=3
+        ).collect()
+    }
+    for i in r_ids:
+        assert by_id[i].inputs == [900] + sc[i].inputs
+        assert by_id[i].targets == sc[i].targets
+    # X branch corrupts half of every full window (span 8 of 16)
+    x_ids = [i for i, p in picks.items() if p == 1]
+    for i in x_ids:
+        n = 100 + i
+        n_win = n // 16
+        assert len(by_id[i].inputs) == 1 + n - n_win * 8 + n_win
+    # S branch: prefix + suffix partition the doc at the hash cut
+    s_ids = [i for i, p in picks.items() if p == 2]
+    for i in s_ids:
+        r = by_id[i]
+        assert r.inputs[1:] + r.targets == list(range(100 + i))
+    again = ul2_mixture(docs.repartition(5)).collect()
+    assert {(r.doc_id, tuple(r.inputs), tuple(r.targets)) for r in again} == {
+        (r.doc_id, tuple(r.inputs), tuple(r.targets)) for r in out
+    }

@@ -576,3 +576,41 @@ def test_source_overlap_sketch_equals_exact(spark):
         for r in dd.source_overlap_matrix_sketch(df, k=3).collect()
     }
     assert exact and sk == exact
+
+
+def test_block_unit_dedup_first_wins(spark):
+    """block_unit_dedup (round 11): exact unit dedup keeps the
+    globally-first (doc, idx) copy of each block, reassembles
+    surviving blocks in original order, keeps full doc coverage."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dedup import (
+        block_unit_dedup,
+    )
+
+    rows = [
+        (1, "a b c d e f"),          # blocks (B=3): 'a b c', 'd e f'
+        (2, "a b c x y z"),          # 'a b c' dups doc1 idx0
+        (3, "d e f a b c"),          # both blocks dup doc1
+        (4, "q r"),                  # single short block, unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in block_unit_dedup(df, block_words=3).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert (got[1].n_units, got[1].n_kept) == (2, 2)
+    assert got[1].text_clean == "a b c d e f"
+    assert (got[2].n_units, got[2].n_kept) == (2, 1)
+    assert got[2].text_clean == "x y z"
+    assert (got[3].n_units, got[3].n_kept) == (2, 0)
+    assert got[3].text_clean == ""
+    assert (got[4].n_units, got[4].n_kept) == (1, 1)
+    assert got[4].text_clean == "q r"
+    # layout determinism: same outcome after a repartition
+    again = {
+        r.doc_id: r.text_clean
+        for r in block_unit_dedup(df.repartition(7), block_words=3).collect()
+    }
+    assert again == {k: v.text_clean for k, v in got.items()}
+    with pytest.raises(ValueError):
+        block_unit_dedup(df, block_words=0)

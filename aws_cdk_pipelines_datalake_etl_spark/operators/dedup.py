@@ -997,20 +997,7 @@ def block_unit_dedup(
         words.alias("_ws"),
         n_units.alias("n_units"),
     )
-    units = staged.select(
-        "_id",
-        F.posexplode(
-            F.when(
-                F.col("n_units") >= 1,
-                F.transform(
-                    F.sequence(F.lit(0), F.col("n_units") - 1),
-                    lambda k: F.array_join(
-                        F.slice(F.col("_ws"), k * b + 1, b), " "
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("idx", "unit"),
-    )
+    units = _exploded_units(staged, b)
     kept = units.groupBy("unit").agg(
         F.min(F.struct(F.col("_id").alias("d"), F.col("idx").alias("k")))
         .alias("_first")
@@ -1039,4 +1026,115 @@ def block_unit_dedup(
         "n_units",
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
         F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )
+
+
+def incremental_block_unit_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_words: int = 10,
+    corpus_units: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-run form of :func:`block_unit_dedup` — the ingest-batch
+    pass a production pipeline actually runs (the whole-corpus
+    operator recomputes everything): a batch block already published
+    by the corpus is dropped (corpus precedence — published text is
+    never retroactively changed), surviving blocks dedup
+    first-occurrence-wins WITHIN the batch, docs reassemble exactly
+    as the full operator does.
+
+    ``corpus_units`` optionally supplies a precomputed DISTINCT unit
+    index (one ``unit`` string column — the artifact a deployment
+    writes bucketed-by-unit at ingest, the ``minhash_band_index``
+    precedent) so the corpus text is not re-shingled per run; when
+    absent it derives from ``corpus``.
+
+    Output: one row per BATCH doc, same schema as
+    :func:`block_unit_dedup`.  Composition invariant (pytest): when
+    every corpus id orders before every batch id, incremental ==
+    the full recompute over corpus+batch restricted to batch docs.
+
+    Scale: cost is O(|batch units| + |corpus unit index|) per run —
+    the anti-join shuffles unit strings once; everything downstream
+    is batch-proportional."""
+    if block_words < 1:
+        raise ValueError("block_words must be >= 1")
+    b = block_words
+    if corpus_units is None:
+        corpus_units = _block_units(corpus, id_col, text_col, b).select(
+            "unit"
+        ).distinct()
+    else:
+        corpus_units = corpus_units.select("unit").distinct()
+    staged = batch.select(
+        F.col(id_col).alias("_id"),
+        tokens(text_col).alias("_ws"),
+        F.floor((F.size(tokens(text_col)) + (b - 1)) / F.lit(b))
+        .cast("int")
+        .alias("n_units"),
+    )
+    units = _exploded_units(staged, b)
+    fresh = units.join(corpus_units, "unit", "left_anti")
+    kept = fresh.groupBy("unit").agg(
+        F.min(F.struct(F.col("_id").alias("d"), F.col("idx").alias("k")))
+        .alias("_first")
+    )
+    reassembled = (
+        kept.select(
+            F.col("_first.d").alias("_id"),
+            F.struct(F.col("_first.k").alias("k"), F.col("unit").alias("u"))
+            .alias("_ku"),
+        )
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("_ku")), lambda s: s["u"]
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )
+    return staged.select("_id", "n_units").join(
+        reassembled, "_id", "left"
+    ).select(
+        F.col("_id").alias(id_col),
+        "n_units",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )
+
+
+def _block_units(
+    df: DataFrame, id_col: str, text_col: str, b: int
+) -> DataFrame:
+    """(id, idx, unit) block rows of a corpus — the shared fan-out of
+    the whole-corpus and incremental unit-dedup forms."""
+    staged = df.select(
+        F.col(id_col).alias("_id"),
+        tokens(text_col).alias("_ws"),
+        F.floor((F.size(tokens(text_col)) + (b - 1)) / F.lit(b))
+        .cast("int")
+        .alias("n_units"),
+    )
+    return _exploded_units(staged, b)
+
+
+def _exploded_units(staged: DataFrame, b: int) -> DataFrame:
+    return staged.select(
+        "_id",
+        F.posexplode(
+            F.when(
+                F.col("n_units") >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_units") - 1),
+                    lambda k: F.array_join(
+                        F.slice(F.col("_ws"), k * b + 1, b), " "
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("idx", "unit"),
     )

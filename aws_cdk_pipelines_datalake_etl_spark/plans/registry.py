@@ -6848,15 +6848,19 @@ _DRIVER_WINDOW = [
     # never driver-verified until now):
     "corpus_curriculum_order",
     "corpus_source_overlap_sketch",
-    # (4) entries semantically touched by the round-11 ADVICE fixes
-    # (overflow-safe decimal squares/shares, left-join sentinel) —
-    # all four re-checked by a targeted oracle_check run this round;
-    # sample_mixture_plan (r10 driver-green, value-identical fix,
-    # logged targeted check) yields its slot to the v4 capstone:
-    "corpus_quality_znorm",
-    "dedup_quality_canonical",
-    "sample_epoch_plan",
+    # (4) the window is oversubscribed this round (10 new entries +
+    # 4 ADVICE-touched + 40 fixed slots > 50): the four ADVICE-touched
+    # entries (corpus_quality_znorm, dedup_quality_canonical,
+    # sample_epoch_plan, sample_mixture_plan) were ALL driver-green in
+    # round 10, their fixes are value-identical at every tested scale
+    # (overflow guards / join-coverage sentinel), and each carries a
+    # logged targeted oracle_check from this round — they yield their
+    # slots to the never-driver-verified round-11 entries and rotate
+    # back next round:
     "corpus_training_set_v4",
+    "lm_trigram_buckets",
+    "corpus_decontaminated",
+    "dedup_block_units_incremental",
     # (5) the six NEW round-11 entries (each pre-sweep, each with a
     # targeted oracle_check run logged in its commit): exact block
     # dedup, trigram stupid backoff, DoReMi weights, repeat-value
@@ -9432,7 +9436,7 @@ def lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trigram_logprob(train, held)
 
 
-LM_TRIGRAM_BACKOFF_ORACLE = """
+_LM_TRIGRAM_SCORED_SQL = """
 WITH train AS (SELECT * FROM documents WHERE doc_id % 10 != 0),
 held AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
 tr_toks AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM train),
@@ -9487,12 +9491,14 @@ agged AS (
          CAST(sum(bo_bi) AS BIGINT) AS n_bo_bigram,
          CAST(sum(bo_uni) AS BIGINT) AS n_bo_unigram
   FROM joined GROUP BY id
+),
+scored AS (
+  SELECT h.doc_id, a.avg_logprob,
+         CAST(COALESCE(a.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+         CAST(COALESCE(a.n_bo_bigram, 0) AS BIGINT) AS n_bo_bigram,
+         CAST(COALESCE(a.n_bo_unigram, 0) AS BIGINT) AS n_bo_unigram
+  FROM held h LEFT JOIN agged a ON h.doc_id = a.doc_id
 )
-SELECT h.doc_id, a.avg_logprob,
-       CAST(COALESCE(a.n_trigrams, 0) AS BIGINT) AS n_trigrams,
-       CAST(COALESCE(a.n_bo_bigram, 0) AS BIGINT) AS n_bo_bigram,
-       CAST(COALESCE(a.n_bo_unigram, 0) AS BIGINT) AS n_bo_unigram
-FROM held h LEFT JOIN agged a ON h.doc_id = a.doc_id
 """
 
 
@@ -9894,6 +9900,121 @@ unioned AS (
 SELECT un.doc_id, sm.source, un.denoiser, un.n_tokens,
        un.inputs_joined, un.targets_joined
 FROM unioned un JOIN sampled sm USING (doc_id)
+"""
+
+
+LM_TRIGRAM_BACKOFF_ORACLE = _LM_TRIGRAM_SCORED_SQL + """
+SELECT doc_id, avg_logprob, n_trigrams, n_bo_bigram, n_bo_unigram
+FROM scored
+"""
+
+
+def lm_trigram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity terciles under the TRIGRAM stupid-
+    backoff model (operators/lm.py: perplexity_buckets over
+    trigram_logprob) — the bigram bucket slot's depth twin: longer
+    context sharpens the head/tail separation the curation sampler
+    keys on.  Ties break on doc id; the oracle restates the identical
+    total order as one ntile."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.lm import (
+        perplexity_buckets,
+        trigram_logprob,
+    )
+
+    train, held = _lm_splits(spark, sf_dir)
+    return perplexity_buckets(trigram_logprob(train, held))
+
+
+LM_TRIGRAM_BUCKETS_ORACLE = _LM_TRIGRAM_SCORED_SQL + """
+SELECT doc_id, avg_logprob,
+       ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id ASC) AS ppl_bucket
+FROM scored
+"""
+
+
+def corpus_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION — the removal step the
+    text_contamination scan feeds (the standard pre-training hygiene
+    pass: GPT-3 appendix C / Llama recipes drop training docs sharing
+    n-grams with eval sets): corpus docs sharing >=2 distinct word
+    trigrams with any eval doc (doc_id % 97 == 0, broadcast) are
+    dropped; the survivors ARE the training corpus.  One corpus scan
+    + broadcast probe + doc-keyed anti-join — batch-proportional,
+    no corpus self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    bad = (
+        tx.contamination(docs, eval_docs, k=3, min_shared=2)
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.join(bad, "doc_id", "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_DECONTAMINATED_ORACLE = """
+WITH toks AS (
+  SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM (SELECT id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks)
+), bad AS (
+  SELECT c.id
+  FROM sh c JOIN sh e ON c.s = e.s AND c.id <> e.id
+  WHERE e.id % 97 = 0
+  GROUP BY c.id, e.id
+  HAVING count(*) >= 2
+)
+SELECT doc_id, source FROM documents
+WHERE doc_id NOT IN (SELECT id FROM bad)
+"""
+
+
+def dedup_block_units_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run block-unit dedup (operators/dedup.py:
+    incremental_block_unit_dedup): the doc_id %% 5 == 0 batch deduped
+    against the published corpus (corpus precedence — a block the
+    corpus already carries is dropped from the batch outright), then
+    first-occurrence-wins within the batch, reassembled.  The oracle
+    replays precedence with one anti-join before the argmin."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dedup import (
+        incremental_block_unit_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_block_unit_dedup(
+        batch, corpus, block_words=5
+    ).orderBy("doc_id")
+
+
+DEDUP_BLOCK_UNITS_INCREMENTAL_ORACLE = f"""
+WITH {_BLOCK_UNITS_CTES},
+cu AS (SELECT DISTINCT unit FROM u WHERE doc_id % 5 <> 0),
+fresh AS (
+  SELECT bu.* FROM u bu ANTI JOIN cu USING (unit)
+  WHERE bu.doc_id % 5 = 0
+),
+f2 AS (
+  SELECT unit,
+         first(doc_id ORDER BY doc_id, idx) AS d,
+         first(idx ORDER BY doc_id, idx) AS k
+  FROM fresh GROUP BY unit
+),
+r2 AS (
+  SELECT d AS doc_id, CAST(count(*) AS INT) AS n_kept,
+         string_agg(unit, ' ' ORDER BY k) AS text_clean
+  FROM f2 GROUP BY d
+)
+SELECT t.doc_id, t.n_units,
+       CAST(COALESCE(r2.n_kept, 0) AS INT) AS n_kept,
+       COALESCE(r2.text_clean, '') AS text_clean
+FROM tot t LEFT JOIN r2 USING (doc_id)
+WHERE t.doc_id % 5 = 0
 """
 
 
@@ -10357,6 +10478,16 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "corpus_training_set_v4": QuerySpec(
             corpus_training_set_v4, CORPUS_TRAINING_SET_V4_ORACLE
+        ),
+        "lm_trigram_buckets": QuerySpec(
+            lm_trigram_buckets, LM_TRIGRAM_BUCKETS_ORACLE
+        ),
+        "corpus_decontaminated": QuerySpec(
+            corpus_decontaminated, CORPUS_DECONTAMINATED_ORACLE
+        ),
+        "dedup_block_units_incremental": QuerySpec(
+            dedup_block_units_incremental,
+            DEDUP_BLOCK_UNITS_INCREMENTAL_ORACLE,
         ),
         "web_pagerank": QuerySpec(web_pagerank, WEB_PAGERANK_ORACLE),
     }

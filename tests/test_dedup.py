@@ -614,3 +614,59 @@ def test_block_unit_dedup_first_wins(spark):
     assert again == {k: v.text_clean for k, v in got.items()}
     with pytest.raises(ValueError):
         block_unit_dedup(df, block_words=0)
+
+
+def test_incremental_block_units_composes_to_full(spark):
+    """incremental_block_unit_dedup == the full recompute over
+    corpus+batch restricted to batch docs when corpus ids order
+    first; the precomputed unit-index path is identical; corpus
+    blocks are dropped outright (corpus precedence)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dedup import (
+        block_unit_dedup,
+        incremental_block_unit_dedup,
+    )
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "g h i j k l"),
+        (101, "a b c x y z"),      # first block published by doc 1
+        (102, "x y z x y z"),      # self-dup within batch
+        (103, "g h i"),            # fully covered by corpus doc 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = df.filter(F.col("doc_id") < 100)
+    batch = df.filter(F.col("doc_id") >= 100)
+    inc = {
+        r.doc_id: r
+        for r in incremental_block_unit_dedup(
+            batch, corpus, block_words=3
+        ).collect()
+    }
+    full = {
+        r.doc_id: r
+        for r in block_unit_dedup(df, block_words=3).collect()
+        if r.doc_id >= 100
+    }
+    assert set(inc) == {101, 102, 103}
+    for i in inc:
+        assert (inc[i].n_units, inc[i].n_kept, inc[i].text_clean) == (
+            full[i].n_units,
+            full[i].n_kept,
+            full[i].text_clean,
+        ), i
+    assert inc[101].text_clean == "x y z"
+    assert inc[102].text_clean == ""    # both blocks lost (101 wins)
+    assert inc[103].text_clean == "" and inc[103].n_units == 1
+    # precomputed unit index path
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dedup import (
+        _block_units,
+    )
+
+    idx = _block_units(corpus, "doc_id", "text", 3).select("unit").distinct()
+    via_idx = {
+        r.doc_id: r.text_clean
+        for r in incremental_block_unit_dedup(
+            batch, corpus, block_words=3, corpus_units=idx
+        ).collect()
+    }
+    assert via_idx == {k: v.text_clean for k, v in inc.items()}

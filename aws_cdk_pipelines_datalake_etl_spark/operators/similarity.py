@@ -958,3 +958,38 @@ def contrastive_triplets(
         F.col("n.c").alias("neg_cosine"),
         (F.col("p.c") - F.col("n.c")).alias("margin"),
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_vectors: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level benchmark decontamination — the semantic twin
+    of the n-gram pass (`text.contamination`): a paraphrased eval
+    item shares no 13-gram with its source, but its embedding stays
+    close, so modern decontamination (e.g. the phi / GPT-4 technical
+    reports) ALSO drops training items whose cosine against any eval
+    item clears a threshold.
+
+    ``eval_vectors`` is small by nature and broadcasts; the corpus
+    side streams through ONE shuffle-free probe (BroadcastNestedLoop
+    against the bounded eval set — the sketch-overlap precedent,
+    never a CartesianProduct), matched ids collapse to a distinct
+    set, and survivors come from one doc-keyed anti-join.  The
+    decision compares the 6-dp-rounded cosine (the brute_force_topk
+    exactness device) against ``threshold``, so membership is
+    engine-exact.  Output: the surviving corpus rows' (id, label)."""
+    v = _with_double_vec(corpus, vec_col, "v").select(
+        F.col(id_col).alias("_cid"), "v"
+    )
+    q = _with_double_vec(eval_vectors, vec_col, "q").select("q")
+    bad = (
+        v.crossJoin(F.broadcast(q))
+        .filter(pround(cosine("q", "v"), 6) >= F.lit(threshold))
+        .select(F.col("_cid").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(bad, id_col, "left_anti").select(id_col, "label")

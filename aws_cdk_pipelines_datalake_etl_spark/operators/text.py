@@ -750,3 +750,89 @@ def fertility_report(
         ratio("n_bytes", "n_tokens").alias("bytes_per_token_micro"),
         ratio("n_tokens", "n_docs").alias("tokens_per_doc_micro"),
     )
+
+
+def version_drift(
+    df: DataFrame,
+    version_col: str,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus-version DRIFT report — the monitoring table a
+    pipeline checks before swapping in a re-crawled / re-filtered
+    corpus version: a source whose token distribution moved is flagged
+    before it silently shifts the training mixture.
+
+    ``version_col`` is an integer 0/1 column labeling the OLD/NEW
+    version of each doc.  Per source, over the unigram distributions
+    of the two versions:
+
+    - ``kl_micro``: KL(new || old) in integer micro-nats, with add-one
+      smoothing on the OLD side (new-only terms stay finite) —
+      per-term log-ratios are micro-quantized and weighted by exact
+      integer counts, summed as bigints, divided once (the repo's
+      quantization discipline: no float accumulation order anywhere);
+    - ``n_new_terms`` / ``n_lost_terms``: vocabulary churn;
+    - ``n_tokens_v0`` / ``n_tokens_v1``.
+
+    Plan: ONE token explode with the version tag carried, one
+    (source, term) aggregate with conditional sums (the pivot — no
+    second corpus pass), per-source totals broadcast back, one
+    per-source agg.  Everything downstream of the explode is
+    vocabulary-proportional."""
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.col(version_col).cast("int").alias("_v"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    counts = toks.groupBy("source", "term").agg(
+        F.sum(F.when(F.col("_v") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("_v") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("c0").alias("t0"),
+        F.sum("c1").alias("t1"),
+        F.count(F.lit(1)).alias("v_union"),
+    )
+    j = counts.join(F.broadcast(totals), "source")
+    # KL(new || old): sum over new terms of p1 * ln(p1/q0), with
+    # q0 = (c0 + 1) / (t0 + v_union).  Per-term micro log-ratio times
+    # the exact integer count c1; one bigint sum; divide by t1 once.
+    lr_micro = F.floor(
+        F.log(
+            (F.col("c1") * F.lit(1.0) / F.col("t1"))
+            / ((F.col("c0") + F.lit(1)) * F.lit(1.0) / (F.col("t0") + F.col("v_union")))
+        )
+        * F.lit(1000000)
+        + F.lit(0.5)
+    ).cast("long")
+    contrib = F.when(F.col("c1") > 0, F.col("c1") * lr_micro).otherwise(
+        F.lit(0)
+    )
+    return (
+        j.withColumn("_contrib", contrib)
+        .groupBy("source")
+        .agg(
+            F.max("t0").cast("bigint").alias("n_tokens_v0"),
+            F.max("t1").cast("bigint").alias("n_tokens_v1"),
+            F.expr(
+                "case when max(t1) > 0 then sum(_contrib) div max(t1) end"
+            )
+            .cast("bigint")
+            .alias("kl_micro"),
+            F.sum(
+                F.when((F.col("c1") > 0) & (F.col("c0") == 0), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_new_terms"),
+            F.sum(
+                F.when((F.col("c0") > 0) & (F.col("c1") == 0), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_lost_terms"),
+        )
+    )

@@ -6866,7 +6866,11 @@ _DRIVER_WINDOW = [
     # dedup, trigram stupid backoff, DoReMi weights, repeat-value
     # accounting, UL2 denoiser mixture, fertility report.
     # ROUND-12 WINDOW OWES: all 43 round-7 entries
-    # (corpus_training_set .. web_url_normalize).
+    # (corpus_training_set .. web_url_normalize), the 4 ADVICE-touched
+    # entries displaced below, AND the round-11 entries that did not
+    # fit this window (corpus_drift_report,
+    # corpus_semantic_decontaminated — both with logged targeted
+    # oracle_check runs, never driver-verified).
     "dedup_block_units",
     "lm_trigram_backoff",
     "sample_doremi_weights",
@@ -10018,6 +10022,94 @@ WHERE t.doc_id % 5 = 0
 """
 
 
+def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version drift monitoring (operators/text.py:
+    version_drift): per source, KL(new || old) between the unigram
+    distributions of the doc_id-parity versions, plus vocabulary
+    churn — the table a pipeline checks before swapping in a
+    re-crawled corpus version.  Integer-count-weighted micro
+    log-ratios, bigint sums, one divide; the oracle replays the
+    identical tree."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.text import (
+        version_drift,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "version", (F.col("doc_id") % 2).cast("int")
+    )
+    return version_drift(docs, "version").orderBy("source")
+
+
+CORPUS_DRIFT_REPORT_ORACLE = """
+WITH toks AS (
+  SELECT source, CAST(doc_id % 2 AS INT) AS v,
+         unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT source, term,
+         CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM toks GROUP BY source, term
+),
+totals AS (
+  SELECT source, sum(c0) AS t0, sum(c1) AS t1, count(*) AS v_union
+  FROM counts GROUP BY source
+),
+contrib AS (
+  SELECT c.source, t.t0, t.t1,
+         CASE WHEN c1 > 0
+              THEN c1 * CAST(floor(ln((c1 * 1.0 / t1)
+                     / ((c0 + 1) * 1.0 / (t0 + v_union)))
+                     * 1000000 + 0.5) AS BIGINT)
+              ELSE 0 END AS con,
+         CASE WHEN c1 > 0 AND c0 = 0 THEN 1 ELSE 0 END AS newt,
+         CASE WHEN c0 > 0 AND c1 = 0 THEN 1 ELSE 0 END AS lost
+  FROM counts c JOIN totals t USING (source)
+)
+SELECT source,
+       CAST(max(t0) AS BIGINT) AS n_tokens_v0,
+       CAST(max(t1) AS BIGINT) AS n_tokens_v1,
+       CAST(CASE WHEN max(t1) > 0 THEN sum(con) // max(t1) END AS BIGINT)
+         AS kl_micro,
+       CAST(sum(newt) AS BIGINT) AS n_new_terms,
+       CAST(sum(lost) AS BIGINT) AS n_lost_terms
+FROM contrib GROUP BY source
+"""
+
+
+def corpus_semantic_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination (operators/similarity.py:
+    semantic_decontaminate) — the semantic twin of
+    corpus_decontaminated: corpus vectors whose 6-dp cosine against
+    any eval vector (vec_id % 97 == 0, broadcast) reaches 0.8 are
+    dropped; survivors are the training set.  One shuffle-free
+    broadcast probe + doc-keyed anti-join."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 97 != 0)
+    ev = e.filter(F.col("vec_id") % 97 == 0)
+    return semantic_decontaminate(corpus, ev, threshold=0.8).orderBy(
+        "vec_id"
+    )
+
+
+CORPUS_SEMANTIC_DECONTAMINATED_ORACLE = """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT e AS qe FROM v WHERE vec_id % 97 = 0),
+c AS (SELECT vec_id, label, e FROM v WHERE vec_id % 97 <> 0),
+bad AS (
+  SELECT DISTINCT vec_id
+  FROM c, q
+  WHERE round(list_cosine_similarity(qe, e), 6) >= 0.8
+)
+SELECT vec_id, label FROM c WHERE vec_id NOT IN (SELECT vec_id FROM bad)
+"""
+
+
 def build_registry() -> dict[str, QuerySpec]:
     reg = {
         "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_ORACLE),
@@ -10488,6 +10580,13 @@ def build_registry() -> dict[str, QuerySpec]:
         "dedup_block_units_incremental": QuerySpec(
             dedup_block_units_incremental,
             DEDUP_BLOCK_UNITS_INCREMENTAL_ORACLE,
+        ),
+        "corpus_drift_report": QuerySpec(
+            corpus_drift_report, CORPUS_DRIFT_REPORT_ORACLE
+        ),
+        "corpus_semantic_decontaminated": QuerySpec(
+            corpus_semantic_decontaminated,
+            CORPUS_SEMANTIC_DECONTAMINATED_ORACLE,
         ),
         "web_pagerank": QuerySpec(web_pagerank, WEB_PAGERANK_ORACLE),
     }

@@ -473,3 +473,31 @@ def test_contrastive_triplets_peerless_anchor_and_string_ids(spark):
     )
     with _pytest.raises(TypeError, match="numeric"):
         contrastive_triplets(sdf, sdf)
+
+
+def test_semantic_decontaminate_drops_near_eval(spark):
+    """semantic_decontaminate (round 11): a corpus vector nearly
+    parallel to an eval vector drops at the threshold; orthogonal
+    ones survive; exact duplicates of eval drop too."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 0.0, 0.0]),   # identical to eval -> drop
+            (2, "a", [0.9, 0.1, 0.0]),   # cosine ~0.994 -> drop
+            (3, "b", [0.0, 1.0, 0.0]),   # orthogonal -> keep
+            (4, "b", [0.5, 0.5, 0.7071]),  # cosine ~0.5 -> keep at 0.9
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(100, "e", [2.0, 0.0, 0.0])],
+        "vec_id long, label string, embedding array<double>",
+    )
+    got = {
+        r.vec_id
+        for r in semantic_decontaminate(corpus, ev, threshold=0.9).collect()
+    }
+    assert got == {3, 4}

@@ -300,3 +300,40 @@ def test_group_zscore_huge_values_no_overflow(spark):
     for i, x in enumerate(xs):
         want = math.floor((float(x) - mean) / math.sqrt(var) * 1e6 + 0.5)
         assert got[i + 1] == want, (i, got[i + 1], want)
+
+
+def test_version_drift_hand_computed(spark):
+    """version_drift (round 11): KL and churn on a tiny two-version
+    frame, checked against the exact quantized formula; identical
+    versions give ~zero drift."""
+    import math
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.text import (
+        version_drift,
+    )
+
+    rows = [
+        (0, "a", 0, "x x y"),
+        (1, "a", 1, "x z z"),     # z new, y lost
+        (2, "b", 0, "w w"),
+        (3, "b", 1, "w w"),       # unchanged distribution
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, version int, text string"
+    )
+    got = {r.source: r for r in version_drift(df, "version").collect()}
+    a = got["a"]
+    assert (a.n_tokens_v0, a.n_tokens_v1) == (3, 3)
+    assert (a.n_new_terms, a.n_lost_terms) == (1, 1)
+    # hand formula: union vocab {x,y,z} V=3, t0=3, t1=3
+    def lr(c1, c0):
+        return math.floor(
+            math.log((c1 * 1.0 / 3) / ((c0 + 1) * 1.0 / (3 + 3))) * 1e6 + 0.5
+        )
+    want = 1 * lr(1, 2) + 2 * lr(2, 0)  # x then z; y has c1=0
+    q = want // 3 if want >= 0 else -((-want) // 3)  # div truncates
+    assert a.kl_micro == q
+    b = got["b"]
+    assert (b.n_new_terms, b.n_lost_terms) == (0, 0)
+    # identical distributions: lr(2,2) quantizes to exactly 0
+    assert b.kl_micro == 0

@@ -192,6 +192,36 @@ SHOWCASE = {
         "one broadcast-size selection list is the only cross-stage "
         "control data"
     ),
+    "dedup_block_units": (
+        "exact unit dedup (round 11): one Generate (block fan-out of the "
+        "staged words column), ONE unit-keyed HashAggregate keeping a "
+        "min-struct winner per distinct unit (map-side partials — the "
+        "duplicate mass crosses the shuffle once and there is NO "
+        "join-back against the exploded stream), one doc-keyed "
+        "reassembly aggregate, one doc-keyed coverage join"
+    ),
+    "text_ul2_mixture": (
+        "UL2 mixture (round 11): three FILTERED branches of the same "
+        "scan (hash-route predicate pushed to each), each a pure "
+        "row-local array projection (the span-corruption machinery — "
+        "no explode, no shuffle, no Python), unioned — total work is "
+        "one pass over the corpus"
+    ),
+    "sample_doremi_weights": (
+        "DoReMi weights (round 11): one token explode feeds the "
+        "vocabulary HashAggregate and the source-keyed micro-nat sums "
+        "(map-side partials); the multiplicative-weights loop runs on "
+        "the collected n_sources-row table (bounded control data), and "
+        "every cross-row reduction inside it is an integer sum/min"
+    ),
+    "corpus_training_set_v4": (
+        "the round-11 capstone: block-dedup output staged ONCE (eager "
+        "localCheckpoint) for its three consumers; DoReMi alphas from "
+        "the bounded per-source table; per-source budget sampling via "
+        "the composite-bucket grouped rank (offsets broadcast, NO "
+        "per-source global window); UL2 branches row-local over the "
+        "staged sample — nothing corpus-sized moves twice"
+    ),
 }
 
 

@@ -10082,16 +10082,21 @@ def corpus_semantic_decontaminated(spark: SparkSession, sf_dir: str) -> DataFram
     """Embedding-level decontamination (operators/similarity.py:
     semantic_decontaminate) — the semantic twin of
     corpus_decontaminated: corpus vectors whose 6-dp cosine against
-    any eval vector (vec_id % 97 == 0, broadcast) reaches 0.8 are
-    dropped; survivors are the training set.  One shuffle-free
-    broadcast probe + doc-keyed anti-join."""
+    any eval vector reaches 0.8 are dropped; survivors are the
+    training set.  The eval set is the FIXED 50-vector probe
+    (vec_id < 50 — the sim_brute_topk device): a real benchmark is
+    constant-size, and a probe side defined as a corpus FRACTION
+    would scale the BNLJ quadratically (the contrastive-triplets
+    lesson — the first form of this entry used vec_id %% 97 and
+    probed 45x at 10x data; this form probes linear).  One
+    shuffle-free broadcast probe + doc-keyed anti-join."""
     from aws_cdk_pipelines_datalake_etl_spark.operators.similarity import (
         semantic_decontaminate,
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    corpus = e.filter(F.col("vec_id") % 97 != 0)
-    ev = e.filter(F.col("vec_id") % 97 == 0)
+    corpus = e.filter(F.col("vec_id") >= 50)
+    ev = e.filter(F.col("vec_id") < 50)
     return semantic_decontaminate(corpus, ev, threshold=0.8).orderBy(
         "vec_id"
     )
@@ -10099,8 +10104,8 @@ def corpus_semantic_decontaminated(spark: SparkSession, sf_dir: str) -> DataFram
 
 CORPUS_SEMANTIC_DECONTAMINATED_ORACLE = """
 WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
-q AS (SELECT e AS qe FROM v WHERE vec_id % 97 = 0),
-c AS (SELECT vec_id, label, e FROM v WHERE vec_id % 97 <> 0),
+q AS (SELECT e AS qe FROM v WHERE vec_id < 50),
+c AS (SELECT vec_id, label, e FROM v WHERE vec_id >= 50),
 bad AS (
   SELECT DISTINCT vec_id
   FROM c, q

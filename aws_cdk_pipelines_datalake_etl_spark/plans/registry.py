@@ -10115,6 +10115,79 @@ SELECT vec_id, label FROM c WHERE vec_id NOT IN (SELECT vec_id FROM bad)
 """
 
 
+def corpus_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus LANGUAGE-MIX table (language_id_nb composed into a
+    per-(source, lang) rollup): docs, tokens and the within-source
+    token share per detected language — the table a multilingual
+    mixture plan is built from (and the first place a crawl-routing
+    bug shows up as a language share jumping).  One NB scoring pass
+    (the fused single-scan plan) + a doc-keyed join + one
+    source-cardinality agg; the oracle wraps the full NB replay as a
+    CTE and restates the rollup."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        tokens,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.langid import (
+        language_id_nb,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lid = language_id_nb(
+        docs, repartition=spark.sparkContext.defaultParallelism
+    ).select("doc_id", "lang")
+    nt = docs.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("_nt")
+    )
+    mix = (
+        lid.join(nt, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = mix.groupBy("source").agg(F.sum("n_tokens").alias("_t"))
+    return (
+        mix.join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.when(
+                F.col("_t") > 0,
+                F.expr(
+                    "cast(n_tokens as decimal(38,0)) * 1000000 div _t"
+                ).cast("bigint"),
+            ).alias("share_micro"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+CORPUS_LANGUAGE_MIX_ORACLE = f"""
+WITH scored AS ({_langid_nb_oracle()}),
+nt AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS _nt
+  FROM documents
+),
+mix AS (
+  SELECT n.source, s.lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n._nt) AS BIGINT) AS n_tokens
+  FROM scored s JOIN nt n USING (doc_id)
+  GROUP BY n.source, s.lang
+),
+tot AS (SELECT source, sum(n_tokens) AS t FROM mix GROUP BY source)
+SELECT m.source, m.lang, m.n_docs, m.n_tokens,
+       CASE WHEN t.t > 0
+            THEN CAST(m.n_tokens * 1000000 // t.t AS BIGINT) END
+         AS share_micro
+FROM mix m JOIN tot t USING (source)
+"""
+
+
 def build_registry() -> dict[str, QuerySpec]:
     reg = {
         "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_ORACLE),
@@ -10592,6 +10665,9 @@ def build_registry() -> dict[str, QuerySpec]:
         "corpus_semantic_decontaminated": QuerySpec(
             corpus_semantic_decontaminated,
             CORPUS_SEMANTIC_DECONTAMINATED_ORACLE,
+        ),
+        "corpus_language_mix": QuerySpec(
+            corpus_language_mix, CORPUS_LANGUAGE_MIX_ORACLE
         ),
         "web_pagerank": QuerySpec(web_pagerank, WEB_PAGERANK_ORACLE),
     }

@@ -6870,7 +6870,8 @@ _DRIVER_WINDOW = [
     # entries displaced below, AND the round-11 entries that did not
     # fit this window (corpus_drift_report,
     # corpus_semantic_decontaminated — both with logged targeted
-    # oracle_check runs, never driver-verified).
+    # oracle_check runs, never driver-verified), plus
+    # corpus_language_mix (same status).
     "dedup_block_units",
     "lm_trigram_backoff",
     "sample_doremi_weights",

@@ -148,8 +148,13 @@ def quality_canonicals(
     contrastive-triplets argmax device — no window), one join back."""
     from pyspark.sql import types as T
 
+    # ADVICE r11: quality_col is in the loop too — a non-numeric
+    # quality (string scores) would otherwise cast("long") to NULL,
+    # coalesce to the long-MIN sentinel, and silently degrade the
+    # argmax to min-id with no error.
     for frame, col, what in (
         (quality, id_col, f"quality[{id_col!r}]"),
+        (quality, quality_col, f"quality[{quality_col!r}]"),
         (pairs, id1, f"pairs[{id1!r}]"),
         (pairs, id2, f"pairs[{id2!r}]"),
     ):

@@ -981,7 +981,11 @@ def semantic_decontaminate(
     set, and survivors come from one doc-keyed anti-join.  The
     decision compares the 6-dp-rounded cosine (the brute_force_topk
     exactness device) against ``threshold``, so membership is
-    engine-exact.  Output: the surviving corpus rows' (id, label)."""
+    engine-exact.  Output: the surviving corpus rows with every
+    non-vector column passed through (``corpus.drop(vec_col)``
+    semantics — ADVICE r11: the old hardcoded ``(id, label)``
+    projection raised on any corpus frame without a literal
+    ``label`` column despite an otherwise-matching contract)."""
     v = _with_double_vec(corpus, vec_col, "v").select(
         F.col(id_col).alias("_cid"), "v"
     )
@@ -992,4 +996,4 @@ def semantic_decontaminate(
         .select(F.col("_cid").alias(id_col))
         .distinct()
     )
-    return corpus.join(bad, id_col, "left_anti").select(id_col, "label")
+    return corpus.join(bad, id_col, "left_anti").drop(vec_col)

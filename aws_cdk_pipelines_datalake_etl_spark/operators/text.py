@@ -770,7 +770,9 @@ def version_drift(
     - ``kl_micro``: KL(new || old) in integer micro-nats, with add-one
       smoothing on the OLD side (new-only terms stay finite) —
       per-term log-ratios are micro-quantized and weighted by exact
-      integer counts, summed as bigints, divided once (the repo's
+      integer counts, accumulated as decimal(38,0) (ADVICE r11: the
+      count-weighted product and the per-source sum both clear int64
+      at the 15T-token envelope), divided once (the repo's
       quantization discipline: no float accumulation order anywhere);
     - ``n_new_terms`` / ``n_lost_terms``: vocabulary churn;
     - ``n_tokens_v0`` / ``n_tokens_v1``.
@@ -810,9 +812,14 @@ def version_drift(
         * F.lit(1000000)
         + F.lit(0.5)
     ).cast("long")
-    contrib = F.when(F.col("c1") > 0, F.col("c1") * lr_micro).otherwise(
-        F.lit(0)
-    )
+    # ADVICE r11: c1 * lr_micro is long*long (a high-count new-only
+    # term reaches ~3e11 * ~2.7e7 micro-nats) and the per-source sum
+    # can clear int64 at >1 nat of drift over ~1e13 tokens — both go
+    # through decimal(38,0) BEFORE any arithmetic, mirrored by
+    # HUGEINT in the oracle.
+    contrib = F.when(
+        F.col("c1") > 0, F.col("c1").cast("decimal(38,0)") * lr_micro
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
     return (
         j.withColumn("_contrib", contrib)
         .groupBy("source")

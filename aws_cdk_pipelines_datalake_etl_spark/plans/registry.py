@@ -6805,79 +6805,75 @@ _DRIVER_WINDOW = [
     "q01_pricing_summary",
     "q02_taxi_shape_agg",
     "q23_sql_transform",
-    # (2) ROUND-11 DEBT PAYMENT: all 35 remaining round-6 entries —
-    # after this round every entry last green in round 6 has been
-    # re-confirmed and the round-6 rotation is COMPLETE:
-    "asof_view_to_purchase",
-    "bucketed_join",
-    "cdc_latest_state",
-    "cdc_state_asof_time",
-    "dedup_semantic_skewguard",
-    "dedup_semantic_survivors",
-    "multimodal_binaryfile_ingest",
-    "multimodal_decode_jpeg",
-    "q03_filter_project",
-    "q04_topk_orders",
-    "q05_limit_star",
-    "q08_semi_join",
-    "q10_outer_join_histogram",
-    "q15_having_distinct",
-    "q17_scalar_functions",
-    "q18_date_functions",
-    "q20_json_extract",
-    "q26_lateral_explode",
-    "q28_array_agg",
-    "q32_regional_supplier_volume",
-    "q36_nation_volume",
-    "q37_returned_items",
-    "q38_priority_case",
-    "q39_promo_revenue",
-    "q40_avg_qty_subquery",
-    "q41_large_orders",
-    "retrieval_bm25_topk",
-    "sample_hash_deterministic",
-    "sample_temperature_mix",
-    "sample_temperature_mix_t3",
-    "sim_ivfpq_bcast_full",
-    "sim_ivfpq_index_full_probe",
-    "sketch_cm_topk",
-    "source_orc_roundtrip",
-    "text_repetition_metrics",
-    # (3) round-10 late entries (added after the round-10 close
-    # sweep; targeted oracle_check runs logged in their commits —
-    # never driver-verified until now):
-    "corpus_curriculum_order",
-    "corpus_source_overlap_sketch",
-    # (4) the window is oversubscribed this round (10 new entries +
-    # 4 ADVICE-touched + 40 fixed slots > 50): the four ADVICE-touched
-    # entries (corpus_quality_znorm, dedup_quality_canonical,
-    # sample_epoch_plan, sample_mixture_plan) were ALL driver-green in
-    # round 10, their fixes are value-identical at every tested scale
-    # (overflow guards / join-coverage sentinel), and each carries a
-    # logged targeted oracle_check from this round — they yield their
-    # slots to the never-driver-verified round-11 entries and rotate
-    # back next round:
-    "corpus_training_set_v4",
-    "lm_trigram_buckets",
-    "corpus_decontaminated",
-    "dedup_block_units_incremental",
-    # (5) the six NEW round-11 entries (each pre-sweep, each with a
-    # targeted oracle_check run logged in its commit): exact block
-    # dedup, trigram stupid backoff, DoReMi weights, repeat-value
-    # accounting, UL2 denoiser mixture, fertility report.
-    # ROUND-12 WINDOW OWES: all 43 round-7 entries
-    # (corpus_training_set .. web_url_normalize), the 4 ADVICE-touched
-    # entries displaced below, AND the round-11 entries that did not
-    # fit this window (corpus_drift_report,
-    # corpus_semantic_decontaminated — both with logged targeted
-    # oracle_check runs, never driver-verified), plus
-    # corpus_language_mix (same status).
-    "dedup_block_units",
-    "lm_trigram_backoff",
-    "sample_doremi_weights",
-    "corpus_repeat_value",
-    "text_ul2_mixture",
-    "corpus_fertility_report",
+    # (2) ROUND-12 TRIAGE (VERDICT r11 #1 — 50 entries owed against
+    # 47 non-core slots; the judge's priority order applied exactly):
+    # (a) the three round-11 late entries that have ONLY local
+    # verification (logged targeted oracle_check runs, never
+    # driver-verified):
+    "corpus_drift_report",
+    "corpus_semantic_decontaminated",
+    "corpus_language_mix",
+    # (b) all 43 round-7 entries — every entry whose last driver-green
+    # row is round 7 (the full r7 window minus the four re-confirmed
+    # since: dedup_substring_spans_prod, multimodal_audio_adpcm,
+    # text_gopher_rules, web_robots_filter):
+    "corpus_training_set",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "incremental_rollup",
+    "join_salted_skew",
+    "lm_bigram_logprob",
+    "lm_perplexity_buckets",
+    "lm_perplexity_cutpoints",
+    "multimodal_decode_jpeg_progressive",
+    "multimodal_decode_png_adam7",
+    "multimodal_meta",
+    "q06_broadcast_dim_join",
+    "q07_revenue_top_orders",
+    "q09_anti_join",
+    "q11_window_topk_per_group",
+    "q13_sessionize",
+    "q14_set_ops",
+    "q16_rollup",
+    "q19_pivot",
+    "q21_correlated_subquery",
+    "q24_grouping_sets",
+    "q27_percentiles",
+    "q29_pandas_udf_score",
+    "q30_range_join",
+    "q35_trailing_window",
+    "q61_recursive_closure",
+    "retrieval_metrics_bm25",
+    "retrieval_rrf_fusion",
+    "sample_stratified",
+    "sim_brute_topk",
+    "sim_lsh_near_dup",
+    "sim_random_projection",
+    "sketch_theta_audience",
+    "source_jsonl_roundtrip",
+    "web_domain_split",
+    "web_domain_stats",
+    "web_frontier_dedup",
+    "web_html_extract",
+    "web_pagerank",
+    "web_url_normalize",
+    # (c) one of the four ADVICE-displaced round-10 entries fits the
+    # remaining slot (alphabetical pick; all four were driver-green in
+    # round 10, their r11 fixes are value-identical, and each carries
+    # a logged targeted oracle_check):
+    "corpus_quality_znorm",
+    # ROUND-13 WINDOW OWES: the other three ADVICE-displaced entries
+    # (dedup_quality_canonical — re-checked again this round after the
+    # r12 quality_col type-guard, sample_epoch_plan,
+    # sample_mixture_plan), plus every entry changed or added in round
+    # 12 (each with a logged targeted oracle_check in its commit):
+    # sample_doremi_weights + corpus_training_set_v4 (driver-green in
+    # r11; value-identical (source,term,count) pre-agg + decimal
+    # accumulate per VERDICT r11 #2 / ADVICE r11), and any new r12
+    # entries.
 ]
 
 
@@ -10060,7 +10056,8 @@ totals AS (
 contrib AS (
   SELECT c.source, t.t0, t.t1,
          CASE WHEN c1 > 0
-              THEN c1 * CAST(floor(ln((c1 * 1.0 / t1)
+              THEN CAST(c1 AS HUGEINT)
+                   * CAST(floor(ln((c1 * 1.0 / t1)
                      / ((c0 + 1) * 1.0 / (t0 + v_union)))
                      * 1000000 + 0.5) AS BIGINT)
               ELSE 0 END AS con,

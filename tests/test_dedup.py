@@ -554,6 +554,14 @@ def test_quality_canonicals_guards_and_coverage(spark):
     bad_q = spark.createDataFrame([("a", 1)], "doc_id string, quality long")
     with pytest.raises(TypeError, match="numeric"):
         quality_canonicals(pairs, bad_q)
+    # ADVICE r11: a non-numeric QUALITY column must raise too — it
+    # previously cast("long") to NULL -> sentinel, silently degrading
+    # the argmax to min-id with no signal.
+    bad_qcol = spark.createDataFrame(
+        [(1, "high"), (3, "low")], "doc_id long, quality string"
+    )
+    with pytest.raises(TypeError, match="numeric"):
+        quality_canonicals(pairs, bad_qcol)
     bad_pairs = spark.createDataFrame([("a", "b")], "id1 string, id2 string")
     with pytest.raises(TypeError, match="numeric"):
         quality_canonicals(bad_pairs, quality)

@@ -501,3 +501,27 @@ def test_semantic_decontaminate_drops_near_eval(spark):
         for r in semantic_decontaminate(corpus, ev, threshold=0.9).collect()
     }
     assert got == {3, 4}
+
+
+def test_semantic_decontaminate_passes_through_columns(spark):
+    """ADVICE r11: the output projection is corpus.drop(vec_col) —
+    a corpus frame with NO `label` column (and arbitrary metadata
+    columns) works, and every non-vector column survives."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "crawl", 11),
+            (2, [0.0, 1.0], "books", 22),
+        ],
+        "vec_id long, embedding array<double>, source string, n long",
+    )
+    ev = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = semantic_decontaminate(corpus, ev, threshold=0.9)
+    assert out.columns == ["vec_id", "source", "n"]
+    rows = out.collect()
+    assert [(r.vec_id, r.source, r.n) for r in rows] == [(2, "books", 22)]

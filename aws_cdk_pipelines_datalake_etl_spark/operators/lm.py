@@ -524,3 +524,144 @@ def trigram_logprob(
             "n_bo_unigram",
         )
     )
+
+
+def rho1_token_select(
+    train: DataFrame,
+    score: DataFrame,
+    keep_micro: int = 300_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RHO-1-style selective token scoring (Lin et al. 2024, "Not All
+    Tokens Are What You Need"): score every position of a document
+    under a STRONG reference model and a WEAK proxy model, and keep —
+    per document — the top ``keep_micro``-fraction of positions by
+    EXCESS log-probability (reference minus proxy).  Positions the
+    reference explains far better than the proxy are the informative
+    ones worth spending loss on; positions both models agree about
+    are boilerplate.  The published method uses two neural LMs; this
+    engine plugs the repo's trigram stupid backoff (Brants 2007) as
+    the reference and the add-one unigram as the proxy — the same
+    count tables, one extra per-position subtraction, and the SEAM is
+    the pair of quantized per-position scores, so neural scores can
+    replace them column-for-column.
+
+    Determinism: excess is an integer micro-nat difference; per-doc
+    ranking orders by (excess DESC, position ASC) — a total order —
+    and ``n_selected = n_scored * keep_micro div 1e6`` (truncating).
+
+    Output per scored doc: ``(id_col, n_scored, n_selected, sel_pos,
+    sel_excess_sum_micro)`` — ``sel_pos`` the space-joined 0-based
+    trigram positions kept (original order; ``''`` when none),
+    ``sel_excess_sum_micro`` their excess sum.  Docs under 3 tokens
+    emit ``(0, 0, '', 0)``.
+
+    Scale shape: one posexplode of the scored side; the five model
+    joins are vocabulary-bounded (AQE broadcasts while they fit); the
+    rank window partitions BY DOCUMENT (row counts bounded by doc
+    length — never a global sort); one doc-keyed agg."""
+    if not (0 <= keep_micro <= MICRO):
+        raise ValueError("keep_micro must be in [0, 1000000]")
+    trigrams, bigrams, unigrams, totals = train_trigram_lm(train, text_col)
+    stream = score.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(_trigrams(text_col)).alias("pos", "tg"),
+    ).select(
+        "id",
+        "pos",
+        F.col("tg.w1").alias("w1"),
+        F.col("tg.w2").alias("w2"),
+        F.col("tg.w3").alias("w3"),
+    )
+    joined = (
+        stream.join(trigrams, ["w1", "w2", "w3"], "left")
+        .join(
+            bigrams.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c2").alias("c2_23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            bigrams.select("w1", "w2", F.col("c2").alias("c2_12")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            unigrams.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2")),
+            "w2",
+            "left",
+        )
+        .join(
+            unigrams.select(F.col("w").alias("w3"), F.col("c1").alias("c1_w3")),
+            "w3",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    lvl3 = F.col("c3").isNotNull() & F.col("c2_12").isNotNull()
+    lvl2 = F.col("c2_23").isNotNull() & F.col("c1_w2").isNotNull()
+    p_ref = (
+        F.when(lvl3, F.col("c3") / F.col("c2_12"))
+        .when(lvl2, F.lit(BACKOFF) * F.col("c2_23") / F.col("c1_w2"))
+        .otherwise(
+            F.lit(BACKOFF * BACKOFF)
+            * (F.coalesce(F.col("c1_w3"), F.lit(0)) + F.lit(1))
+            / (F.col("t_tokens") + F.col("v_vocab"))
+        )
+    )
+    p_proxy = (F.coalesce(F.col("c1_w3"), F.lit(0)) + F.lit(1)) / (
+        F.col("t_tokens") + F.col("v_vocab")
+    )
+    real = F.col("w1").isNotNull()
+    q = lambda c: F.floor(F.log(c) * MICRO + F.lit(0.5)).cast("long")  # noqa: E731
+    scored = joined.select(
+        "id",
+        "pos",
+        F.when(real, q(p_ref) - q(p_proxy)).alias("excess_micro"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id")
+    wo = w.orderBy(F.col("excess_micro").desc(), F.col("pos").asc())
+    ranked = scored.withColumn(
+        "_rk", F.row_number().over(wo)
+    ).withColumn("_n", F.count("excess_micro").over(w))
+    sel = F.col("_rk") <= F.expr(f"(_n * {int(keep_micro)}) div 1000000")
+    kept = ranked.withColumn(
+        "_sel", F.when(F.col("excess_micro").isNotNull() & sel, True)
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.count("excess_micro").cast("bigint").alias("n_scored"),
+            F.count(F.when(F.col("_sel"), 1)).cast("bigint").alias(
+                "n_selected"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("_sel"), F.col("pos")))
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                " ",
+            ).alias("sel_pos"),
+            F.coalesce(
+                F.sum(F.when(F.col("_sel"), F.col("excess_micro"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("sel_excess_sum_micro"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_scored",
+            "n_selected",
+            "sel_pos",
+            "sel_excess_sum_micro",
+        )
+    )

@@ -640,6 +640,86 @@ def repeat_value(
     )
 
 
+def unimax_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    epoch_cap_micro: int = 4_000_000,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): instead of a temperature exponent, each source
+    gets an EPOCH CAP (``epoch_cap_micro`` passes over its data, in
+    integer micro so fractional caps are expressible) and the token
+    budget water-fills: iterate sources in ASCENDING capacity order
+    and give each ``min(capacity, remaining div n_left)`` — an equal
+    share of what remains, unless the cap binds first.  Low-resource
+    sources are never oversampled past their cap, high-resource
+    sources absorb the slack.
+
+    All arithmetic is integer (min / truncating div / subtraction) —
+    no float anywhere — so the DuckDB oracle replays the exact loop
+    as a recursive CTE with zero drift; ties in capacity order break
+    by source name (total order).  Up to ``n_sources - 1`` tokens of
+    the budget stay unallocated to truncation (documented, exact).
+
+    Output per source: ``(source, n_docs, n_tokens, capacity_tokens,
+    budget_i, n_epochs_micro)`` — ``capacity_tokens = n_tokens *
+    epoch_cap_micro div 1e6`` (decimal device: no int64 wrap at the
+    15T-token envelope), ``n_epochs_micro = budget_i * 1e6 div
+    n_tokens``.
+
+    Scale shape: one source-cardinality aggregate is the only
+    distributed work; the water-fill runs driver-side over BOUNDED
+    CONTROL DATA (n_sources rows — the doremi_weights precedent)."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        tokens,
+    )
+
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    if epoch_cap_micro < 0:
+        raise ValueError("epoch_cap_micro must be >= 0")
+    counts = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens(text_col))).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "capacity_tokens",
+            F.expr(
+                f"cast(n_tokens as decimal(38,0)) * {int(epoch_cap_micro)}"
+                " div 1000000"
+            ).cast("bigint"),
+        )
+    )
+    rows = sorted(
+        (
+            (r["source"], int(r["n_docs"]), int(r["n_tokens"]),
+             int(r["capacity_tokens"]))
+            for r in counts.collect()
+        ),
+        key=lambda t: (t[3], t[0]),
+    )
+    spark = df.sparkSession
+    out = []
+    remaining = int(budget_tokens)
+    n_left = len(rows)
+    for src, nd, nt, cap in rows:
+        b = min(cap, remaining // n_left) if n_left else 0
+        remaining -= b
+        n_left -= 1
+        epochs = (b * 1_000_000) // nt if nt > 0 else 0
+        out.append((src, nd, nt, cap, b, epochs))
+    return spark.createDataFrame(
+        out,
+        "source string, n_docs bigint, n_tokens bigint,"
+        " capacity_tokens bigint, budget_i bigint, n_epochs_micro bigint",
+    )
+
+
 def grouped_hash_rank(
     df: DataFrame,
     group_col: str,

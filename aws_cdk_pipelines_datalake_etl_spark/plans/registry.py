@@ -9673,6 +9673,157 @@ FROM eff
 """
 
 
+def corpus_rho1_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-1-style selective token scoring (operators/lm.py:
+    rho1_token_select — Lin et al. 2024): per held-out position,
+    excess = trigram-stupid-backoff (reference) minus add-one-unigram
+    (proxy) quantized logp; each doc keeps its top-30% positions by
+    excess (ties: earlier position).  The rank window partitions BY
+    DOC (bounded rows — never a global sort); the DuckDB oracle
+    retrains both models and replays scores, ranks, the truncating
+    per-doc keep count and the position list exactly."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.lm import (
+        rho1_token_select,
+    )
+
+    train, held = _lm_splits(spark, sf_dir)
+    return rho1_token_select(train, held, keep_micro=300_000).orderBy(
+        "doc_id"
+    )
+
+
+CORPUS_RHO1_SELECTION_ORACLE = """
+WITH train AS (SELECT * FROM documents WHERE doc_id % 10 != 0),
+held AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+tr_toks AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM train),
+unigrams AS (SELECT w, count(*) AS c1 FROM tr_toks GROUP BY w),
+totals AS (SELECT sum(c1) AS t_tokens, count(*) AS v_vocab FROM unigrams),
+tr_ls AS (SELECT string_split(lower(text), ' ') AS ls FROM train),
+tr_bg AS (
+  SELECT ls[i] AS w1, ls[i + 1] AS w2
+  FROM tr_ls, LATERAL (SELECT unnest(range(1, len(ls))) AS i)
+),
+bigrams AS (SELECT w1, w2, count(*) AS c2 FROM tr_bg GROUP BY w1, w2),
+tr_tg AS (
+  SELECT ls[i] AS w1, ls[i + 1] AS w2, ls[i + 2] AS w3
+  FROM tr_ls, LATERAL (SELECT unnest(range(1, len(ls) - 1)) AS i)
+),
+trigrams AS (
+  SELECT w1, w2, w3, count(*) AS c3 FROM tr_tg GROUP BY w1, w2, w3
+),
+sc_ls AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS ls
+          FROM held),
+stream AS (
+  SELECT id, i - 1 AS pos, ls[i] AS w1, ls[i + 1] AS w2, ls[i + 2] AS w3
+  FROM sc_ls, LATERAL (SELECT unnest(range(1, len(ls) - 1)) AS i)
+),
+joined AS (
+  SELECT s.id, s.pos,
+         CAST(floor(ln(
+           CASE WHEN tg.c3 IS NOT NULL AND b12.c2 IS NOT NULL
+                THEN tg.c3 / b12.c2
+                WHEN b23.c2 IS NOT NULL AND u2.c1 IS NOT NULL
+                THEN 0.4 * b23.c2 / u2.c1
+                ELSE 0.4 * 0.4 * (COALESCE(u3.c1, 0) + 1)
+                     / (t_tokens + v_vocab)
+           END) * 1000000 + 0.5) AS BIGINT)
+         - CAST(floor(ln((COALESCE(u3.c1, 0) + 1)
+                     / (t_tokens + v_vocab)) * 1000000 + 0.5) AS BIGINT)
+           AS excess
+  FROM stream s
+  LEFT JOIN trigrams tg ON s.w1 = tg.w1 AND s.w2 = tg.w2 AND s.w3 = tg.w3
+  LEFT JOIN bigrams b12 ON s.w1 = b12.w1 AND s.w2 = b12.w2
+  LEFT JOIN bigrams b23 ON s.w2 = b23.w1 AND s.w3 = b23.w2
+  LEFT JOIN unigrams u2 ON s.w2 = u2.w
+  LEFT JOIN unigrams u3 ON s.w3 = u3.w
+  , totals
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY excess DESC, pos)
+              AS rk,
+         count(*) OVER (PARTITION BY id) AS n
+  FROM joined
+),
+sel AS (SELECT *, rk <= (n * 300000) // 1000000 AS s FROM ranked),
+agg AS (
+  SELECT id,
+         CAST(count(*) AS BIGINT) AS n_scored,
+         CAST(count(CASE WHEN s THEN 1 END) AS BIGINT) AS n_selected,
+         string_agg(CASE WHEN s THEN CAST(pos AS VARCHAR) END,
+                    ' ' ORDER BY pos) AS sel_pos,
+         CAST(COALESCE(sum(CASE WHEN s THEN excess END), 0) AS BIGINT)
+           AS sel_excess_sum_micro
+  FROM sel GROUP BY id
+)
+SELECT h.doc_id,
+       CAST(COALESCE(a.n_scored, 0) AS BIGINT) AS n_scored,
+       CAST(COALESCE(a.n_selected, 0) AS BIGINT) AS n_selected,
+       COALESCE(a.sel_pos, '') AS sel_pos,
+       CAST(COALESCE(a.sel_excess_sum_micro, 0) AS BIGINT)
+         AS sel_excess_sum_micro
+FROM (SELECT doc_id FROM held) h LEFT JOIN agg a ON h.doc_id = a.id
+"""
+
+
+def sample_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (operators/sampling.py:
+    unimax_budget — Chung et al. 2023): epoch-capped water-filling of
+    a 60k-token budget over the per-source token counts, cap 2.5
+    epochs.  Ascending-capacity greedy with min / truncating-div /
+    subtract only — all integer, so the DuckDB oracle replays the
+    exact loop as a recursive CTE (zero float drift possible); the
+    Spark side runs it driver-side over the bounded per-source table
+    (the doremi_weights control-data precedent)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        unimax_budget,
+    )
+
+    return unimax_budget(
+        _t(spark, sf_dir, "documents"),
+        budget_tokens=60_000,
+        epoch_cap_micro=2_500_000,
+    ).orderBy("source")
+
+
+SAMPLE_UNIMAX_BUDGET_ORACLE = """
+WITH RECURSIVE counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+caps AS (
+  SELECT *,
+         CAST(CAST(n_tokens AS HUGEINT) * 2500000 // 1000000 AS BIGINT)
+           AS capacity_tokens
+  FROM counts
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY capacity_tokens, source) AS rk,
+         (SELECT count(*) FROM caps) AS n
+  FROM caps
+),
+alloc AS (
+  SELECT rk, source, n_docs, n_tokens, capacity_tokens, n,
+         least(capacity_tokens, 60000 // n) AS budget_i,
+         60000 - least(capacity_tokens, 60000 // n) AS remaining
+  FROM ranked WHERE rk = 1
+  UNION ALL
+  SELECT r.rk, r.source, r.n_docs, r.n_tokens, r.capacity_tokens, r.n,
+         least(r.capacity_tokens, a.remaining // (r.n - r.rk + 1)),
+         a.remaining
+           - least(r.capacity_tokens, a.remaining // (r.n - r.rk + 1))
+  FROM alloc a JOIN ranked r ON r.rk = a.rk + 1
+)
+SELECT source, n_docs, n_tokens, capacity_tokens,
+       CAST(budget_i AS BIGINT) AS budget_i,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN CAST(budget_i AS HUGEINT) * 1000000 // n_tokens
+                 ELSE 0 END AS BIGINT) AS n_epochs_micro
+FROM alloc
+"""
+
+
 def text_ul2_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UL2 mixture of denoisers (operators/augment.py: ul2_mixture —
     Tay et al. 2022): every doc hash-routed to R (T5 spans, 20/3), X
@@ -10723,6 +10874,12 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "sample_doremi_external_loss": QuerySpec(
             sample_doremi_external_loss, SAMPLE_DOREMI_EXTERNAL_LOSS_ORACLE
+        ),
+        "sample_unimax_budget": QuerySpec(
+            sample_unimax_budget, SAMPLE_UNIMAX_BUDGET_ORACLE
+        ),
+        "corpus_rho1_selection": QuerySpec(
+            corpus_rho1_selection, CORPUS_RHO1_SELECTION_ORACLE
         ),
         "corpus_repeat_value": QuerySpec(
             corpus_repeat_value, CORPUS_REPEAT_VALUE_ORACLE

@@ -84,10 +84,19 @@ def main() -> None:
     }
     print(f"domains: {offsets}", file=sys.stderr)
 
+    # Round 12: write MULTI-FILE tables (16 files for the replicated
+    # facts, 4 for passthrough dims).  The single-file layout put the
+    # whole 10x corpus in ONE parquet row group, so every scan-side
+    # map stage ran 1-2 tasks no matter what the plan said — a
+    # testdata artifact, not a plan property (diagnosed r12: spans'
+    # gram stage, 2 tasks, 7.2 s of a 9.1 s wall; zero spill).  A
+    # real 10x corpus is proportionally more FILES — split
+    # parallelism grows with data, which is exactly what the scale
+    # artifact is supposed to measure.
     for t in PASSTHROUGH:
-        load_table(spark, src, t).write.mode("overwrite").parquet(
-            os.path.join(out, f"{t}.parquet")
-        )
+        load_table(spark, src, t).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
 
     for t, keycols in KEYS.items():
         t0 = time.time()
@@ -114,7 +123,7 @@ def main() -> None:
                     " cast(x + _copy * 0.001 as float), x))"
                 ),
             )
-        df.drop("_copy").write.mode("overwrite").parquet(
+        df.drop("_copy").repartition(16).write.mode("overwrite").parquet(
             os.path.join(out, f"{t}.parquet")
         )
         print(f"{t}: x{copies} written [{time.time() - t0:.1f}s]", file=sys.stderr)

@@ -240,3 +240,55 @@ def test_grouped_hash_rank_equals_window(spark):
         for r in grouped_hash_rank(df.repartition(11), "source").collect()
     }
     assert again == got
+
+
+def test_unimax_budget_water_fills(spark):
+    """unimax_budget (round 12 — Chung et al. 2023): ascending-
+    capacity greedy water-filling with an epoch cap.  Checked against
+    a brute replay of the published loop; invariants: budget_i <=
+    capacity, sum(budget_i) <= budget (deficit < n_sources from
+    truncating division), small sources cap, big sources share the
+    slack equally (max spread 1 token)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        unimax_budget,
+    )
+
+    rows = (
+        [(i, "tiny", "t " * 3) for i in range(2)]          # 8 tok
+        + [(10 + i, "small", "s " * 9) for i in range(4)]  # 40 tok
+        + [(20 + i, "mid", "m " * 49) for i in range(6)]   # 300 tok
+        + [(30 + i, "big", "b " * 99) for i in range(10)]  # 1000 tok
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budget, cap = 900, 2_500_000
+    out = {r.source: r for r in unimax_budget(df, budget, cap).collect()}
+    assert set(out) == {"tiny", "small", "mid", "big"}
+    # brute replay of the loop
+    caps = sorted(
+        (r.capacity_tokens, s) for s, r in out.items()
+    )
+    remaining, n_left, want = budget, len(caps), {}
+    for c, s in caps:
+        b = min(c, remaining // n_left)
+        remaining -= b
+        n_left -= 1
+        want[s] = b
+    for s, r in out.items():
+        assert r.budget_i == want[s], (s, r.budget_i, want[s])
+        assert r.budget_i <= r.capacity_tokens
+        assert r.capacity_tokens == r.n_tokens * cap // 1_000_000
+        assert r.n_epochs_micro == r.budget_i * 1_000_000 // r.n_tokens
+    assert sum(r.budget_i for r in out.values()) <= budget
+    # tiny and small are capped; mid/big get the equal slack share
+    assert out["tiny"].budget_i == out["tiny"].capacity_tokens == 20
+    assert out["small"].budget_i == out["small"].capacity_tokens == 100
+    uncapped = [out["mid"].budget_i, out["big"].budget_i]
+    assert max(uncapped) - min(uncapped) <= 1
+    # zero budget / zero cap degenerate cleanly
+    z = {r.source: r.budget_i for r in unimax_budget(df, 0, cap).collect()}
+    assert set(z.values()) == {0}
+    z2 = {r.source: r.budget_i for r in unimax_budget(df, budget, 0).collect()}
+    assert set(z2.values()) == {0}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        unimax_budget(df, -1, cap)

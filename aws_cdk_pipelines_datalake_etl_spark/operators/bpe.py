@@ -117,25 +117,76 @@ def train_bpe_merges(
 
     Words are split to characters + the EOW sentinel; each round picks
     the most frequent adjacent symbol pair (ties: lexicographically
-    smallest pair) and rewrites the word table.  Stops early when no
-    pair repeats.  Pure deterministic Python over the bounded table.
+    smallest pair) and rewrites ONLY the words containing that pair.
+    Stops early when no pair repeats.  Pure deterministic Python over
+    the bounded table.
+
+    r12 (guide §5 — the driver should do almost no data work): pair
+    counts are maintained INCREMENTALLY with a lazy max-heap and a
+    pair->words inverted index instead of rescanning every word every
+    round, turning O(n_merges * corpus_syms) into
+    O(corpus_syms + n_merges * affected).  Selection rule, tie-break
+    and stop conditions are unchanged, so the merge list is identical
+    (two sym tuples can never collide under a merge — each key's char
+    concatenation stays the distinct source word — so the old dict
+    rewrite and this word-list rewrite agree; property-tested against
+    the direct per-round rescan in tests/test_bpe.py).
     """
-    vocab: dict[tuple[str, ...], int] = {}
+    import heapq
+
+    words: list[list] = []  # [syms tuple, count] — one entry per word
     for w, c in word_counts:
-        syms = tuple(w) + (EOW,)
-        vocab[syms] = vocab.get(syms, 0) + int(c)
+        words.append([tuple(w) + (EOW,), int(c)])
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, c) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            counts[p] = counts.get(p, 0) + c
+            s = where.get(p)
+            if s is None:
+                where[p] = s = set()
+            s.add(wi)
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        counts = _pair_counts(vocab)
-        if not counts:
+        pair: tuple[str, str] | None = None
+        top = 0
+        while heap:
+            negc, p = heap[0]
+            cur = counts.get(p, 0)
+            if cur == 0 or cur != -negc:  # stale entry
+                heapq.heappop(heap)
+                continue
+            pair, top = p, cur
             break
-        pair, top = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        if top < 2:
+        if pair is None or top < 2:
             break
         merges.append(pair)
-        vocab = {
-            _apply_merge(s, pair): c for s, c in vocab.items()
-        }
+        delta: dict[tuple[str, str], int] = {}
+        for wi in where.pop(pair, ()):  # lazy index: may hold stale ids
+            syms, c = words[wi]
+            new = _apply_merge(syms, pair)
+            if new == syms:
+                continue
+            for p in zip(syms, syms[1:]):
+                delta[p] = delta.get(p, 0) - c
+            for p in zip(new, new[1:]):
+                delta[p] = delta.get(p, 0) + c
+                s = where.get(p)
+                if s is None:
+                    where[p] = s = set()
+                s.add(wi)
+            words[wi][0] = new
+        for p, d in delta.items():
+            if d == 0:
+                continue
+            nc = counts.get(p, 0) + d
+            if nc:
+                counts[p] = nc
+                heapq.heappush(heap, (-nc, p))
+            else:
+                counts.pop(p, None)
     return merges
 
 

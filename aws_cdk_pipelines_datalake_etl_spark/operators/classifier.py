@@ -236,18 +236,30 @@ def train_one_step_micro(
             - F.col(label_col).cast("long") * F.lit(MICRO)
         ).alias("r_micro"),
     )
-    n = df.count()  # bounded control data: one scalar
+    # r12 (guide §2.4/§5): n used to be a driver-side df.count() — an
+    # extra ACTION that evaluated the (possibly label-joined) input
+    # subtree a second time per call.  As a broadcast 1-row aggregate
+    # it rides the same dataflow (the DuckDB oracle was already shaped
+    # this way: `... / (SELECT n FROM nn)`); -lr * g / n is the same
+    # double multiply/divide either way, so weights are bit-identical.
+    n_tbl = df.agg(F.count(F.lit(1)).alias("_n"))
     grad = (
         feats.join(resid, "_id")
         .groupBy("slot")
         .agg(F.sum(F.col("k") * F.col("r_micro")).alias("g_micro"))
     )
-    return grad.select(
-        "slot",
-        F.floor(F.lit(-lr) * F.col("g_micro") / F.lit(n) + F.lit(0.5))
-        .cast("long")
-        .alias("w_micro"),
-    ).filter(F.col("w_micro") != 0)
+    return (
+        grad.crossJoin(F.broadcast(n_tbl))
+        .select(
+            "slot",
+            F.floor(
+                F.lit(-lr) * F.col("g_micro") / F.col("_n") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("w_micro"),
+        )
+        .filter(F.col("w_micro") != 0)
+    )
 
 
 def score_quality_micro(
@@ -264,18 +276,27 @@ def score_quality_micro(
     absent; :func:`score_quality` has it for the trained-weights
     path).  Broadcast join + one doc-keyed hash agg, no collect."""
     feats = hashed_features_portable(df, id_col, text_col, dim)
-    logits = (
-        feats.join(F.broadcast(w_micro), "slot")
+    # r12 (guide §2.4): LEFT join against the broadcast weights with
+    # unmatched slots contributing 0 keeps every doc alive through the
+    # aggregation via its bias row, so the old third scan of ``df``
+    # (all_docs + join-back) is gone — value-identical: the inner join
+    # dropped exactly the (feat, absent-slot) rows that now add 0, and
+    # the join-back's coalesce(logit, 0) is the same zero.
+    return (
+        feats.join(F.broadcast(w_micro), "slot", "left")
         .groupBy("_id")
-        .agg(F.sum(F.col("k") * F.col("w_micro")).alias("logit_micro"))
-    )
-    all_docs = df.select(F.col(id_col).alias("_id"))
-    return all_docs.join(logits, "_id", "left").select(
-        F.col("_id").alias(id_col),
-        F.coalesce(F.col("logit_micro"), F.lit(0))
-        .cast("long")
-        .alias("logit_micro"),
-        (F.coalesce(F.col("logit_micro"), F.lit(0)) >= 0).alias("pred"),
+        .agg(
+            F.sum(
+                F.col("k") * F.coalesce(F.col("w_micro"), F.lit(0))
+            ).alias("logit_micro")
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("logit_micro"), F.lit(0))
+            .cast("long")
+            .alias("logit_micro"),
+            (F.coalesce(F.col("logit_micro"), F.lit(0)) >= 0).alias("pred"),
+        )
     )
 
 

@@ -273,29 +273,36 @@ def minhash_band_index(
     coeffs = minhash_coefficients(num_perm, seed)
     # signature path: raw hashes, NO distinct — min() tolerates dupes,
     # and the partial (map-side) min aggregation means the only rows
-    # that ever shuffle are num_perm longs per (doc x partition)
-    hmod = (F.col("h") % MINHASH_PRIME).cast("long")
-    mins = [
-        F.min((hmod * F.lit(a) + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    sig = shingle_hashes(df, id_col, text_col, k).groupBy("id").agg(*mins)
+    # that ever shuffle are num_perm longs per (doc x partition).
+    # The num_perm min() aggregates are ONE SQL string parsed JVM-side
+    # (r12, guide §4: building them as num_perm Column trees cost
+    # ~1.26 s of py4j chatter per call vs ~0.14 s for the single expr
+    # — value-identical, A/B-asserted; h >= 0 so % == pmod).
+    mins_sql = ", ".join(
+        f"min(((h % {MINHASH_PRIME}) * {a} + {b}) % {MINHASH_PRIME})"
+        for a, b in coeffs
+    )
+    sig = (
+        shingle_hashes(df, id_col, text_col, k)
+        .groupBy("id")
+        .agg(F.expr(f"array({mins_sql})").alias("sig"))
+    )
     # band signatures are hashed to a long (xxhash64): the LSH bucket
     # key shuffles as 8 bytes instead of a ~40-char string.  Hash
     # collisions can only ADD candidates (equal sigs stay equal), and
     # every candidate is exact-verified downstream, so correctness holds.
-    band_structs = ", ".join(
-        "named_struct('band', {b}, 'bsig', xxhash64(concat_ws(',', {vals})))".format(
-            b=b,
-            vals=", ".join(
-                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
-            ),
-        )
-        for b in range(bands)
+    # concat_ws over cast-to-string array slices == the former
+    # concat_ws over long columns (same implicit long->string cast),
+    # so bsig values are unchanged.
+    band_expr = (
+        f"explode(transform(sequence(0, {bands - 1}), b -> named_struct("
+        f"'band', b, 'bsig', xxhash64(concat_ws(',', transform("
+        f"slice(sig, b * {rows_per_band} + 1, {rows_per_band}), "
+        f"x -> cast(x as string)))))))"
     )
-    return sig.select(
-        "id", F.explode(F.expr(f"array({band_structs})")).alias("bs")
-    ).select("id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+    return sig.select("id", F.expr(band_expr).alias("bs")).select(
+        "id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig")
+    )
 
 
 def incremental_minhash_pairs(
@@ -392,16 +399,17 @@ def simhash_signatures(
         .distinct()
         .withColumn("h", hash48(F.col("tok")))
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+    # the per-bit +-1 sums are ONE SQL string parsed JVM-side (r12,
+    # the minhash_band_index device — value-identical, ~0.5 s less
+    # py4j chatter per call)
+    bit_sums_sql = ", ".join(
+        f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END)"
         for i in range(bits)
-    ]
-    agg = toks.groupBy("id").agg(*bit_sums)
+    )
+    agg = toks.groupBy("id").agg(F.expr(f"array({bit_sums_sql})").alias("bsums"))
     sig = F.expr(
         " + ".join(
-            f"CASE WHEN b{i} >= 0 THEN cast({1 << i} as bigint) ELSE 0 END"
+            f"CASE WHEN bsums[{i}] >= 0 THEN cast({1 << i} as bigint) ELSE 0 END"
             for i in range(bits)
         )
     )

@@ -534,27 +534,28 @@ def language_id_nb(
     # broadcast LEFT join keeps zero-match docs alive through the agg;
     # 1:1 — one pre-pivoted model row per trigram (round 10)
     m = occ.join(F.broadcast(pmodel), "tri", "left")
+    # per-language sums and neg-score structs are ONE SQL string each,
+    # parsed JVM-side (r12, guide §4: the per-language Column-API loops
+    # cost ~1 s of py4j chatter per call at 19 languages — same
+    # expressions, value-identical)
+    sums_sql = ", ".join(
+        f"sum(coalesce(sc[{i}], 0))" for i in range(len(langs))
+    )
     wide = m.groupBy("_id").agg(
         F.max("n_trigrams").alias("n_trigrams"),
-        *[
-            F.sum(F.coalesce(F.col("sc")[i], F.lit(0))).alias(f"_m{i}")
-            for i in range(len(langs))
-        ],
+        F.expr(f"array({sums_sql})").alias("_m"),
     )
     # row-local scoring: neg score per language (so array_sort's
     # (neg, lang) ascending order IS argmax with lexicographic ties),
     # smoothing denominator folded in as an integer literal per lang
-    neg_structs = F.array(
-        *[
-            F.struct(
-                (
-                    F.col("n_trigrams").cast("long") * F.lit(denom[lang])
-                    - F.col(f"_m{i}")
-                ).alias("neg"),
-                F.lit(lang).alias("lang"),
-            )
+    neg_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('neg', cast(n_trigrams as bigint) * "
+            f"{denom[lang]}L - _m[{i}], 'lang', '{lang}')"
             for i, lang in enumerate(langs)
-        ]
+        )
+        + ")"
     )
     ranked = wide.select(
         "_id", "n_trigrams", F.array_sort(neg_structs).alias("_r")

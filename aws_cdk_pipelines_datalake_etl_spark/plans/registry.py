@@ -8454,8 +8454,11 @@ def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     train, held = _lm_splits(spark, sf_dir)
-    labeled = train.join(
-        gopher_rules(train).select("doc_id", "keep"), "doc_id"
+    # r12: keep is row-local — take (doc_id, text, keep) from ONE
+    # gopher pass (extra_cols) instead of self-joining rules back onto
+    # the split (identical rows: the join was 1:1 on the unique key)
+    labeled = gopher_rules(train, extra_cols=("text",)).select(
+        "doc_id", "text", "keep"
     )
     w = train_quality_classifier(
         labeled, "keep", dim=1024, iterations=10, lr=1.0
@@ -8639,8 +8642,11 @@ def corpus_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     train, held = _lm_splits(spark, sf_dir)
-    labeled = train.join(
-        gopher_rules(train).select("doc_id", "keep"), "doc_id"
+    # r12: keep is row-local — take (doc_id, text, keep) from ONE
+    # gopher pass (extra_cols) instead of self-joining rules back onto
+    # the split (identical rows: the join was 1:1 on the unique key)
+    labeled = gopher_rules(train, extra_cols=("text",)).select(
+        "doc_id", "text", "keep"
     )
     w = train_one_step_micro(labeled, "keep", dim=1024, lr=1.0)
     return score_quality_micro(held, w, dim=1024).orderBy("doc_id")

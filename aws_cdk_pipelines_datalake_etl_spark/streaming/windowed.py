@@ -42,9 +42,10 @@ def tumbling_window_agg(
     """
     from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import (
         fix_nanos_timestamps,
+        parquet_schema,
     )
 
-    schema = spark.read.parquet(path).schema
+    schema = parquet_schema(spark, path)
     reader = spark.readStream.schema(schema)
     if os.path.isfile(path):
         # the file-stream source wants a directory; point it at the

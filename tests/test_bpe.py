@@ -230,3 +230,45 @@ def test_bpe_encode_ids_roundtrip_and_unk(spark):
     # 'z', 'b', 'r', '!' are unseen chars -> UNK tally nonzero
     assert out[11].n_unk > 0
     assert out[10].n_unk == 0
+
+
+def test_incremental_trainer_equals_per_round_rescan():
+    """r12 optimization guard: the heap/inverted-index trainer must
+    emit the IDENTICAL merge list as the direct per-round rescan
+    (the pre-r12 implementation, inlined here as the reference)."""
+    import random
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.bpe import (
+        _apply_merge,
+        _pair_counts,
+    )
+
+    def reference(word_counts, n_merges):
+        vocab = {}
+        for w, c in word_counts:
+            syms = tuple(w) + (EOW,)
+            vocab[syms] = vocab.get(syms, 0) + int(c)
+        merges = []
+        for _ in range(n_merges):
+            counts = _pair_counts(vocab)
+            if not counts:
+                break
+            pair, top = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            if top < 2:
+                break
+            merges.append(pair)
+            vocab = {_apply_merge(s, pair): c for s, c in vocab.items()}
+        return merges
+
+    rng = random.Random(13)
+    for _ in range(25):
+        n = rng.randrange(1, 250)
+        agg = {}
+        for _ in range(n):
+            w = "".join(
+                rng.choice("abcdef") for _ in range(rng.randrange(1, 9))
+            )
+            agg[w] = agg.get(w, 0) + rng.randrange(1, 40)
+        wc = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+        for m in (0, 1, 7, 60):
+            assert train_bpe_merges(wc, m) == reference(wc, m)

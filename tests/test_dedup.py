@@ -718,3 +718,93 @@ def test_block_unit_dedup_md5_key_equals_string_key(spark):
     ) == snap(block_unit_dedup(df, block_words=3))
     with pytest.raises(ValueError, match="key"):
         block_unit_dedup(df, key="sha1")
+
+
+def test_minhash_band_index_matches_column_api_reference(spark):
+    """r12 optimization guard: the single-SQL-expr signature/band path
+    must equal the per-permutation Column-API form (the pre-r12
+    implementation, inlined here as the reference) value-for-value."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "pack my box with five dozen liquor jugs today"),
+            (4, "sphinx of black quartz judge my vow right now"),
+        ],
+        "doc_id long, text string",
+    )
+    num_perm, bands = 16, 4
+    rows_per_band = num_perm // bands
+    coeffs = dd.minhash_coefficients(num_perm)
+    hmod = (F.col("h") % dd.MINHASH_PRIME).cast("long")
+    mins = [
+        F.min((hmod * F.lit(a) + F.lit(b)) % dd.MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = dd.shingle_hashes(docs, "doc_id", "text", 3).groupBy("id").agg(*mins)
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bsig', xxhash64(concat_ws(',', {vals})))".format(
+            b=b,
+            vals=", ".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    ref = (
+        sig.select("id", F.explode(F.expr(f"array({band_structs})")).alias("bs"))
+        .select("id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+        .orderBy("id", "band")
+        .collect()
+    )
+    got = (
+        dd.minhash_band_index(docs, num_perm=num_perm, bands=bands)
+        .orderBy("id", "band")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+
+
+def test_simhash_matches_column_api_reference(spark):
+    """r12 optimization guard for the simhash single-expr bit sums."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        hash48,
+        tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),
+            (3, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    bits = 48
+    toks = (
+        docs.select(F.col("doc_id").alias("id"), F.explode(tokens("text")).alias("tok"))
+        .distinct()
+        .withColumn("h", hash48(F.col("tok")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    ref_sig = F.expr(
+        " + ".join(
+            f"CASE WHEN b{i} >= 0 THEN cast({1 << i} as bigint) ELSE 0 END"
+            for i in range(bits)
+        )
+    )
+    ref = {
+        r["id"]: r["simhash"]
+        for r in agg.select("id", ref_sig.alias("simhash")).collect()
+    }
+    got = {
+        r["id"]: r["simhash"]
+        for r in dd.simhash_signatures(docs).collect()
+    }
+    assert got == ref

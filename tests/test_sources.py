@@ -204,3 +204,40 @@ def test_binaryfiles_roundtrip_and_glob(spark, tmp_path):
     # without the glob, the decoy appears
     n_all = read_binary_dir(spark, out).count()
     assert n_all == 4
+
+
+def test_parquet_schema_cache_and_invalidation(spark, tmp_path):
+    """r12 optimization guard: load_table's cached-schema read returns
+    the same schema+rows as a plain inferred read, and the (path,
+    mtime) key re-infers after a rewrite."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import (
+        load_table,
+        parquet_schema,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    for name in ("events", "lineitem"):
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        plain = spark.read.parquet(path)
+        cached = load_table(spark, sf_dir, name)
+        # events.ts is nanos->timestamp normalized on BOTH paths via
+        # fix_nanos_timestamps only in load_table; compare the raw read
+        assert parquet_schema(spark, path) == plain.schema
+        assert cached.count() == plain.count()
+
+    # invalidation: rewrite a file at the same path with a new schema
+    p = str(tmp_path / "t.parquet")
+    spark.range(3).select(F.col("id").alias("a")).write.parquet(p)
+    s1 = parquet_schema(spark, p)
+    assert [f.name for f in s1] == ["a"]
+    time.sleep(1.05)  # dir mtime granularity
+    spark.range(3).select(
+        F.col("id").alias("a"), F.lit("x").alias("b")
+    ).write.mode("overwrite").parquet(p)
+    s2 = parquet_schema(spark, p)
+    assert [f.name for f in s2] == ["a", "b"]

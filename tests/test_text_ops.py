@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from aws_cdk_pipelines_datalake_etl_spark.operators import text as tx
 
@@ -337,3 +338,77 @@ def test_version_drift_hand_computed(spark):
     assert (b.n_new_terms, b.n_lost_terms) == (0, 0)
     # identical distributions: lr(2,2) quantizes to exactly 0
     assert b.kl_micro == 0
+
+
+def test_repetition_metrics_matches_exploded_reference(spark):
+    """r12 optimization guard: the row-local sorted-run form must equal
+    the exploded (doc, gram)->doc double-aggregation reference (the
+    pre-r12 implementation, inlined here) value-for-value — including
+    short docs (< n tokens) and single-gram docs."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.rounding import pround
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        tokens,
+        word_shingles,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.operators.text import (
+        repetition_metrics,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # heavy bigram repetition
+            (2, "one two three four"),   # all distinct
+            (3, "x"),                    # shorter than n
+            (4, "x y"),                  # exactly one gram
+            (5, "a a a a"),              # one gram repeated
+            (6, "p q p q r p q"),        # mixed runs
+        ],
+        "doc_id long, text string",
+    )
+
+    def reference(df, id_col="doc_id", text_col="text", n=2):
+        d = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+        base = d.select(
+            "id",
+            F.size("toks").alias("n_tokens"),
+            F.greatest(F.size("toks") - (n - 1), F.lit(0)).alias("n_ngrams"),
+        )
+        g = d.select("id", F.explode(word_shingles("toks", n)).alias("gram"))
+        per_gram = g.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+        per_doc = per_gram.groupBy("id").agg(
+            F.max("cnt").alias("top_cnt"),
+            F.sum(
+                F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0))
+            ).alias("dup_cnt"),
+        )
+        denom = F.greatest(F.col("n_ngrams"), F.lit(1)).cast("double")
+        return base.join(per_doc, "id", "left").select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "n_ngrams",
+            pround(F.coalesce(F.col("top_cnt"), F.lit(0)) / denom, 6).alias(
+                "top_ngram_frac"
+            ),
+            pround(F.coalesce(F.col("dup_cnt"), F.lit(0)) / denom, 6).alias(
+                "dup_ngram_frac"
+            ),
+        )
+
+    got = sorted(map(tuple, repetition_metrics(docs).collect()))
+    ref = sorted(map(tuple, reference(docs).collect()))
+    assert got == ref
+
+
+def test_repetition_metrics_plan_has_no_exchange(spark):
+    """r12: per-doc metrics are row-local — the plan must not shuffle."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.text import (
+        repetition_metrics,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b")], "doc_id long, text string"
+    )
+    assert "Exchange" not in formatted_plan(repetition_metrics(docs))

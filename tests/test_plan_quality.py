@@ -416,12 +416,16 @@ def test_domain_split_zero_shuffle(spark):
 
 
 def test_repetition_metrics_doc_keyed_aggs_only(spark):
-    """Repetition metrics: doc-keyed hash aggs with map-side partials,
-    never a cross-doc pairing stage."""
+    """Repetition metrics: as of the r12 row-local rewrite (sorted-run
+    lengths computed per document inside one projection) the plan must
+    be shuffle-free — no exchange, no cross-doc pairing stage, no
+    Python.  Strictly stronger than the pre-r12 shape (doc-keyed hash
+    aggs), which this test used to assert."""
     plan = formatted_plan(R.text_repetition_metrics(spark, SF_DIR_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "HashAggregate" in plan
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
 
 
 def test_html_extract_zero_shuffle(spark):

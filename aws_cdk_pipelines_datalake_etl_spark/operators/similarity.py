@@ -82,12 +82,34 @@ def assign_ivf_buckets(
         F.col("centroid_id"), "c"
     )
     scored = v.join(F.broadcast(c)).withColumn("sim", pround(cosine("v", "c"), 6))
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "centroid_id", "v")
+    # argmax via max_by partial agg, not a row_number window (r12,
+    # guide §2.3/§2.4): the window form shuffled |codebook| x n rows
+    # WITH the vector payload and sorted them; the partial max_by
+    # collapses each vector's |codebook| candidates map-side, so the
+    # exchange carries one row per vector and there is no sort — at
+    # sf0.1 the two tie (interleaved A/B: 1.85 s vs 1.88 s median on
+    # the IVF probe), at scale the shuffle is |codebook|-times
+    # smaller.  (A third, zero-shuffle variant — fold an argmax over
+    # a collected codebook array per row — was measured ~0.6 s/pass
+    # SLOWER here: the nested transform/aggregate/zip_with lambdas
+    # run interpreted, the winnow lambda cliff.)  Ordering is
+    # identical to the old (sim DESC, centroid_id ASC) tie-break:
+    # lexicographic max of (sim, -centroid_id); NULL sims (zero-norm
+    # vectors) coalesce to -Infinity so an all-NULL vector still
+    # resolves to the smallest centroid_id, exactly as
+    # desc_nulls_last + rn=1 did.  first("v") is value-deterministic:
+    # every row in the group carries the same vector.
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col("centroid_id"),
+            F.struct(
+                F.coalesce(F.col("sim"), F.lit(float("-inf"))).alias("s"),
+                (-F.col("centroid_id")).alias("t"),
+            ),
+        ).alias("centroid_id"),
+        F.first("v").alias("v"),
     )
+    return best.select(id_col, "centroid_id", "v")
 
 
 def ivf_topk(
@@ -633,6 +655,35 @@ def derive_semantic_centroids(
     )
 
 
+def _assigned_with_norm(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    stage: bool,
+) -> DataFrame:
+    """(id, centroid_id, v, nrm) assignment frame shared by the
+    semantic-dedup pair stage and the survivors' final projection.
+
+    ``stage=True`` materializes it ONCE via an eager
+    ``localCheckpoint`` (the dsir stage= device — chosen over
+    ``persist()`` because a persisted plan is keyed on the
+    canonicalized plan and would be shared across repeated identical
+    calls, making bench re-runs time a cache hit).  Without staging
+    the assignment subtree (scan + |codebook| broadcast cosines +
+    argmax agg) is recomputed by every consumer: the bucket-count
+    agg, both sides of the pair join and the survivors projection —
+    four full passes at 100 TB."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.vector import norm
+
+    b = assign_ivf_buckets(vectors, centroids, id_col, vec_col).withColumn(
+        "nrm", norm("v")
+    )
+    if stage:
+        b = b.localCheckpoint(eager=True)
+    return b
+
+
 def semantic_dedup_pairs(
     vectors: DataFrame,
     centroids: DataFrame | None = None,
@@ -642,6 +693,8 @@ def semantic_dedup_pairs(
     max_bucket_rows: int | None = 4096,
     target_cluster_rows: int = 4096,
     seed: int = 42,
+    stage: bool = False,
+    _assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style bucketed near-duplicate pairs (Abbas et al.,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -670,7 +723,7 @@ def semantic_dedup_pairs(
     price of exact semantics.  ``max_bucket_rows=None`` keeps the
     legacy single-key join (used by the invariance test).
     """
-    from aws_cdk_pipelines_datalake_etl_spark.functions.vector import dot, norm
+    from aws_cdk_pipelines_datalake_etl_spark.functions.vector import dot
 
     if centroids is None:
         centroids = derive_semantic_centroids(
@@ -684,8 +737,10 @@ def semantic_dedup_pairs(
     # exceeds what whole-stage codegen handles well, unlike winnow's
     # small closed forms — the lambda fold's optimized loop wins at
     # dim 64.)
-    b = assign_ivf_buckets(vectors, centroids, id_col, vec_col).withColumn(
-        "nrm", norm("v")
+    b = (
+        _assigned
+        if _assigned is not None
+        else _assigned_with_norm(vectors, centroids, id_col, vec_col, stage)
     )
     sim_expr = pround(dot("v1", "v2") / (F.col("n1") * F.col("n2")), 6)
 
@@ -765,6 +820,7 @@ def semantic_dedup_survivors(
     max_bucket_rows: int | None = 4096,
     target_cluster_rows: int = 4096,
     seed: int = 42,
+    stage: bool = False,
 ) -> DataFrame:
     """Semantic dedup keep-set: drop every vector that is the LARGER
     id of an epsilon-similar pair within its semantic cluster (i.e.
@@ -777,18 +833,24 @@ def semantic_dedup_survivors(
     :func:`semantic_dedup_pairs` block-grid skew guard (identical
     pair set, bounded per-task volume); ``centroids=None``
     auto-derives the codebook ONCE and reuses it for both the pair
-    stage and the final assignment."""
+    stage and the final assignment.  ``stage=True`` additionally
+    computes the assignment frame ONCE (eager ``localCheckpoint``)
+    and shares it between the pair join's two sides, the bucket-count
+    agg and this final projection — r12, guide §2.4; the pair set and
+    survivor set are value-identical either way."""
     if centroids is None:
         centroids = derive_semantic_centroids(
             vectors, target_cluster_rows, seed, id_col, vec_col
         )
+    assigned = _assigned_with_norm(vectors, centroids, id_col, vec_col, stage)
     pairs = semantic_dedup_pairs(
         vectors, centroids, threshold, id_col, vec_col,
         max_bucket_rows, target_cluster_rows, seed,
+        _assigned=assigned,
     )
     dropped = pairs.select(F.col("id2").alias(id_col)).distinct()
     return (
-        assign_ivf_buckets(vectors, centroids, id_col, vec_col)
+        assigned
         .join(dropped, id_col, "left_anti")
         .select(id_col, "centroid_id")
     )

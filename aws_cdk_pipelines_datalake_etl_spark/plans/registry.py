@@ -5770,7 +5770,9 @@ def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    return sim.semantic_dedup_survivors(e, centroids, threshold=0.4)
+    return sim.semantic_dedup_survivors(
+        e, centroids, threshold=0.4, stage=True
+    )
 
 
 DEDUP_SEMANTIC_ORACLE = """
@@ -5818,7 +5820,7 @@ def dedup_semantic_skewguard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     return sim.semantic_dedup_survivors(
-        e, centroids, threshold=0.4, max_bucket_rows=64
+        e, centroids, threshold=0.4, max_bucket_rows=64, stage=True
     )
 
 

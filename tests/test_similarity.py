@@ -525,3 +525,77 @@ def test_semantic_decontaminate_passes_through_columns(spark):
     assert out.columns == ["vec_id", "source", "n"]
     rows = out.collect()
     assert [(r.vec_id, r.source, r.n) for r in rows] == [(2, "books", 22)]
+
+
+def test_assign_ivf_buckets_matches_window_argmax(spark):
+    """r12 regression: the max_by partial-agg argmax must reproduce the
+    old row_number-window assignment exactly — including sim ties
+    (smaller centroid_id wins) and zero-norm vectors (NULL sim for
+    every centroid -> smallest centroid_id)."""
+    from pyspark.sql import Window
+
+    from aws_cdk_pipelines_datalake_etl_spark.functions.rounding import pround
+    from aws_cdk_pipelines_datalake_etl_spark.functions.vector import cosine
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),          # exactly centroid 10
+            (2, [0.0, 1.0]),          # exactly centroid 11
+            (3, [1.0, 1.0]),          # tie between 10 and 11 -> 10
+            (5, [-1.0, -1.0]),        # tie on negative sims -> 10
+            # (a zero-norm vector raises DIVIDE_BY_ZERO under ANSI in
+            # BOTH the old window form and the max_by form — identical
+            # behavior, so not exercised here)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])],
+        "centroid_id long, embedding array<double>",
+    )
+
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in sim.assign_ivf_buckets(vecs, cents).collect()
+    }
+
+    # the pre-r12 window form, inlined as the reference
+    v = vecs.withColumn("v", F.col("embedding").cast("array<double>")).select(
+        "vec_id", "v"
+    )
+    c = cents.withColumn("c", F.col("embedding").cast("array<double>")).select(
+        "centroid_id", "c"
+    )
+    scored = v.join(F.broadcast(c)).withColumn(
+        "sim", pround(cosine("v", "c"), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    want = {
+        r["vec_id"]: r["centroid_id"]
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want
+    assert got == {1: 10, 2: 11, 3: 10, 5: 10}
+
+
+def test_semantic_dedup_survivors_stage_invariance(spark):
+    """r12: stage=True (eager localCheckpoint of the assignment frame)
+    must not change the survivor set."""
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(4)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    a = sim.semantic_dedup_survivors(
+        vecs, cents, threshold=0.8, max_bucket_rows=8, stage=False
+    )
+    b = sim.semantic_dedup_survivors(
+        vecs, cents, threshold=0.8, max_bucket_rows=8, stage=True
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -217,8 +217,27 @@ def minhash_lsh_pairs(
         )
         .select("p.id1", "p.id2")
         .distinct()
+        # staged once (eager localCheckpoint): the pair table is
+        # LSH-bounded control data and feeds both the candidate-doc
+        # semi-join below and the verification joins — unstaged, each
+        # consumer would re-run the whole signature + bucket dataflow
+        .localCheckpoint(eager=True)
     )
-    sh = shingle_set(df, id_col, text_col, k)
+    # r12 (guide §8: decide on small rows, attach cheaply): exact
+    # verification only ever reads shingles of docs that appear in a
+    # candidate pair, so shingle THAT subset once instead of
+    # re-shingling the full corpus three times (sizes, s1, s2 in
+    # _verified_jaccard — each a full Generate + distinct shuffle at
+    # 100 TB).  The subset is reached with a broadcast semi-join on
+    # the candidate ids and staged with an eager localCheckpoint so
+    # all three verification consumers read the one small set.  The
+    # verified pair set is value-identical: every shingle row the
+    # old form contributed to the joins is keyed by a candidate id.
+    cand_ids = candidates.select(
+        F.explode(F.array("id1", "id2")).alias(id_col)
+    ).distinct()
+    need = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sh = shingle_set(need, id_col, text_col, k).localCheckpoint(eager=True)
     return _verified_jaccard(candidates, sh, threshold)
 
 

@@ -445,3 +445,53 @@ def test_rho1_token_select_hand_checked(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         rho1_token_select(train, held, keep_micro=2_000_000)
+
+
+def test_lm_staging_value_identical_and_kn_plan_staged(spark):
+    """r12: the stage= seam is value-identical on every scorer, and
+    the Kneser-Ney scorer (the one measured to get ZERO AQE exchange
+    reuse unstaged) really truncates its model lineage when staged."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.lm import (
+        kneser_ney_logprob,
+        rho1_token_select,
+        trigram_logprob,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["b a c a b a d x", "a b a c d b y", "c a d b a a z w"]
+        )],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [(10, "a b a q c"), (11, "solo"), (12, "d b a c a")],
+        "doc_id long, text string",
+    )
+
+    for fn in (bigram_logprob, kneser_ney_logprob, trigram_logprob):
+        staged = sorted(map(tuple, fn(train, score, stage=True).collect()))
+        unstaged = sorted(map(tuple, fn(train, score, stage=False).collect()))
+        assert staged == unstaged, fn.__name__
+    staged = sorted(map(tuple, rho1_token_select(
+        train, score, keep_micro=500_000, stage=True).collect()))
+    unstaged = sorted(map(tuple, rho1_token_select(
+        train, score, keep_micro=500_000, stage=False).collect()))
+    assert staged == unstaged
+
+    # staged KN: model tables come from checkpointed RDDs, so the
+    # scorer's own plan holds exactly ONE parquet/LocalTableScan pass
+    # over the corpus per side (the score stream + the model scans
+    # are ExistingRDD)
+    plan = formatted_plan(kneser_ney_logprob(train, score, stage=True))
+    assert "ExistingRDD" in plan
+
+    # cutpoints staging is value-identical too
+    scored = bigram_logprob(train, score, stage=False)
+    a = sorted(map(tuple, perplexity_buckets(
+        scored, method="cutpoints", stage=True).collect()))
+    b = sorted(map(tuple, perplexity_buckets(
+        scored, method="cutpoints", stage=False).collect()))
+    assert a == b

@@ -227,29 +227,52 @@ def train_one_step_micro(
     stay in :func:`train_quality_classifier` (rows-only + pytest
     gates); this one-step form is the standard distillation
     initialization and exercises the identical feature/gradient/score
-    dataflow."""
-    feats = hashed_features_portable(df, id_col, text_col, dim)
-    resid = df.select(
-        F.col(id_col).alias("_id"),
-        (
-            F.lit(MICRO // 2)
-            - F.col(label_col).cast("long") * F.lit(MICRO)
-        ).alias("r_micro"),
+    dataflow.
+
+    Physical shape (r12, guide §2.3/§2.4): the old form built per-doc
+    feature vectors and JOINED them to a per-doc residual table on the
+    doc id — a corpus-token-sized shuffle join plus a (doc, slot)
+    exchange, and four full evaluations of ``df`` (features, bias,
+    residuals, n).  But the gradient never needs the per-doc
+    structure: ``sum over (doc,slot) of k * r  ==  sum over token
+    OCCURRENCES of r`` (k identical integer terms), so the residual is
+    now CARRIED on the exploded token row and aggregated straight to
+    the slot — one corpus pass, one 1025-key exchange fed by map-side
+    partials, no join.  The bias gradient and n are one 1-row agg
+    (staged once; it feeds both the bias row and the broadcast
+    divisor).  Weights are bit-identical: the same integers reach the
+    same float expression."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        hash48,
+        tokens,
     )
-    # r12 (guide §2.4/§5): n used to be a driver-side df.count() — an
-    # extra ACTION that evaluated the (possibly label-joined) input
-    # subtree a second time per call.  As a broadcast 1-row aggregate
-    # it rides the same dataflow (the DuckDB oracle was already shaped
-    # this way: `... / (SELECT n FROM nn)`); -lr * g / n is the same
-    # double multiply/divide either way, so weights are bit-identical.
-    n_tbl = df.agg(F.count(F.lit(1)).alias("_n"))
-    grad = (
-        feats.join(resid, "_id")
-        .groupBy("slot")
-        .agg(F.sum(F.col("k") * F.col("r_micro")).alias("g_micro"))
+
+    r_expr = (
+        F.lit(MICRO // 2) - F.col(label_col).cast("long") * F.lit(MICRO)
+    ).alias("r_micro")
+    # token-occurrence stream with the residual carried on the row
+    occ = df.select(
+        F.explode(F.filter(tokens(text_col), lambda w: w != "")).alias(
+            "_tok"
+        ),
+        r_expr,
+    ).select(
+        F.pmod(hash48(F.col("_tok")), F.lit(dim)).alias("slot"), "r_micro"
+    )
+    grad_tok = occ.groupBy("slot").agg(F.sum("r_micro").alias("g_micro"))
+    # one 1-row pass for (bias gradient, n), materialized once so its
+    # two consumers don't each re-run the corpus agg
+    bn = df.agg(
+        F.sum(r_expr).alias("g_bias"), F.count(F.lit(1)).alias("_n")
+    ).localCheckpoint(eager=True)
+    grad = grad_tok.unionByName(
+        bn.select(
+            F.lit(_BIAS).cast("bigint").alias("slot"),
+            F.col("g_bias").alias("g_micro"),
+        )
     )
     return (
-        grad.crossJoin(F.broadcast(n_tbl))
+        grad.crossJoin(F.broadcast(bn.select("_n")))
         .select(
             "slot",
             F.floor(
@@ -274,21 +297,40 @@ def score_quality_micro(
     the integer dot product against the broadcast weights plus its
     sign, both engine-exact (the float sigmoid column is deliberately
     absent; :func:`score_quality` has it for the trained-weights
-    path).  Broadcast join + one doc-keyed hash agg, no collect."""
-    feats = hashed_features_portable(df, id_col, text_col, dim)
-    # r12 (guide §2.4): LEFT join against the broadcast weights with
-    # unmatched slots contributing 0 keeps every doc alive through the
-    # aggregation via its bias row, so the old third scan of ``df``
-    # (all_docs + join-back) is gone — value-identical: the inner join
-    # dropped exactly the (feat, absent-slot) rows that now add 0, and
-    # the join-back's coalesce(logit, 0) is the same zero.
+    path).  Broadcast join + one doc-keyed hash agg, no collect.
+
+    Physical shape (r12, guide §2.3): no per-(doc, slot) feature agg —
+    each token OCCURRENCE probes the broadcast weight hash directly
+    (sum of w over occurrences == sum of k * w, identical integers)
+    and the map-side partial agg collapses to one row per doc before
+    the only exchange.  The old form's extra (doc, slot) exchange
+    carried |doc x distinct-slot| rows; this one carries |docs|.  The
+    bias row per doc keeps zero-token docs alive, exactly as before.
+    LEFT join so untrained slots contribute 0 (the r12 device that
+    removed the third scan of ``df``)."""
+    from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+        hash48,
+        tokens,
+    )
+
+    occ = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.filter(tokens(text_col), lambda w: w != "")).alias(
+            "_tok"
+        ),
+    ).select("_id", F.pmod(hash48(F.col("_tok")), F.lit(dim)).alias("slot"))
+    bias = df.select(
+        F.col(id_col).alias("_id"),
+        F.lit(_BIAS).cast("bigint").alias("slot"),
+    )
     return (
-        feats.join(F.broadcast(w_micro), "slot", "left")
+        occ.unionByName(bias)
+        .join(F.broadcast(w_micro), "slot", "left")
         .groupBy("_id")
         .agg(
-            F.sum(
-                F.col("k") * F.coalesce(F.col("w_micro"), F.lit(0))
-            ).alias("logit_micro")
+            F.sum(F.coalesce(F.col("w_micro"), F.lit(0))).alias(
+                "logit_micro"
+            )
         )
         .select(
             F.col("_id").alias(id_col),

@@ -1039,19 +1039,26 @@ def block_unit_dedup(
     )
     units = _exploded_units(staged, b)
     if key == "md5":
+        # r12: the min-struct agg compiled to SortAggregate (struct
+        # buffers are not hash-mutable), sorting the whole exploded
+        # unit stream per partition.  Split lexicographic
+        # min(doc, idx) into two HASH aggregations — per (unit, doc)
+        # first occurrence, then per unit the smallest doc and ITS
+        # idx via min_by on long operands (hash-mutable buffer; the
+        # (unit, doc) level makes doc unique so min_by never ties).
+        # Exact same winner; no sort anywhere.
         kept = (
             units.select(F.unhex(F.md5("unit")).alias("_k"), "_id", "idx")
+            .groupBy("_k", "_id")
+            .agg(F.min("idx").alias("idx"))
             .groupBy("_k")
             .agg(
-                F.min(
-                    F.struct(F.col("_id").alias("d"), F.col("idx").alias("k"))
-                ).alias("_first")
+                F.min("_id").alias("d"),
+                F.min_by("idx", "_id").alias("k"),
             )
         )
         per_doc = (
-            kept.select(
-                F.col("_first.d").alias("_id"), F.col("_first.k").alias("k")
-            )
+            kept.select(F.col("d").alias("_id"), "k")
             .groupBy("_id")
             .agg(
                 F.count(F.lit(1)).cast("int").alias("n_kept"),
@@ -1075,14 +1082,18 @@ def block_unit_dedup(
                 F.lit(""),
             ).alias("text_clean"),
         )
-    kept = units.groupBy("unit").agg(
-        F.min(F.struct(F.col("_id").alias("d"), F.col("idx").alias("k")))
-        .alias("_first")
+    # same two-level hash-agg device as the md5 branch (r12): the
+    # min-struct form sort-aggregated the exploded stream
+    kept = (
+        units.groupBy("unit", "_id")
+        .agg(F.min("idx").alias("idx"))
+        .groupBy("unit")
+        .agg(F.min("_id").alias("d"), F.min_by("idx", "_id").alias("k"))
     )
     reassembled = (
         kept.select(
-            F.col("_first.d").alias("_id"),
-            F.struct(F.col("_first.k").alias("k"), F.col("unit").alias("u"))
+            F.col("d").alias("_id"),
+            F.struct(F.col("k").alias("k"), F.col("unit").alias("u"))
             .alias("_ku"),
         )
         .groupBy("_id")
@@ -1154,14 +1165,18 @@ def incremental_block_unit_dedup(
     )
     units = _exploded_units(staged, b)
     fresh = units.join(corpus_units, "unit", "left_anti")
-    kept = fresh.groupBy("unit").agg(
-        F.min(F.struct(F.col("_id").alias("d"), F.col("idx").alias("k")))
-        .alias("_first")
+    # two-level hash-agg instead of min-struct SortAggregate — the
+    # same r12 device as block_unit_dedup
+    kept = (
+        fresh.groupBy("unit", "_id")
+        .agg(F.min("idx").alias("idx"))
+        .groupBy("unit")
+        .agg(F.min("_id").alias("d"), F.min_by("idx", "_id").alias("k"))
     )
     reassembled = (
         kept.select(
-            F.col("_first.d").alias("_id"),
-            F.struct(F.col("_first.k").alias("k"), F.col("unit").alias("u"))
+            F.col("d").alias("_id"),
+            F.struct(F.col("k").alias("k"), F.col("unit").alias("u"))
             .alias("_ku"),
         )
         .groupBy("_id")

@@ -176,10 +176,18 @@ def write_ivf_index(
     half of the ANN contract that :func:`assign_ivf_buckets`'s
     docstring promises.  A probe then reads only its nprobe buckets'
     files via partition pruning; the rest of a 100 TB corpus is never
-    opened."""
+    opened.
+
+    The write repartitions by the partition column first (guide §6):
+    without it every write task opens a file in every bucket it sees
+    — up to tasks x buckets small files — and every later probe pays
+    the open cost; clustered, each bucket's rows land in one task's
+    file(s).  One exchange at ingest time, paid once, read many."""
     assign_ivf_buckets(vectors, centroids, id_col, vec_col).select(
         F.col(id_col), F.col("v").alias("v"), "centroid_id"
-    ).write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    ).repartition("centroid_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(path)
 
 
 def ivf_topk_from_index(
@@ -217,6 +225,10 @@ def ivf_topk_from_index(
         )
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "q", F.col("centroid_id").alias("v_bucket"))
+        # staged once (eager localCheckpoint): consumed by the bucket
+        # list collect AND broadcast into the scored join — unstaged,
+        # both re-ran the query x centroid window (r12)
+        .localCheckpoint(eager=True)
     )
     buckets = [r.v_bucket for r in qprobe.select("v_bucket").distinct().collect()]
     idx = (

@@ -1438,8 +1438,16 @@ def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     cells = sk.build_cm_rollup(ev, "user_id")
-    est = sk.cm_estimate(cells, ev.select("user_id"), "user_id")
-    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    # r12 (guide §2.4): the probe key set IS the exact-count table's
+    # key column — stage exact once (key-cardinality-bounded) and
+    # derive the probes from it, so events is scanned twice (cells +
+    # exact) instead of three times.  Same key set, identical output.
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .localCheckpoint(eager=True)
+    )
+    est = sk.cm_estimate(cells, exact.select("user_id"), "user_id")
     return (
         est.join(exact, "user_id")
         .filter(F.col("cm_est") >= 70)

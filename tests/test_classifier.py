@@ -193,3 +193,25 @@ def test_score_quality_micro_sign_and_plan(spark):
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_train_one_step_micro_plan_no_doc_join(spark):
+    """r12: the gradient folds the residual onto the exploded token
+    row — no per-doc feature/residual join survives in the plan (the
+    only joins are the broadcast bias/n cross joins)."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.classifier import (
+        train_one_step_micro,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma" if i % 2 else "delta", i % 2 == 1)
+         for i in range(10)],
+        "doc_id long, text string, label boolean",
+    )
+    plan = formatted_plan(train_one_step_micro(df, "label", dim=64))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BatchEvalPython" not in plan

@@ -808,3 +808,24 @@ def test_simhash_matches_column_api_reference(spark):
         for r in dd.simhash_signatures(docs).collect()
     }
     assert got == ref
+
+
+def test_block_unit_dedup_plan_hash_aggregates(spark):
+    """r12: the first-occurrence winner is two HASH aggregations
+    (per-(unit,doc) min idx, then per-unit min doc + min_by idx) —
+    the old min-struct form compiled to SortAggregate and sorted the
+    whole exploded unit stream per partition."""
+    from aws_cdk_pipelines_datalake_etl_spark.operators.dedup import (
+        block_unit_dedup,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l"), (2, "a b c d e f g h i j z z")],
+        "doc_id long, text string",
+    )
+    for key in ("string", "md5"):
+        plan = formatted_plan(block_unit_dedup(df, block_words=10, key=key))
+        assert "SortAggregate" not in plan, key

@@ -121,6 +121,54 @@ def fim_transform(
     )
 
 
+def _span_inputs(
+    ids: Column,
+    n: Column,
+    n_win: Column,
+    starts: Column,
+    window: int,
+    span_len: int,
+    sentinel_base: int,
+) -> Column:
+    """The corrupted-input stream built WINDOW-BY-WINDOW with native
+    ``slice``/``concat``: per full window, the tokens before the span
+    start, the window's sentinel, the tokens after the span end — then
+    the uncorrupted tail.  Value-identical to the per-position walk it
+    replaced (r12, guide §1.2 step 2 / §4.1): higher-order-function
+    lambdas evaluate INTERPRETED per invocation, so walking every
+    position cost n lambda calls per row; this form pays n/window
+    calls whose bodies are native array copies (~5x less interpreted
+    work at window=20)."""
+    win = F.when(
+        n_win >= 1,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), n_win - 1),
+                lambda k: F.concat(
+                    F.slice(
+                        ids,
+                        k * window + 1,
+                        F.element_at(starts, k + 1) - k * window,
+                    ),
+                    F.array((F.lit(sentinel_base) + k).cast("int")),
+                    F.slice(
+                        ids,
+                        F.element_at(starts, k + 1) + span_len + 1,
+                        (k + 1) * window
+                        - F.element_at(starts, k + 1)
+                        - span_len,
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    tail = F.when(
+        n > n_win * window,
+        F.slice(ids, n_win * window + 1, n - n_win * window),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.concat(win, tail).cast("array<int>")
+
+
 def span_corruption(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -193,26 +241,11 @@ def span_corruption(
     n_win = F.col("_nw")
     starts = F.col("_starts")
 
-    # inputs: walk positions 0..n-1; a position inside a span is
-    # dropped unless it is the span start, which becomes the sentinel.
-    # Span membership is one starts-array lookup (pos div window finds
-    # the covering window, if any) — O(1), hash-free per position.
-    def to_input(pos: Column) -> Column:
-        k = F.floor(pos / F.lit(window)).cast("int")
-        start = F.when(k < n_win, F.element_at(starts, k + 1))
-        return F.when(
-            start.isNull() | (pos < start) | (pos >= start + span_len),
-            F.element_at(ids, pos + 1),
-        ).when(
-            pos == start, F.lit(sentinel_base) + k
-        ).otherwise(F.lit(None).cast("int"))
-
-    positions = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
-        F.array().cast("array<int>")
+    # inputs: window-by-window native slices (see _span_inputs — the
+    # r12 replacement for the per-position interpreted lambda walk)
+    inputs = _span_inputs(
+        ids, n, n_win, starts, window, span_len, sentinel_base
     )
-    inputs = F.filter(
-        F.transform(positions, to_input), lambda x: x.isNotNull()
-    ).cast("array<int>")
 
     # targets: per window in order, sentinel + the span's tokens
     targets = F.flatten(
@@ -369,23 +402,12 @@ def ul2_mixture(
     cut = F.col("_cut")
 
     def _walk(window: int, span_len: int) -> tuple[Column, Column]:
-        # span_corruption's position walk over the staged columns
-        def to_input(pos: Column) -> Column:
-            k = F.floor(pos / F.lit(window)).cast("int")
-            start = F.when(k < n_win, F.element_at(starts, k + 1))
-            return F.when(
-                start.isNull() | (pos < start) | (pos >= start + span_len),
-                F.element_at(ids, pos + 1),
-            ).when(
-                pos == start, F.lit(sentinel_base) + k
-            ).otherwise(F.lit(None).cast("int"))
-
-        positions = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
-            F.array().cast("array<int>")
+        # span_corruption's window walk over the staged columns (r12:
+        # native window slices via _span_inputs, not a per-position
+        # interpreted lambda)
+        inp = _span_inputs(
+            ids, n, n_win, starts, window, span_len, sentinel_base
         )
-        inp = F.filter(
-            F.transform(positions, to_input), lambda x: x.isNotNull()
-        ).cast("array<int>")
         tgt = F.when(
             n_win >= 1,
             F.flatten(

@@ -71,6 +71,7 @@ def _gram_occurrences(
     id_col: str,
     text_col: str,
     extra_cols: tuple[str, ...] = (),
+    keep_empty: bool = False,
 ) -> DataFrame:
     """Unigram + bigram occurrences ``(_id, *extra, gram)`` via
     Generate+Project: the token array is materialized BEFORE the
@@ -81,7 +82,13 @@ def _gram_occurrences(
 
     Index i runs 1..2n-1: i <= n yields unigram ``w[i]``; i > n yields
     bigram ``w[i-n] || ' ' || w[i-n+1]`` (n-1 of them).  A doc with n
-    tokens therefore emits exactly 2n-1 grams (n >= 1)."""
+    tokens therefore emits exactly 2n-1 grams (n >= 1).
+
+    ``keep_empty=True`` (r12) emits ONE NULL-gram row for each
+    zero-token doc via ``explode_outer`` (the ``bigram_logprob``
+    device) so downstream keyed aggregations keep those docs without a
+    separate corpus pass; NULL-text docs stay dropped, exactly as
+    before."""
     from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
         tokens,
     )
@@ -93,23 +100,26 @@ def _gram_occurrences(
     ).select(
         "_id", *extra_cols, "_w", F.size("_w").alias("_n")
     )
-    return (
-        toks.filter(F.col("_n") >= 1)
-        .select(
+    seq = F.sequence(F.lit(1), 2 * F.col("_n") - 1)
+    if keep_empty:
+        fanned = toks.filter(F.col("_n") >= 0).select(
             "_id",
             *extra_cols,
             "_w",
             "_n",
-            F.explode(F.sequence(F.lit(1), 2 * F.col("_n") - 1)).alias("i"),
+            F.explode_outer(F.when(F.col("_n") >= 1, seq)).alias("i"),
         )
-        .select(
-            "_id",
-            *extra_cols,
-            F.expr(
-                "CASE WHEN i <= _n THEN _w[i - 1] "
-                "ELSE concat(_w[i - _n - 1], ' ', _w[i - _n]) END"
-            ).alias("gram"),
+    else:
+        fanned = toks.filter(F.col("_n") >= 1).select(
+            "_id", *extra_cols, "_w", "_n", F.explode(seq).alias("i")
         )
+    return fanned.select(
+        "_id",
+        *extra_cols,
+        F.expr(
+            "CASE WHEN i <= _n THEN _w[i - 1] "
+            "ELSE concat(_w[i - _n - 1], ' ', _w[i - _n]) END"
+        ).alias("gram"),
     )
 
 
@@ -119,6 +129,7 @@ def _hashed_gram_counts(
     text_col: str,
     target_col: str,
     dim: int,
+    keep_empty: bool = False,
 ) -> DataFrame:
     """Per-(doc, slot) feature counts ``(_id, _tgt, slot, k)`` with
     ``slot = hash48(gram) % dim`` (hash48 is < 2^48, so ``%`` == pmod
@@ -127,7 +138,9 @@ def _hashed_gram_counts(
         hash48,
     )
 
-    occ = _gram_occurrences(df, id_col, text_col, extra_cols=("_tgt",))
+    occ = _gram_occurrences(
+        df, id_col, text_col, extra_cols=("_tgt",), keep_empty=keep_empty
+    )
     return (
         occ.select(
             "_id",
@@ -135,7 +148,9 @@ def _hashed_gram_counts(
             F.pmod(hash48(F.col("gram")), F.lit(dim)).alias("slot"),
         )
         .groupBy("_id", "_tgt", "slot")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+        # count("slot") not count(1): a keep_empty NULL-slot row (the
+        # zero-token doc) aggregates to k=0 so it never counts as a gram
+        .agg(F.count("slot").cast("bigint").alias("k"))
     )
 
 
@@ -297,14 +312,25 @@ def dsir_weights(
     if repartition is not None:
         base = base.repartition(repartition)
 
+    internal_feats = feats is None
     if feats is None:
-        feats = _hashed_gram_counts(base, "_id", "_text", "_tgt", dim)
+        # keep_empty (r12): zero-token docs ride the feature table as
+        # one k=0 NULL-slot row each, so the old third corpus pass
+        # (re-scan + tokenize just to union the empties back) is gone
+        feats = _hashed_gram_counts(
+            base, "_id", "_text", "_tgt", dim, keep_empty=True
+        )
         if stage and counts is None:
             # counts= means the model side never scans feats, so there
             # is only one consumer and staging would just add a copy.
             feats = feats.localCheckpoint(eager=True)
     if counts is None:
-        lam_rows, const_micro = train_dsir_model(feats, dim)
+        model_feats = (
+            feats.filter(F.col("slot").isNotNull())
+            if internal_feats
+            else feats
+        )
+        lam_rows, const_micro = train_dsir_model(model_feats, dim)
     else:
         # pre-maintained model state (dsir_bucket_counts /
         # merge_bucket_counts) — the incremental path; the scoring
@@ -342,9 +368,14 @@ def dsir_weights(
             .alias("weight_micro"),
         )
     )
-    # zero-token docs never reach the explode: union them back with
-    # weight 0 (ln-ratio of an empty product), the langid empty-branch
-    # device.
+    if internal_feats:
+        # zero-token docs already ride the feature table as k=0 rows
+        # (keep_empty above): they aggregate to (0 grams, weight 0)
+        # without another corpus pass
+        return scored
+    # pre-staged feats= tables carry no empty-doc rows: union the
+    # zero-token docs back with weight 0 (ln-ratio of an empty
+    # product), the langid empty-branch device.
     from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
         tokens,
     )

@@ -116,16 +116,24 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    stage: bool = True,
 ) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF.
 
     Two-level aggregation: term frequency on (doc, term), document
-    frequency on term (computed FROM the tf relation, so the corpus
-    text is read once), idf = ln(N/df) with N from a one-row
-    broadcast aggregate.  Ranking uses the *rounded* score with the
-    term as tiebreaker — a total order, so the kept set is
-    engine-exact.  The tf→df join is left to AQE: vocabulary size is
-    corpus-dependent (broadcast when it fits, shuffle when not).
+    frequency on term (computed FROM the tf relation), idf = ln(N/df)
+    with N from a one-row broadcast aggregate.  Ranking uses the
+    *rounded* score with the term as tiebreaker — a total order, so
+    the kept set is engine-exact.  The tf→df join is left to AQE:
+    vocabulary size is corpus-dependent (broadcast when it fits,
+    shuffle when not).
+
+    ``stage=True`` materializes the tf relation once (eager
+    ``localCheckpoint``): its two consumers prune different columns
+    (df-count wants ``term``, the join wants everything), the subtrees
+    stop being canonically equal, AQE reuses neither (0 ReusedExchange
+    measured r12 — the Kneser-Ney column-pruning disease), and
+    unstaged the corpus explode+agg ran twice.
     """
     from pyspark.sql import Window
 
@@ -133,6 +141,8 @@ def tfidf_top_terms(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
     )
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    if stage:
+        tf = tf.localCheckpoint(eager=True)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

@@ -3677,8 +3677,16 @@ WHERE p_brand = 'Brand#12'
 def q41_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: IN-subquery over a HAVING aggregate — orders
     whose total quantity exceeds a threshold, joined back to customer
-    detail.  The IN becomes a semi join against the aggregated order
-    list; agg again on the detail grain; top-100 totally ordered."""
+    detail.
+
+    r12 (guide §2.4): the textbook form scans lineitem TWICE (the
+    HAVING aggregate, then the detail re-aggregation behind a semi
+    join) — but the re-aggregated ``sum(l_quantity)`` per order IS the
+    HAVING sum (o_orderkey is unique in orders, c_custkey in customer,
+    so the joins never fan out detail rows).  Aggregate lineitem once,
+    filter, join the per-order total through.  Quantities are whole
+    numbers in double — the sum is exact below 2^53, so the value is
+    bit-identical to the two-pass form (driver hash unchanged)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -3686,14 +3694,18 @@ def q41_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("oq"))
         .filter(F.col("oq") > 300)
-        .select("l_orderkey")
     )
     return (
-        li.join(big, "l_orderkey", "left_semi")
-        .join(o, li.l_orderkey == o.o_orderkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(pround(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            pround(F.col("oq"), 2).alias("total_qty"),
+        )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )

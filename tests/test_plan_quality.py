@@ -178,11 +178,12 @@ def test_salted_agg_two_stage_partials(spark):
     assert "partial_sum" in plan
 
 
-def test_q41_in_subquery_plans_as_semi_join(spark):
-    """The IN-over-HAVING subquery must become a semi join against the
-    aggregated order list, not a per-row subquery re-execution."""
+def test_q41_single_lineitem_pass(spark):
+    """r12: the IN-over-HAVING shape folded into ONE lineitem
+    aggregation (the per-order total IS the HAVING sum) — no semi
+    join, no second lineitem scan, no per-row subquery."""
     plan = formatted_plan(R.q41_large_orders(spark, SF_DIR_SMOKE))
-    assert "LeftSemi" in plan
+    assert plan.count("lineitem.parquet") == 1
     assert "CartesianProduct" not in plan
 
 

@@ -391,7 +391,13 @@ def incremental_minhash_pairs(
             ).alias("p")
         ).select("p.id1", "p.id2")
     )
-    candidates = cross.unionByName(self_pairs).distinct()
+    # staged once (r12 — the minhash_lsh_pairs device): the candidate
+    # pair table is LSH-bounded control data consumed by the id-prune
+    # below AND the verification joins; unstaged, every consumer
+    # re-ran the batch/corpus band dataflow
+    candidates = (
+        cross.unionByName(self_pairs).distinct().localCheckpoint(eager=True)
+    )
 
     # verification corpus: batch docs + only the corpus docs that
     # appear in a candidate pair (semi-join prune)
@@ -404,7 +410,11 @@ def incremental_minhash_pairs(
     verify_docs = batch.select(id_col, text_col).unionByName(
         corpus_needed.select(id_col, text_col)
     )
-    sh = shingle_set(verify_docs, id_col, text_col, k)
+    # staged too: _verified_jaccard reads it three times (sizes, s1,
+    # s2) and the set is candidate-sized
+    sh = shingle_set(verify_docs, id_col, text_col, k).localCheckpoint(
+        eager=True
+    )
     return _verified_jaccard(candidates, sh, threshold)
 
 

@@ -297,16 +297,12 @@ def minhash_band_index(
     # (r12, guide §4: building them as num_perm Column trees cost
     # ~1.26 s of py4j chatter per call vs ~0.14 s for the single expr
     # — value-identical, A/B-asserted; h >= 0 so % == pmod).
-    # h % P is factored into ONE projected column (r12): inside the
-    # 128 min() update expressions it would otherwise evaluate per
-    # permutation per shingle row — 128x the modulo work for the same
-    # value.
     mins_sql = ", ".join(
-        f"min((hm * {a} + {b}) % {MINHASH_PRIME})" for a, b in coeffs
+        f"min(((h % {MINHASH_PRIME}) * {a} + {b}) % {MINHASH_PRIME})"
+        for a, b in coeffs
     )
     sig = (
         shingle_hashes(df, id_col, text_col, k)
-        .select("id", F.expr(f"h % {MINHASH_PRIME}").alias("hm"))
         .groupBy("id")
         .agg(F.expr(f"array({mins_sql})").alias("sig"))
     )

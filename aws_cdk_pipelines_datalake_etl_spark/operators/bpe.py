@@ -424,8 +424,17 @@ def bpe_encode_ids(
             rows, columns=["token_ids", "n_tokens", "n_unk"]
         )
 
+    # Non-deterministic marking (guide §4.4): a downstream filter on a
+    # UDF-computed column (pack_token_sequences' size(token_ids) > 0)
+    # gets pushed below the repartition exchange, and the optimizer
+    # DUPLICATES the ArrowEvalPython node — every document was BPE-
+    # encoded twice (two ArrowEvalPython nodes in the r12 plan dump).
+    # The function is pure; the marking only stops the optimizer from
+    # re-evaluating it, so values are unchanged.
+    enc_ids_once = enc_ids.asNondeterministic()
+
     return df.select(
-        F.col(id_col), enc_ids(F.col(text_col)).alias("bpe")
+        F.col(id_col), enc_ids_once(F.col(text_col)).alias("bpe")
     ).select(id_col, "bpe.*")
 
 

@@ -106,6 +106,17 @@ def test_grouping_sets_uses_expand_single_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
 
 
+def test_packed_ids_single_udf_evaluation(spark):
+    """r12 guide §4.4 regression: pack_token_sequences' filter on the
+    UDF-computed token_ids column must not duplicate the BPE encode —
+    every doc would be tokenized twice.  Exactly ONE ArrowEvalPython
+    node in the plan."""
+    import re
+
+    plan = formatted_plan(R.corpus_packed_ids(spark, SF_DIR_SMOKE))
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+
+
 def test_minhash_signature_partial_aggregates(spark):
     """The 128-permutation signature pass must partial-aggregate
     map-side: the shuffle carries 128 mins per doc, not the shingle

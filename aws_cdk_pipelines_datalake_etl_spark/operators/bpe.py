@@ -351,9 +351,15 @@ def bpe_encode(
             ],
         )
 
+    # Same guide-§4.4 marking as bpe_encode_ids (ADVICE r12): a
+    # downstream filter on any of the four stat columns would duplicate
+    # the ArrowEvalPython node.  Same pushdown trade-off applies —
+    # filter the input, not the encoded output.
+    enc_once = enc.asNondeterministic()
+
     return df.select(
         F.col(id_col),
-        enc(F.col(text_col)).alias("bpe"),
+        enc_once(F.col(text_col)).alias("bpe"),
     ).select(id_col, "bpe.*")
 
 
@@ -429,8 +435,13 @@ def bpe_encode_ids(
     # gets pushed below the repartition exchange, and the optimizer
     # DUPLICATES the ArrowEvalPython node — every document was BPE-
     # encoded twice (two ArrowEvalPython nodes in the r12 plan dump).
-    # The function is pure; the marking only stops the optimizer from
-    # re-evaluating it, so values are unchanged.
+    # The function is pure; the marking stops the optimizer from
+    # re-evaluating it, so values are unchanged.  Trade-off (ADVICE
+    # r12): Spark also refuses to push ANY predicate — even one on the
+    # deterministic doc id — through a Project containing a
+    # nondeterministic field, so callers that filter encoded output on
+    # deterministic columns pay the full encode on rows they discard.
+    # Filter the INPUT DataFrame before bpe_encode_ids instead.
     enc_ids_once = enc_ids.asNondeterministic()
 
     return df.select(

@@ -13,7 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import tokens
+from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
+    token_count,
+    tokens,
+)
 
 
 def chunk_documents(
@@ -79,7 +82,7 @@ def pack_greedy_bins(
     d = df.select(
         F.col(id_col),
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 1).alias("shard"),
-        F.size(tokens(text_col)).alias("n_tokens"),
+        token_count(text_col).alias("n_tokens"),
     )
     w = (
         Window.partitionBy("shard")
@@ -255,7 +258,7 @@ def pack_with_offsets(
     d = df.select(
         F.col(id_col),
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 1).alias("shard"),
-        F.size(tokens(text_col)).alias("n_tokens"),
+        token_count(text_col).alias("n_tokens"),
     )
     w = (
         Window.partitionBy("shard")

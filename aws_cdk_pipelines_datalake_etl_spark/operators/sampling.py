@@ -299,7 +299,7 @@ def mixture_plan(
     One source-cardinality aggregate + one one-row total — nothing
     corpus-sized moves; fully oracle-replayable."""
     from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
-        tokens,
+        token_count,
     )
 
     pw = (
@@ -311,7 +311,7 @@ def mixture_plan(
         df.groupBy(source_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(tokens(text_col))).cast("bigint").alias("n_tokens"),
+            F.sum(token_count(text_col)).cast("bigint").alias("n_tokens"),
         )
         .withColumn(
             "weight_micro", F.floor(pw * 1000000 + F.lit(0.5)).cast("long")
@@ -378,7 +378,7 @@ def epoch_plan(
     One source-cardinality aggregate + a one-row total — nothing
     corpus-sized moves."""
     from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
-        tokens,
+        token_count,
     )
 
     pw = (
@@ -390,7 +390,7 @@ def epoch_plan(
         df.groupBy(source_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(tokens(text_col))).cast("bigint").alias("n_tokens"),
+            F.sum(token_count(text_col)).cast("bigint").alias("n_tokens"),
         )
         .withColumn(
             "weight_micro", F.floor(pw * 1000000 + F.lit(0.5)).cast("long")
@@ -469,7 +469,7 @@ def materialize_epochs(
     from pyspark.sql import Window
 
     from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
-        tokens,
+        token_count,
     )
 
     p = plan.select(
@@ -478,7 +478,7 @@ def materialize_epochs(
     d = df.select(
         F.col(id_col),
         F.col(source_col),
-        F.size(tokens(text_col)).cast("long").alias("_nt"),
+        token_count(text_col).cast("long").alias("_nt"),
     ).join(F.broadcast(p), source_col)
     full = d.filter(F.col("n_full_epochs") >= 1).select(
         id_col,
@@ -674,7 +674,7 @@ def unimax_budget(
     distributed work; the water-fill runs driver-side over BOUNDED
     CONTROL DATA (n_sources rows — the doremi_weights precedent)."""
     from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
-        tokens,
+        token_count,
     )
 
     if budget_tokens < 0:
@@ -685,7 +685,7 @@ def unimax_budget(
         df.groupBy(F.col(source_col).alias("source"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(tokens(text_col))).cast("bigint").alias("n_tokens"),
+            F.sum(token_count(text_col)).cast("bigint").alias("n_tokens"),
         )
         .withColumn(
             "capacity_tokens",

@@ -381,8 +381,18 @@ def unigram_encode_ids(
             rows.append((ids, len(ids), sum(1 for i in ids if i == unk)))
         return pd.DataFrame(rows, columns=["token_ids", "n_tokens", "n_unk"])
 
+    # Non-deterministic marking (guide §4.4, ADVICE r12): the declared
+    # twin of bpe_encode_ids feeds the same packing tail, so the same
+    # filter-pushdown bug applies — a downstream filter on token_ids
+    # would duplicate the ArrowEvalPython node and Viterbi-encode every
+    # doc twice.  The function is pure; the marking only stops the
+    # optimizer re-evaluating it.  Trade-off: predicates (even on
+    # deterministic columns like the doc id) no longer push below this
+    # projection — filter the INPUT DataFrame, not the encoded output.
+    enc_once = enc.asNondeterministic()
+
     return df.select(
-        F.col(id_col), enc(F.col(text_col)).alias("u")
+        F.col(id_col), enc_once(F.col(text_col)).alias("u")
     ).select(id_col, "u.*")
 
 

@@ -1193,7 +1193,7 @@ def dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster, no window.  The oracle recomputes the closure with the
     recursive-CTE device and replays the argmax."""
     from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
-        tokens,
+        token_count,
     )
     from aws_cdk_pipelines_datalake_etl_spark.operators.clusters import (
         quality_canonicals,
@@ -1202,7 +1202,7 @@ def dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(docs, threshold=0.8)
     quality = docs.select(
-        "doc_id", F.size(tokens("text")).alias("quality")
+        "doc_id", token_count("text").alias("quality")
     )
     return quality_canonicals(pairs, quality).orderBy("doc_id")
 
@@ -8206,12 +8206,12 @@ def corpus_quality_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (the BM25-idf precedent) make the floor-quantized
     micro z-score hash-exact."""
     from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
-        tokens,
+        token_count,
     )
 
     docs = _t(spark, sf_dir, "documents")
     vals = docs.select(
-        "doc_id", "source", F.size(tokens("text")).alias("n_tokens")
+        "doc_id", "source", token_count("text").alias("n_tokens")
     )
     return tx.group_zscore(vals, "n_tokens").orderBy("doc_id")
 
@@ -9615,7 +9615,7 @@ def sample_doremi_external_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator for both engines)."""
     from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
         hash48,
-        tokens,
+        token_count,
     )
     from aws_cdk_pipelines_datalake_etl_spark.operators.doremi import (
         doremi_weights,
@@ -9624,7 +9624,7 @@ def sample_doremi_external_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (
         _t(spark, sf_dir, "documents")
         .groupBy("source")
-        .agg(F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"))
+        .agg(F.sum(token_count("text")).cast("long").alias("n_tokens"))
         .withColumn(
             "loss_micro",
             (
@@ -10582,7 +10582,7 @@ def corpus_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-cardinality agg; the oracle wraps the full NB replay as a
     CTE and restates the rollup."""
     from aws_cdk_pipelines_datalake_etl_spark.functions.text_fn import (
-        tokens,
+        token_count,
     )
     from aws_cdk_pipelines_datalake_etl_spark.operators.langid import (
         language_id_nb,
@@ -10593,7 +10593,7 @@ def corpus_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, repartition=spark.sparkContext.defaultParallelism
     ).select("doc_id", "lang")
     nt = docs.select(
-        "doc_id", "source", F.size(tokens("text")).cast("long").alias("_nt")
+        "doc_id", "source", token_count("text").cast("long").alias("_nt")
     )
     mix = (
         lid.join(nt, "doc_id")

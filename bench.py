@@ -216,21 +216,20 @@ def main() -> None:
     cal_end = _calibration(spark)
     cal = round((cal_start + cal_end) / 2, 4)
     total = round(sum(timings.values()), 3)
+    # The ONE-LINE stdout payload stays compact (VERDICT r12 #9: the
+    # r11 line was truncated in the driver's tail capture, which
+    # nulled the whole round-over-round PERF comparison).  The primary
+    # medians (the contract: metric/value/unit/queries/sf) plus the
+    # calibration summary stay on the line; best-of-3 (rounds-1-8
+    # comparability) and methodology prose move to a full-detail side
+    # file written next to bench.py.
     payload: dict = {
         "metric": "headline_queries_total_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_best": timings_best,
-        "value_best": round(sum(timings_best.values()), 3),
-        "methodology": (
-            "per-query MEDIAN of 3 warm passes (primary, round 9+); "
-            "best-of-3 in queries_best/value_best for comparison with "
-            "rounds 1-8, which reported best"
-        ),
         "sf": sf_val,
         "calibration_sec": cal,
-        "calibration_samples": [cal_start, cal_end],
     }
     if CALIBRATION_REF_SEC:
         payload["host_factor"] = round(cal / CALIBRATION_REF_SEC, 4)
@@ -239,6 +238,28 @@ def main() -> None:
         )
     if errors:
         payload["errors"] = errors
+    detail = dict(payload)
+    detail.update(
+        {
+            "queries_best": timings_best,
+            "value_best": round(sum(timings_best.values()), 3),
+            "methodology": (
+                "per-query MEDIAN of 3 warm passes (primary, round 9+); "
+                "best-of-3 in queries_best/value_best for comparison "
+                "with rounds 1-8, which reported best"
+            ),
+            "calibration_samples": [cal_start, cal_end],
+        }
+    )
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_DETAIL_last.json",
+        )
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as exc:  # read-only checkout: the line still prints
+        print(f"BENCH DETAIL WRITE FAILED: {exc}", file=sys.stderr)
     print(json.dumps(payload))
 
 

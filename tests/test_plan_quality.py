@@ -117,6 +117,46 @@ def test_packed_ids_single_udf_evaluation(spark):
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
 
 
+def test_rho1_no_window_and_staged_model(spark):
+    """r13 (VERDICT r12 #1): the per-doc top-k cut is one hash
+    aggregation + row-local array algebra — NO Window operator, no
+    per-partition sort of the position stream; and the model tables
+    are staged (ExistingRDD), because the final adaptive plan showed
+    zero exchange reuse unstaged."""
+    import re
+
+    plan = formatted_plan(R.corpus_rho1_selection(spark, SF_DIR_SMOKE))
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 0
+    assert "ExistingRDD" in plan
+    # the only Sort left is the declared oracle-form orderBy(doc_id)
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1
+
+
+def test_unigram_encode_single_udf_evaluation(spark):
+    """ADVICE r12: unigram_encode_ids is the declared twin of
+    bpe_encode_ids (same packing tail), so the same guide-§4.4
+    filter-pushdown duplication must be guarded: a filter on the
+    UDF-computed token_ids column must leave exactly ONE
+    ArrowEvalPython node."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from aws_cdk_pipelines_datalake_etl_spark.operators.unigram import (
+        unigram_encode_ids,
+    )
+    from aws_cdk_pipelines_datalake_etl_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    scores = {"▁a": -1, "▁b": -2, "a": -3, "b": -4}
+    vocab = {"<unk>": 0, "▁a": 1, "▁b": 2, "a": 3, "b": 4}
+    out = unigram_encode_ids(docs, scores, vocab, repartition=4).filter(
+        F.size("token_ids") > 0
+    )
+    plan = formatted_plan(out)
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+
+
 def test_minhash_signature_partial_aggregates(spark):
     """The 128-permutation signature pass must partial-aggregate
     map-side: the shuffle carries 128 mins per doc, not the shingle
